@@ -1,0 +1,86 @@
+"""Decibel conversions (librosa-compatible).
+
+Pure elementwise VPU math under jit; fuses into adjacent ops (e.g. the
+mel->log step of MFCC). Behavior matches the reference's `convert.py`
+(reference: `mlx_audio_primitives/convert.py:14-198`): callable-or-scalar
+``ref``, ``amin`` clamping of both S and ref, and a ``top_db`` dynamic-range
+clip against the *global* max of the converted array.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .._config import REAL_DTYPE
+from ..kernels.precise_math import exp10, log10
+
+ArrayLike = Any
+
+
+def _to_db(
+    S: ArrayLike,
+    ref: float | Callable,
+    coefficient: float,
+    amin: float,
+    top_db: float | None,
+) -> jax.Array:
+    if amin <= 0:
+        raise ValueError(f"amin must be positive, got {amin}")
+    S = jnp.asarray(S, dtype=REAL_DTYPE)
+    ref_value = ref(S) if callable(ref) else jnp.asarray(ref, dtype=S.dtype)
+    S_clamped = jnp.maximum(S, amin)
+    ref_clamped = jnp.maximum(ref_value, amin)
+    S_db = coefficient * log10(S_clamped / ref_clamped)
+    if top_db is not None:
+        if top_db <= 0:
+            raise ValueError(f"top_db must be positive, got {top_db}")
+        S_db = jnp.maximum(S_db, jnp.max(S_db) - top_db)
+    return S_db
+
+
+def power_to_db(
+    S: ArrayLike,
+    ref: float | Callable = 1.0,
+    amin: float = 1e-10,
+    top_db: float | None = 80.0,
+) -> jax.Array:
+    """Convert a power spectrogram to dB: ``10 * log10(S / ref)``.
+
+    Reference parity: `mlx_audio_primitives/convert.py:63-97`.
+    """
+    return _to_db(S, ref, coefficient=10.0, amin=amin, top_db=top_db)
+
+
+def db_to_power(S_db: ArrayLike, ref: float = 1.0) -> jax.Array:
+    """Invert :func:`power_to_db`: ``ref * 10**(S_db / 10)``.
+
+    Reference parity: `mlx_audio_primitives/convert.py:100-129`.
+    """
+    S_db = jnp.asarray(S_db, dtype=REAL_DTYPE)
+    return ref * exp10(S_db / 10.0)
+
+
+def amplitude_to_db(
+    S: ArrayLike,
+    ref: float | Callable = 1.0,
+    amin: float = 1e-5,
+    top_db: float | None = 80.0,
+) -> jax.Array:
+    """Convert an amplitude spectrogram to dB: ``20 * log10(S / ref)``.
+
+    Reference parity: `mlx_audio_primitives/convert.py:132-166`.
+    """
+    return _to_db(S, ref, coefficient=20.0, amin=amin, top_db=top_db)
+
+
+def db_to_amplitude(S_db: ArrayLike, ref: float = 1.0) -> jax.Array:
+    """Invert :func:`amplitude_to_db`: ``ref * 10**(S_db / 20)``.
+
+    Reference parity: `mlx_audio_primitives/convert.py:169-198`.
+    """
+    S_db = jnp.asarray(S_db, dtype=REAL_DTYPE)
+    return ref * exp10(S_db / 20.0)

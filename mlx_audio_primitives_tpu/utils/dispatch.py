@@ -1,0 +1,60 @@
+"""Backend detection and fast-path dispatch policy.
+
+The reference library ships an optional C++/Metal extension and checks
+``HAS_CPP_EXT`` before every fast-path call, with a pure-Python fallback that
+keeps the whole suite green without the native build (reference:
+`mlx_audio_primitives/_extension.py:30-44`, `ARCHITECTURE.md:392-408`).
+
+The TPU-native analog: Pallas-TPU kernels are the fast path, pure-XLA (jnp)
+compositions are the always-available reference path. ``HAS_PALLAS_TPU`` plays
+the role of ``HAS_CPP_EXT``; per-op ``use_pallas=`` kwargs play the role of the
+reference's ``use_cpp=`` overrides (`features.py:286`, `framing.py:199`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def default_backend() -> str:
+    return jax.default_backend()
+
+
+def is_tpu() -> bool:
+    return default_backend() == "tpu"
+
+
+def _pallas_available() -> bool:
+    if os.environ.get("MLX_AUDIO_TPU_DISABLE_PALLAS", "0") == "1":
+        return False
+    try:
+        from jax.experimental import pallas  # noqa: F401
+    except Exception:  # pragma: no cover - pallas ships with jax
+        return False
+    return True
+
+
+#: True when compiled (non-interpret) Pallas TPU kernels can run.
+HAS_PALLAS_TPU: bool = is_tpu() and _pallas_available()
+
+#: True when Pallas kernels can run at all (interpret mode on CPU is used by
+#: the equivalence test suite, the analog of `tests/test_cpp_extension.py`).
+HAS_PALLAS: bool = _pallas_available()
+
+
+def resolve_use_pallas(flag: bool | None) -> bool:
+    """Resolve a per-op ``use_pallas`` kwarg against backend availability.
+
+    ``None`` (auto) enables Pallas only on a real TPU backend; ``True`` forces
+    the kernel (interpret mode off-TPU); ``False`` forces the pure-XLA path.
+    """
+    if flag is None:
+        return HAS_PALLAS_TPU
+    return bool(flag) and HAS_PALLAS
+
+
+def pallas_interpret_mode() -> bool:
+    """Pallas kernels run in interpreter mode off-TPU (CPU test stand-in)."""
+    return not is_tpu()

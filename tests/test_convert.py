@@ -1,0 +1,84 @@
+"""dB conversion parity (port of reference `tests/test_convert.py`).
+
+Oracle: the librosa formulas implemented directly in float64 NumPy.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_audio_primitives_tpu import (
+    amplitude_to_db,
+    db_to_amplitude,
+    db_to_power,
+    power_to_db,
+)
+
+
+def _power_to_db_np(S, ref=1.0, amin=1e-10, top_db=80.0):
+    S = np.asarray(S, dtype=np.float64)
+    ref_value = ref(S) if callable(ref) else ref
+    log_spec = 10.0 * np.log10(np.maximum(S, amin) / np.maximum(ref_value, amin))
+    if top_db is not None:
+        log_spec = np.maximum(log_spec, log_spec.max() - top_db)
+    return log_spec
+
+
+@pytest.fixture
+def power_spec():
+    rng = np.random.default_rng(0)
+    return (rng.random((64, 100)) * 10).astype(np.float32)
+
+
+def test_power_to_db_matches_oracle(power_spec):
+    ours = np.asarray(power_to_db(power_spec))
+    ref = _power_to_db_np(power_spec)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_power_to_db_callable_ref(power_spec):
+    ours = np.asarray(power_to_db(power_spec, ref=jnp.max))
+    ref = _power_to_db_np(power_spec, ref=np.max)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_power_to_db_no_topdb(power_spec):
+    ours = np.asarray(power_to_db(power_spec, top_db=None))
+    ref = _power_to_db_np(power_spec, top_db=None)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_power_to_db_clips_dynamic_range():
+    S = np.array([1e-12, 1.0, 100.0], dtype=np.float32)
+    out = np.asarray(power_to_db(S, top_db=40.0))
+    assert out.max() - out.min() <= 40.0 + 1e-5
+
+
+def test_power_db_roundtrip(power_spec):
+    db = power_to_db(power_spec, top_db=None)
+    back = np.asarray(db_to_power(db))
+    np.testing.assert_allclose(back, power_spec, rtol=2e-4)
+
+
+def test_amplitude_db_roundtrip(power_spec):
+    amp = np.sqrt(power_spec)
+    db = amplitude_to_db(amp, top_db=None)
+    back = np.asarray(db_to_amplitude(db))
+    np.testing.assert_allclose(back, amp, rtol=2e-4)
+
+
+def test_amplitude_is_20log10(power_spec):
+    amp = np.sqrt(power_spec)
+    a_db = np.asarray(amplitude_to_db(amp, amin=1e-10, top_db=None))
+    p_db = np.asarray(power_to_db(power_spec, amin=1e-20, top_db=None))
+    np.testing.assert_allclose(a_db, p_db, atol=1e-3)
+
+
+def test_invalid_topdb_raises(power_spec):
+    with pytest.raises(ValueError):
+        power_to_db(power_spec, top_db=-5.0)
+
+
+def test_db_of_ones_is_zero():
+    out = np.asarray(power_to_db(np.ones(16, np.float32)))
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)
