@@ -17,6 +17,14 @@ from .ops.convert import (
     db_to_power,
     power_to_db,
 )
+from .ops.filterbanks import (
+    bark_filterbank,
+    bark_to_hz,
+    hz_to_bark,
+    linear_filterbank,
+)
+from .ops.mel import hz_to_mel, mel_filterbank, mel_to_hz, melspectrogram
+from .ops.mfcc import dct, delta, mfcc
 from .ops.stft import check_nola, istft, magnitude, phase, stft
 from .ops.windows import get_window
 from .utils.dispatch import HAS_PALLAS_TPU as _HAS_PALLAS_TPU  # noqa: F401
@@ -31,6 +39,20 @@ __all__ = [
     "check_nola",
     # Windows
     "get_window",
+    # Mel
+    "mel_filterbank",
+    "melspectrogram",
+    "hz_to_mel",
+    "mel_to_hz",
+    # Filterbanks
+    "linear_filterbank",
+    "bark_filterbank",
+    "hz_to_bark",
+    "bark_to_hz",
+    # MFCC
+    "mfcc",
+    "delta",
+    "dct",
     # Conversions
     "power_to_db",
     "db_to_power",

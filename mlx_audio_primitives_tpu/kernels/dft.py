@@ -51,16 +51,28 @@ def _inverse_basis(n_fft: int) -> np.ndarray:
     return np.concatenate([w * np.cos(ang), -w * np.sin(ang)], axis=0)
 
 
-def rdft_matmul(frames: jax.Array, n_fft: int) -> jax.Array:
+def forward_basis(n_fft: int) -> jax.Array:
+    """Device-resident forward basis (fetch eagerly, pass into jitted code)."""
+    return _forward_basis(n_fft)
+
+
+def inverse_basis(n_fft: int) -> jax.Array:
+    """Device-resident inverse basis (fetch eagerly, pass into jitted code)."""
+    return _inverse_basis(n_fft)
+
+
+def rdft_matmul(frames: jax.Array, n_fft: int, basis: jax.Array | None = None) -> jax.Array:
     """rfft over the last axis via one GEMM: ``(..., n_fft) -> (..., n_bins)``."""
-    basis = _forward_basis(n_fft)  # (n_fft, 2*n_bins)
+    if basis is None:
+        basis = _forward_basis(n_fft)  # (n_fft, 2*n_bins)
     n_bins = n_fft // 2 + 1
     out = jnp.matmul(frames, basis, precision=MATMUL_PRECISION)
     return jax.lax.complex(out[..., :n_bins], out[..., n_bins:]).astype(COMPLEX_DTYPE)
 
 
-def irdft_matmul(spec: jax.Array, n_fft: int) -> jax.Array:
+def irdft_matmul(spec: jax.Array, n_fft: int, basis: jax.Array | None = None) -> jax.Array:
     """irfft over the last axis via one GEMM: ``(..., n_bins) -> (..., n_fft)``."""
-    basis = _inverse_basis(n_fft)  # (2*n_bins, n_fft)
+    if basis is None:
+        basis = _inverse_basis(n_fft)  # (2*n_bins, n_fft)
     stacked = jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=-1)
     return jnp.matmul(stacked, basis, precision=MATMUL_PRECISION)

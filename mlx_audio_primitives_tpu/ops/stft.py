@@ -33,7 +33,7 @@ from .._config import (
     REAL_DTYPE,
     WINDOW_SUM_EPSILON,
 )
-from ..kernels.dft import irdft_matmul, rdft_matmul
+from ..kernels.dft import forward_basis, inverse_basis, irdft_matmul, rdft_matmul
 from ..utils import dispatch
 from ._frames import frame_signal_batched, num_frames, overlap_add, window_envelope
 from .windows import get_window
@@ -76,6 +76,7 @@ def _get_padded_window(
 def _stft_core(
     y: jax.Array,
     win: jax.Array,
+    basis: jax.Array | None,
     *,
     n_fft: int,
     hop_length: int,
@@ -90,7 +91,7 @@ def _stft_core(
     frames = frame_signal_batched(y, n_fft, hop_length)
     frames = frames * win
     if fft_mode == "matmul":
-        return rdft_matmul(frames, n_fft)
+        return rdft_matmul(frames, n_fft, basis)
     return jnp.fft.rfft(frames, axis=-1)
 
 
@@ -148,14 +149,16 @@ def stft(
         )
 
     win = _get_padded_window(window, win_length, n_fft)
+    fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
     out = _stft_core(
         y,
         win,
+        forward_basis(n_fft) if fft_mode_r == "matmul" else None,
         n_fft=n_fft,
         hop_length=hop_length,
         center=center,
         pad_mode=pad_mode,
-        fft_mode=_resolve_fft_mode(fft_mode, n_fft),
+        fft_mode=fft_mode_r,
     )
     out = jnp.swapaxes(out, 1, 2)  # (B, n_bins, F) — librosa convention
     return out[0] if input_is_1d else out
@@ -168,6 +171,7 @@ def stft(
 def _istft_core(
     S: jax.Array,
     win: jax.Array,
+    basis: jax.Array | None,
     *,
     n_fft: int,
     hop_length: int,
@@ -176,7 +180,7 @@ def _istft_core(
 ) -> jax.Array:
     """(B, F, n_bins) complex -> (B, padded_length) normalized reconstruction."""
     if fft_mode == "matmul":
-        frames = irdft_matmul(S, n_fft)
+        frames = irdft_matmul(S, n_fft, basis)
     else:
         frames = jnp.fft.irfft(S, n=n_fft, axis=-1)
     frames = frames.astype(REAL_DTYPE)
@@ -226,13 +230,15 @@ def istft(
     else:
         padded_length = n_fft + (n_frames - 1) * hop_length
 
+    fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
     y = _istft_core(
         S,
         win,
+        inverse_basis(n_fft) if fft_mode_r == "matmul" else None,
         n_fft=n_fft,
         hop_length=hop_length,
         padded_length=padded_length,
-        fft_mode=_resolve_fft_mode(fft_mode, n_fft),
+        fft_mode=fft_mode_r,
     )
 
     if center:

@@ -67,7 +67,11 @@ class TableCache:
         self.misses += 1
         self._note_profiler(False)
         host = self._host_builder(*args)
-        dev = jax.device_put(np.asarray(host).astype(self.dtype))
+        # ensure_compile_time_eval keeps the device_put concrete even when a
+        # table is first requested inside a jit trace — otherwise we would
+        # cache a tracer and leak it into later traces.
+        with jax.ensure_compile_time_eval():
+            dev = jax.device_put(np.asarray(host).astype(self.dtype))
         if len(self._device_cache) >= self._maxsize and self._order:
             oldest = self._order.pop(0)
             self._device_cache.pop(oldest, None)
