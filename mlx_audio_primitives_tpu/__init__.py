@@ -5,28 +5,66 @@ A ground-up JAX/XLA/Pallas re-design of the audio DSP primitives library
 public surface this package reproduces): STFT/ISTFT, windows, mel & MFCC,
 filterbanks, spectral features, time-domain ops, resampling, Griffin-Lim,
 pitch, and dB conversions — all on-device, jit-compiled, and batched.
+
+Core Operations
+---------------
+stft / istft / magnitude / phase : STFT family
+get_window : window functions
+mel_filterbank / melspectrogram / hz_to_mel / mel_to_hz : mel scale
+linear_filterbank / bark_filterbank / hz_to_bark / bark_to_hz : filterbanks
+spectral_{centroid,bandwidth,rolloff,flatness,contrast} / zero_crossing_rate
+mfcc / delta / dct : cepstral features
+frame / rms / preemphasis / deemphasis : time-domain
+resample / resample_poly : sample-rate conversion
+griffinlim : phase reconstruction
+autocorrelation / pitch_detect_acf / periodicity : pitch
+power_to_db / db_to_power / amplitude_to_db / db_to_amplitude : dB
+check_nola : invertibility check
 """
 
 from __future__ import annotations
 
 __version__ = "0.1.0"
 
-from .ops.convert import (
+from .ops import (
     amplitude_to_db,
-    db_to_amplitude,
-    db_to_power,
-    power_to_db,
-)
-from .ops.filterbanks import (
+    autocorrelation,
     bark_filterbank,
     bark_to_hz,
+    check_nola,
+    dct,
+    db_to_amplitude,
+    db_to_power,
+    deemphasis,
+    delta,
+    frame,
+    get_window,
+    griffinlim,
     hz_to_bark,
+    hz_to_mel,
+    istft,
     linear_filterbank,
+    magnitude,
+    mel_filterbank,
+    mel_to_hz,
+    melspectrogram,
+    mfcc,
+    periodicity,
+    phase,
+    pitch_detect_acf,
+    power_to_db,
+    preemphasis,
+    resample,
+    resample_poly,
+    rms,
+    spectral_bandwidth,
+    spectral_centroid,
+    spectral_contrast,
+    spectral_flatness,
+    spectral_rolloff,
+    stft,
+    zero_crossing_rate,
 )
-from .ops.mel import hz_to_mel, mel_filterbank, mel_to_hz, melspectrogram
-from .ops.mfcc import dct, delta, mfcc
-from .ops.stft import check_nola, istft, magnitude, phase, stft
-from .ops.windows import get_window
 from .utils.dispatch import HAS_PALLAS_TPU as _HAS_PALLAS_TPU  # noqa: F401
 
 __all__ = [
@@ -49,10 +87,31 @@ __all__ = [
     "bark_filterbank",
     "hz_to_bark",
     "bark_to_hz",
+    # Spectral features
+    "spectral_centroid",
+    "spectral_bandwidth",
+    "spectral_rolloff",
+    "spectral_flatness",
+    "spectral_contrast",
+    "zero_crossing_rate",
     # MFCC
     "mfcc",
     "delta",
     "dct",
+    # Time-domain
+    "frame",
+    "rms",
+    "preemphasis",
+    "deemphasis",
+    # Resampling
+    "resample",
+    "resample_poly",
+    # Phase reconstruction
+    "griffinlim",
+    # Pitch/periodicity
+    "autocorrelation",
+    "pitch_detect_acf",
+    "periodicity",
     # Conversions
     "power_to_db",
     "db_to_power",

@@ -1,13 +1,31 @@
 """Core and composite DSP ops (librosa-compatible)."""
 
 from .convert import amplitude_to_db, db_to_amplitude, db_to_power, power_to_db
+from .features import (
+    spectral_bandwidth,
+    spectral_centroid,
+    spectral_contrast,
+    spectral_flatness,
+    spectral_rolloff,
+    zero_crossing_rate,
+)
 from .filterbanks import bark_filterbank, bark_to_hz, hz_to_bark, linear_filterbank
+from .framing import deemphasis, frame, preemphasis, rms
+from .griffinlim import griffinlim
 from .mel import hz_to_mel, mel_filterbank, mel_to_hz, melspectrogram
 from .mfcc import dct, delta, mfcc
+from .pitch import autocorrelation, periodicity, pitch_detect_acf
+from .resample import resample, resample_poly
 from .stft import check_nola, istft, magnitude, phase, stft
 from .windows import get_window
 
 __all__ = [
+    "stft",
+    "istft",
+    "magnitude",
+    "phase",
+    "check_nola",
+    "get_window",
     "mel_filterbank",
     "melspectrogram",
     "hz_to_mel",
@@ -16,15 +34,25 @@ __all__ = [
     "bark_filterbank",
     "hz_to_bark",
     "bark_to_hz",
+    "spectral_centroid",
+    "spectral_bandwidth",
+    "spectral_rolloff",
+    "spectral_flatness",
+    "spectral_contrast",
+    "zero_crossing_rate",
     "mfcc",
     "delta",
     "dct",
-    "stft",
-    "istft",
-    "magnitude",
-    "phase",
-    "check_nola",
-    "get_window",
+    "frame",
+    "rms",
+    "preemphasis",
+    "deemphasis",
+    "resample",
+    "resample_poly",
+    "griffinlim",
+    "autocorrelation",
+    "pitch_detect_acf",
+    "periodicity",
     "power_to_db",
     "db_to_power",
     "amplitude_to_db",

@@ -1,0 +1,308 @@
+"""Spectral features: centroid, bandwidth, rolloff, flatness, contrast, ZCR.
+
+Parity: `mlx_audio_primitives/features.py:24-722`.
+
+TPU-native improvements over the reference:
+
+* ``spectral_rolloff`` — the reference loops ``np.searchsorted`` per frame on
+  the host (`features.py:242-271`) or calls a C++ kernel. Here it's a pure
+  XLA cumsum -> first-above-threshold argmax, fully batched (the C++ kernel's
+  own trick, `csrc/primitives/spectral.cpp:125-207`, is the same formulation).
+* ``spectral_contrast`` — the reference is a pure-NumPy host port of librosa
+  (`features.py:445-592`). Here the octave-band loop is unrolled at trace
+  time (band edges are static given sr/n_fft) and each band's quantile
+  statistics use ``jnp.sort`` on device; identical algorithm, zero host work.
+* ``zero_crossing_rate`` — sign handling uses ``signbit`` (librosa's exact
+  definition, reference `features.py:695-713`) while staying on device.
+
+``use_cpp``/``use_mlx`` keyword arguments are accepted for signature
+compatibility with the reference and ignored (there is a single XLA path).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._config import REAL_DTYPE
+from ..kernels.precise_math import exp10, log10
+from ..utils.validation import validate_positive, validate_range
+from ._frames import frame_signal_batched
+from .stft import magnitude, stft
+
+ArrayLike = Any
+
+_LN10 = float(np.log(10.0))
+
+
+def _get_frequencies(sr: int, n_fft: int) -> jax.Array:
+    return jnp.linspace(0.0, sr / 2.0, n_fft // 2 + 1, dtype=REAL_DTYPE)
+
+
+def _compute_spectrogram(
+    y, S, n_fft, hop_length, win_length, window, center, pad_mode, power=1.0
+) -> jax.Array:
+    """S-or-y input protocol (librosa style; reference `features.py:24-54`)."""
+    if S is not None:
+        return jnp.asarray(S, dtype=REAL_DTYPE)
+    if y is None:
+        raise ValueError("Either y (audio) or S (spectrogram) must be provided")
+    S = magnitude(
+        stft(
+            y,
+            n_fft=n_fft,
+            hop_length=hop_length,
+            win_length=win_length,
+            window=window,
+            center=center,
+            pad_mode=pad_mode,
+        )
+    )
+    if power != 1.0:
+        S = jnp.power(S, power)
+    return S
+
+
+def spectral_centroid(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    S: ArrayLike | None = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    freq: ArrayLike | None = None,
+) -> jax.Array:
+    """Spectral centroid ``sum(f*S)/sum(S)`` per frame, shape ``(..., 1, F)``.
+
+    Reference parity: `features.py:57-134`.
+    """
+    S = _compute_spectrogram(y, S, n_fft, hop_length, win_length, window, center, pad_mode)
+    freq = _get_frequencies(sr, n_fft) if freq is None else jnp.asarray(freq, REAL_DTYPE)
+    is_batched = S.ndim == 3
+    if not is_batched:
+        S = S[None]
+    weighted = jnp.sum(freq[:, None] * S, axis=1, keepdims=True)
+    total = jnp.sum(S, axis=1, keepdims=True) + 1e-10
+    out = weighted / total
+    return out if is_batched else out[0]
+
+
+def spectral_bandwidth(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    S: ArrayLike | None = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    freq: ArrayLike | None = None,
+    centroid: ArrayLike | None = None,
+    p: float = 2.0,
+    norm: bool = True,
+) -> jax.Array:
+    """Spectral bandwidth ``(sum(S*|f-c|^p)/sum(S))^(1/p)`` per frame.
+
+    Reference parity: `features.py:137-239` (including the
+    autocompute-centroid sentinel).
+    """
+    S = _compute_spectrogram(y, S, n_fft, hop_length, win_length, window, center, pad_mode)
+    freq = _get_frequencies(sr, n_fft) if freq is None else jnp.asarray(freq, REAL_DTYPE)
+    is_batched = S.ndim == 3
+    if not is_batched:
+        S = S[None]
+    if centroid is None:
+        centroid = spectral_centroid(S=S, sr=sr, n_fft=n_fft, freq=freq)
+    else:
+        centroid = jnp.asarray(centroid, REAL_DTYPE)
+    if centroid.ndim == 2:
+        centroid = centroid[None]
+    deviation = jnp.abs(freq[None, :, None] - centroid)
+    weighted = jnp.sum(S * jnp.power(deviation, p), axis=1, keepdims=True)
+    if norm:
+        weighted = weighted / (jnp.sum(S, axis=1, keepdims=True) + 1e-10)
+    out = jnp.power(weighted, 1.0 / p)
+    return out if is_batched else out[0]
+
+
+def spectral_rolloff(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    S: ArrayLike | None = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    freq: ArrayLike | None = None,
+    roll_percent: float = 0.85,
+    use_cpp: bool = True,  # compatibility no-op (reference `features.py:318`)
+) -> jax.Array:
+    """Rolloff frequency: first bin where cumulative energy reaches
+    ``roll_percent`` of the total. Reference parity: `features.py:274-360`.
+    """
+    del use_cpp
+    validate_range(roll_percent, "roll_percent", low=0.0, high=1.0)
+    S = _compute_spectrogram(y, S, n_fft, hop_length, win_length, window, center, pad_mode)
+    freq = _get_frequencies(sr, n_fft) if freq is None else jnp.asarray(freq, REAL_DTYPE)
+    is_batched = S.ndim == 3
+    if not is_batched:
+        S = S[None]
+    cumsum = jnp.cumsum(S, axis=1)
+    threshold = roll_percent * cumsum[:, -1:, :]
+    # searchsorted(cumsum, t) == index of first bin with cumsum >= t;
+    # argmax returns the first True of the mask.
+    mask = cumsum >= threshold
+    idx = jnp.argmax(mask, axis=1)  # (B, F)
+    idx = jnp.minimum(idx, S.shape[1] - 1)
+    out = freq[idx][:, None, :]
+    return out if is_batched else out[0]
+
+
+def spectral_flatness(
+    y: ArrayLike | None = None,
+    S: ArrayLike | None = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    power: float = 2.0,
+    amin: float = 1e-10,
+) -> jax.Array:
+    """Spectral flatness (Wiener entropy): geometric / arithmetic mean.
+
+    Reference parity: `features.py:363-442`. Uses the precise log10/exp10
+    kernels so the geometric mean keeps ~1e-6 accuracy.
+    """
+    S = _compute_spectrogram(
+        y, S, n_fft, hop_length, win_length, window, center, pad_mode, power
+    )
+    is_batched = S.ndim == 3
+    if not is_batched:
+        S = S[None]
+    S = jnp.maximum(S, amin)
+    gmean = exp10(jnp.mean(log10(S), axis=1, keepdims=True))
+    amean = jnp.mean(S, axis=1, keepdims=True)
+    out = gmean / (amean + 1e-10)
+    return out if is_batched else out[0]
+
+
+def spectral_contrast(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    S: ArrayLike | None = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    freq: ArrayLike | None = None,
+    fmin: float = 200.0,
+    n_bands: int = 6,
+    quantile: float = 0.02,
+    linear: bool = False,
+) -> jax.Array:
+    """Octave-band spectral contrast (peak - valley quantile means).
+
+    librosa's exact algorithm (reference `features.py:445-592`): octave band
+    edges ``[0, fmin, 2*fmin, ...]``, neighbor-bin extension at the lower
+    edge, Nyquist extension for the last band, ``n_quantile`` computed before
+    dropping the shared upper bin. Band membership is static, so the band
+    loop unrolls at trace time; per-band sorting runs on device.
+    """
+    validate_positive(n_bands, "n_bands")
+    validate_range(quantile, "quantile", low=0.0, high=1.0)
+    S = _compute_spectrogram(y, S, n_fft, hop_length, win_length, window, center, pad_mode)
+    is_batched = S.ndim == 3
+    if not is_batched:
+        S = S[None]
+
+    if freq is None:
+        freq_np = np.linspace(0, sr / 2.0, n_fft // 2 + 1)
+    else:
+        freq_np = np.asarray(freq, dtype=np.float64)
+
+    octa = np.zeros(n_bands + 2)
+    octa[1:] = fmin * (2.0 ** np.arange(0, n_bands + 1))
+
+    valleys, peaks = [], []
+    B, n_bins, F = S.shape
+    zeros = jnp.zeros((B, 1, F), dtype=S.dtype)
+    for k, (f_low, f_high) in enumerate(zip(octa[:-1], octa[1:])):
+        band = np.logical_and(freq_np >= f_low, freq_np <= f_high)
+        idx = np.flatnonzero(band)
+        if len(idx) == 0:
+            valleys.append(zeros)
+            peaks.append(zeros)
+            continue
+        if k > 0 and idx[0] > 0:
+            band[idx[0] - 1] = True
+        if k == n_bands and idx[-1] + 1 < len(band):
+            band[idx[-1] + 1 :] = True
+        n_quantile = int(np.maximum(np.rint(quantile * np.sum(band)), 1))
+        sel = np.flatnonzero(band)
+        sub = S[:, sel[0] : sel[-1] + 1, :]  # bands are contiguous bins
+        if k < n_bands and sub.shape[1] > 1:
+            sub = sub[:, :-1, :]
+        sorted_sub = jnp.sort(sub, axis=1)
+        valleys.append(jnp.mean(sorted_sub[:, :n_quantile, :], axis=1, keepdims=True))
+        peaks.append(jnp.mean(sorted_sub[:, -n_quantile:, :], axis=1, keepdims=True))
+
+    valley = jnp.concatenate(valleys, axis=1)
+    peak = jnp.concatenate(peaks, axis=1)
+
+    if linear:
+        out = peak - valley
+    else:
+        peak_db = 10.0 * log10(jnp.maximum(peak, 1e-10))
+        valley_db = 10.0 * log10(jnp.maximum(valley, 1e-10))
+        out = peak_db - valley_db
+    return out if is_batched else out[0]
+
+
+def zero_crossing_rate(
+    y: ArrayLike,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+    center: bool = True,
+    pad_mode: str = "edge",
+    use_mlx: bool = True,  # compatibility no-op (reference `features.py:631`)
+) -> jax.Array:
+    """Zero-crossing rate per frame, shape ``(..., 1, F)``.
+
+    librosa semantics: signbit sign changes, first frame position counts no
+    crossing, default edge padding (reference `features.py:625-722`).
+    """
+    del use_mlx
+    validate_positive(frame_length, "frame_length")
+    validate_positive(hop_length, "hop_length")
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    input_is_1d = y.ndim == 1
+    if input_is_1d:
+        y = y[None]
+    if center:
+        pad = frame_length // 2
+        if pad_mode not in ("constant", "edge"):
+            raise ValueError(
+                f"Unknown pad_mode: '{pad_mode}'. Supported: 'constant', 'edge'"
+            )
+        y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+    frames = frame_signal_batched(y, frame_length, hop_length)
+    sign = jnp.signbit(frames)
+    crossings = (sign[..., 1:] != sign[..., :-1]).astype(REAL_DTYPE)
+    # librosa pads the first position with "no crossing": mean over
+    # frame_length with frame_length-1 contributing terms.
+    zcr = jnp.sum(crossings, axis=-1, keepdims=True) / frame_length
+    zcr = jnp.swapaxes(zcr, 1, 2)
+    return zcr[0] if input_is_1d else zcr

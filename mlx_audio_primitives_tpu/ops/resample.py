@@ -1,0 +1,225 @@
+"""Resampling: FFT-based, linear, and polyphase.
+
+Parity: `mlx_audio_primitives/resample.py:21-308`.
+
+TPU-native improvement — the reference escapes to host scipy for both the
+FFT method (`resample.py:97-123`) and polyphase (`resample.py:276-281`).
+Here both run on device:
+
+* ``res_type='fft'`` implements scipy.signal.resample's spectrum surgery
+  (copy shared bins, Nyquist-bin halving/doubling, scale by num/Nx) with
+  ``jnp.fft`` under jit.
+* ``resample_poly`` *owns* the polyphase pipeline: the kaiser-window FIR is
+  designed on the host exactly as scipy does (firwin, cached table) and
+  ``upfirdn`` becomes one ``lax.conv_general_dilated`` with
+  ``lhs_dilation=up`` and ``window_strides=down`` — XLA's native polyphase
+  formulation, which maps to the MXU as an implicit small GEMM.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._config import REAL_DTYPE
+from ..utils.cache import table_cache
+from ..utils.validation import validate_positive
+from ._frames import frame_signal_batched
+
+ArrayLike = Any
+
+
+@partial(jax.jit, static_argnames=("target_length",))
+def _resample_fft_core(y: jax.Array, *, target_length: int) -> jax.Array:
+    """scipy.signal.resample algorithm for real input, on device."""
+    B, n = y.shape
+    num = target_length
+    X = jnp.fft.rfft(y, axis=-1)
+    N = min(num, n)
+    nyq = N // 2 + 1
+    out_bins = num // 2 + 1
+    Y = X[:, :nyq]
+    if N % 2 == 0:
+        if num < n:
+            # downsampling: fold energy into the shared Nyquist bin
+            Y = Y.at[:, N // 2].multiply(2.0)
+        elif num > n:
+            # upsampling: split the original Nyquist bin
+            Y = Y.at[:, N // 2].multiply(0.5)
+    if out_bins > nyq:
+        Y = jnp.pad(Y, ((0, 0), (0, out_bins - nyq)))
+    out = jnp.fft.irfft(Y, n=num, axis=-1) * (num / n)
+    return out.astype(REAL_DTYPE)
+
+
+@partial(jax.jit, static_argnames=("target_length",))
+def _resample_linear_core(y: jax.Array, *, target_length: int) -> jax.Array:
+    B, n = y.shape
+    # Interpolation grid is static given (n, target_length): build it in f64
+    # on the host at trace time so index selection is exact.
+    t = np.linspace(0.0, n - 1.0, target_length)
+    idx_low = np.floor(t).astype(np.int32)
+    idx_high = np.minimum(idx_low + 1, n - 1)
+    frac = jnp.asarray((t - idx_low).astype(np.float32))
+    return (1.0 - frac) * y[:, idx_low] + frac * y[:, idx_high]
+
+
+def resample(
+    y: ArrayLike,
+    orig_sr: int,
+    target_sr: int,
+    res_type: str = "fft",
+    fix: bool = True,
+    scale: bool = False,
+    axis: int = -1,
+) -> jax.Array:
+    """Resample audio between sample rates ('fft' bandlimited or 'linear').
+
+    Reference parity: `mlx_audio_primitives/resample.py:21-212` (librosa-style
+    fix/scale semantics).
+    """
+    validate_positive(orig_sr, "orig_sr")
+    validate_positive(target_sr, "target_sr")
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    if orig_sr == target_sr:
+        return y
+    if res_type not in ("fft", "linear"):
+        raise ValueError(f"Unknown res_type: '{res_type}'. Supported: 'fft', 'linear'")
+
+    if axis != -1:
+        y = jnp.moveaxis(y, axis, -1)
+    input_is_1d = y.ndim == 1
+    if input_is_1d:
+        y = y[None]
+
+    n = y.shape[-1]
+    ratio = target_sr / orig_sr
+    target_length = int(round(n * ratio)) if fix else int(math.ceil(n * ratio))
+
+    if target_length == n:
+        out = y
+    elif res_type == "fft":
+        out = _resample_fft_core(y, target_length=target_length)
+    else:
+        out = _resample_linear_core(y, target_length=target_length)
+    if scale and target_length != n:
+        out = out * ratio  # exact sr ratio, matching reference `resample.py:130`
+
+    if input_is_1d:
+        out = out[0]
+    if axis != -1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
+def _polyphase_geometry(up: int, down: int) -> tuple[int, int, int, int]:
+    """Static geometry shared by kernel builder and core: (Lh, Lpmax, W, m0)."""
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    n_pre_pad = down - half_len % down
+    Lh = n_pre_pad + 2 * half_len + 1
+    Lpmax = -(-Lh // up)
+    W = down + Lpmax - 1
+    m0 = (half_len + n_pre_pad) // down
+    return Lh, Lpmax, W, m0
+
+
+@table_cache("polyphase_kernel", maxsize=32)
+def _polyphase_kernel(up: int, down: int) -> np.ndarray:
+    """Packed polyphase kernel matrix ``K^T (W, up)``.
+
+    scipy.signal.resample_poly's default anti-aliasing FIR (kaiser beta=5,
+    gain ``up``) decomposed into ``up`` phases: output ``m = up*s + p`` is
+    ``sum_t h[up*t + p] * x[s*down + c_p - t]`` with ``c_p = (p*down)//up``,
+    so every group of ``up`` consecutive outputs is one row of a
+    ``(frames @ K^T)`` GEMM over hop-``down`` frames of width ``W``.
+    """
+    from scipy.signal import firwin
+
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    n_pre_pad = down - half_len % down
+    h = firwin(2 * half_len + 1, 1.0 / max_rate, window=("kaiser", 5.0)) * up
+    h_full = np.concatenate([np.zeros(n_pre_pad), h])
+    Lh, Lpmax, W, _ = _polyphase_geometry(up, down)
+    K = np.zeros((up, W), dtype=np.float64)
+    for p in range(up):
+        # output m = up*s + p uses FIR phase (m*down) % up = (p*down) % up
+        hp = h_full[((p * down) % up) :: up]
+        c_p = (p * down) // up
+        for t_idx in range(len(hp)):
+            K[p, c_p + Lpmax - 1 - t_idx] = hp[t_idx]
+    return K.T.copy()
+
+
+@partial(jax.jit, static_argnames=("up", "down", "n_out", "m0", "Lpmax", "W"))
+def _polyphase_core(
+    y: jax.Array, Kt: jax.Array, *, up: int, down: int, n_out: int,
+    m0: int, Lpmax: int, W: int,
+) -> jax.Array:
+    """Polyphase resample = frame(hop=down) + one MXU GEMM."""
+    B, n = y.shape
+    S = -(-(m0 + n_out) // up)
+    left = Lpmax - 1
+    need = (S - 1) * down + W
+    right = max(0, need - left - n)
+    yp = jnp.pad(y, ((0, 0), (left, right)))
+    frames = frame_signal_batched(yp, W, down)
+    if frames.shape[1] > S:
+        frames = frames[:, :S, :]
+    outg = jnp.matmul(frames, Kt, precision=jax.lax.Precision.HIGHEST)  # (B,S,up)
+    out = outg.reshape(B, S * up)
+    return jax.lax.slice_in_dim(out, m0, m0 + n_out, axis=1)
+
+
+def resample_poly(
+    y: ArrayLike,
+    up: int,
+    down: int,
+    axis: int = -1,
+    padtype: str = "constant",
+) -> jax.Array:
+    """Polyphase resampling (scipy.signal.resample_poly semantics), on device.
+
+    Reference parity: `mlx_audio_primitives/resample.py:212-308`; unlike the
+    reference this owns the polyphase pipeline instead of calling scipy.
+    Currently supports ``padtype='constant'`` (scipy's default).
+    """
+    validate_positive(up, "up")
+    validate_positive(down, "down")
+    if padtype != "constant":
+        raise NotImplementedError(
+            f"padtype='{padtype}' not supported; only 'constant' (scipy default)"
+        )
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+    if up == 1 and down == 1:
+        return y
+
+    if axis != -1:
+        y = jnp.moveaxis(y, axis, -1)
+    input_is_1d = y.ndim == 1
+    if input_is_1d:
+        y = y[None]
+
+    n_in = y.shape[-1]
+    n_out = n_in * up
+    n_out = n_out // down + bool(n_out % down)
+
+    _, Lpmax, W, m0 = _polyphase_geometry(up, down)
+    Kt = _polyphase_kernel(up, down)
+    out = _polyphase_core(
+        y, Kt, up=up, down=down, n_out=n_out, m0=m0, Lpmax=Lpmax, W=W
+    )
+
+    if input_is_1d:
+        out = out[0]
+    if axis != -1:
+        out = jnp.moveaxis(out, -1, axis)
+    return out

@@ -1,0 +1,129 @@
+"""Pitch/autocorrelation tests (port of reference `tests/test_pitch.py`)."""
+
+import numpy as np
+import pytest
+
+from mlx_audio_primitives_tpu import autocorrelation, periodicity, pitch_detect_acf
+
+
+def _acf_oracle(y, max_lag=None, normalize=True, center=True):
+    y = y.astype(np.float64)
+    n = len(y)
+    max_lag = n if max_lag is None else min(max_lag, n)
+    if center:
+        y = y - y.mean()
+    nf = 1 << int(np.ceil(np.log2(2 * n - 1)))
+    Y = np.fft.rfft(y, n=nf)
+    r = np.fft.irfft(Y * np.conj(Y), n=nf)[:max_lag]
+    if normalize:
+        r = r / max(r[0], 1e-10)
+    return r
+
+
+class TestAutocorrelation:
+    def test_matches_oracle(self, random_signal):
+        ours = np.asarray(autocorrelation(random_signal, max_lag=500))
+        ref = _acf_oracle(random_signal, max_lag=500)
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+    def test_r0_is_one(self, random_signal):
+        r = np.asarray(autocorrelation(random_signal, max_lag=100))
+        np.testing.assert_allclose(r[0], 1.0, atol=1e-5)
+
+    def test_unnormalized(self, short_signal):
+        ours = np.asarray(autocorrelation(short_signal, max_lag=64, normalize=False))
+        ref = _acf_oracle(short_signal, max_lag=64, normalize=False)
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-2)
+
+    def test_no_center(self, short_signal):
+        ours = np.asarray(autocorrelation(short_signal, max_lag=64, center=False))
+        ref = _acf_oracle(short_signal, max_lag=64, center=False)
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+    def test_sine_peak_at_period(self, sine_signal):
+        r = np.asarray(autocorrelation(sine_signal, max_lag=200))
+        period = 22050 / 440  # ~50.1
+        peak = r[30:].argmax() + 30
+        assert abs(peak - period) <= 1
+
+    def test_batched(self, batch_signals):
+        r = np.asarray(autocorrelation(batch_signals, max_lag=100))
+        assert r.shape == (4, 100)
+        single = np.asarray(autocorrelation(batch_signals[2], max_lag=100))
+        np.testing.assert_allclose(r[2], single, atol=1e-5)
+
+    def test_default_full_lag(self, short_signal):
+        assert autocorrelation(short_signal).shape == (1024,)
+
+
+class TestPitchDetect:
+    def test_sine_440(self, sine_signal):
+        f0, voiced = pitch_detect_acf(sine_signal, sr=22050, fmin=80, fmax=1000)
+        f0, voiced = np.asarray(f0), np.asarray(voiced)
+        assert voiced.mean() > 0.9
+        detected = np.median(f0[voiced])
+        assert abs(detected - 440.0) < 15.0
+
+    def test_sine_220(self):
+        sr = 22050
+        t = np.arange(sr) / sr
+        y = np.sin(2 * np.pi * 220.0 * t).astype(np.float32)
+        f0, voiced = pitch_detect_acf(y, sr=sr, fmin=80, fmax=1000)
+        f0 = np.asarray(f0)[np.asarray(voiced)]
+        assert abs(np.median(f0) - 220.0) < 8.0
+
+    def test_silence_unvoiced(self):
+        y = np.zeros(22050, np.float32)
+        f0, voiced = pitch_detect_acf(y)
+        assert not np.asarray(voiced).any()
+        assert (np.asarray(f0) == 0).all()
+
+    def test_noise_mostly_unvoiced_or_low_conf(self, random_signal):
+        _, voiced = pitch_detect_acf(random_signal, threshold=0.6)
+        assert np.asarray(voiced).mean() < 0.3
+
+    def test_batched(self, sine_signal):
+        y = np.stack([sine_signal, sine_signal])
+        f0, voiced = pitch_detect_acf(y, fmin=80, fmax=1000)
+        assert np.asarray(f0).shape[0] == 2
+        np.testing.assert_allclose(np.asarray(f0)[0], np.asarray(f0)[1])
+
+    def test_validation(self, sine_signal):
+        with pytest.raises(ValueError):
+            pitch_detect_acf(sine_signal, fmin=1000, fmax=100)
+        with pytest.raises(ValueError):
+            pitch_detect_acf(sine_signal, frame_length=0)
+
+    def test_first_peak_not_subharmonic(self):
+        """A 440 Hz tone must not be detected at 220 (octave error)."""
+        sr = 22050
+        t = np.arange(sr) / sr
+        y = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+        f0, voiced = pitch_detect_acf(y, sr=sr, fmin=50, fmax=2000)
+        med = np.median(np.asarray(f0)[np.asarray(voiced)])
+        assert med > 330.0  # would be ~220 on octave error
+
+
+class TestPeriodicity:
+    def test_sine_high_noise_low(self, sine_signal, random_signal):
+        ps = np.median(np.asarray(periodicity(sine_signal)))
+        pn = np.median(np.asarray(periodicity(random_signal)))
+        assert ps > 0.8
+        assert pn < 0.5
+        assert ps > 2 * pn
+
+    def test_shape(self, sine_signal):
+        p = periodicity(sine_signal)
+        assert p.shape[0] == 1
+
+    def test_silence_zero(self):
+        p = np.asarray(periodicity(np.zeros(22050, np.float32)))
+        np.testing.assert_allclose(p, 0.0)
+
+    def test_range(self, sine_signal):
+        p = np.asarray(periodicity(sine_signal))
+        assert (p >= -1e-5).all() and (p <= 1.0 + 1e-4).all()
+
+    def test_batched(self, batch_signals):
+        p = periodicity(batch_signals)
+        assert p.shape[0] == 4 and p.shape[1] == 1

@@ -1,0 +1,109 @@
+"""Resampling parity vs scipy (port of reference `tests/test_resample.py`)."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from mlx_audio_primitives_tpu import resample, resample_poly
+
+
+class TestResampleFFT:
+    @pytest.mark.parametrize("orig,target", [(44100, 22050), (22050, 44100),
+                                             (44100, 16000), (16000, 22050)])
+    def test_matches_scipy(self, orig, target):
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal(8000).astype(np.float32)
+        ours = np.asarray(resample(y, orig, target))
+        n_out = int(round(len(y) * target / orig))
+        ref = scipy.signal.resample(y.astype(np.float64), n_out)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_same_rate_identity(self, random_signal):
+        out = np.asarray(resample(random_signal, 22050, 22050))
+        np.testing.assert_array_equal(out, random_signal)
+
+    def test_fix_false_uses_ceil(self):
+        y = np.zeros(1001, np.float32)
+        out = resample(y, 3, 2, fix=False)
+        assert out.shape[0] == int(np.ceil(1001 * 2 / 3))
+
+    def test_scale(self):
+        rng = np.random.default_rng(1)
+        y = rng.standard_normal(4000).astype(np.float32)
+        a = np.asarray(resample(y, 44100, 22050, scale=True))
+        b = np.asarray(resample(y, 44100, 22050, scale=False))
+        np.testing.assert_allclose(a, b * 0.5, rtol=1e-5)
+
+    def test_batched(self):
+        rng = np.random.default_rng(2)
+        y = rng.standard_normal((3, 4000)).astype(np.float32)
+        out = np.asarray(resample(y, 44100, 22050))
+        assert out.shape == (3, 2000)
+        single = np.asarray(resample(y[0], 44100, 22050))
+        np.testing.assert_allclose(out[0], single, atol=1e-5)
+
+    def test_sine_preserved(self):
+        sr, f0 = 44100, 1000.0
+        t = np.arange(sr) / sr
+        y = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        out = np.asarray(resample(y, sr, 22050))
+        t2 = np.arange(len(out)) / 22050
+        expected = np.sin(2 * np.pi * f0 * t2)
+        # interior samples match the ideal bandlimited result
+        np.testing.assert_allclose(out[200:-200], expected[200:-200], atol=1e-2)
+
+    def test_linear_mode(self):
+        rng = np.random.default_rng(3)
+        y = rng.standard_normal(1000).astype(np.float32)
+        ours = np.asarray(resample(y, 4, 3, res_type="linear"))
+        t = np.linspace(0, 999, 750)
+        lo = np.floor(t).astype(int)
+        hi = np.minimum(lo + 1, 999)
+        ref = (1 - (t - lo)) * y[lo] + (t - lo) * y[hi]
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_unknown_restype(self, random_signal):
+        with pytest.raises(ValueError):
+            resample(random_signal, 2, 1, res_type="sinc")
+
+    def test_validation(self, random_signal):
+        with pytest.raises(ValueError):
+            resample(random_signal, 0, 22050)
+
+
+class TestResamplePoly:
+    @pytest.mark.parametrize("up,down", [(1, 2), (2, 1), (3, 2), (160, 441)])
+    def test_matches_scipy(self, up, down):
+        rng = np.random.default_rng(4)
+        y = rng.standard_normal(5000).astype(np.float32)
+        ours = np.asarray(resample_poly(y, up, down))
+        ref = scipy.signal.resample_poly(y.astype(np.float64), up, down)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_44k_to_16k_headline(self):
+        """Driver headline config: 44.1 kHz -> 16 kHz polyphase, batched."""
+        rng = np.random.default_rng(5)
+        y = rng.standard_normal((4, 44100)).astype(np.float32)
+        ours = np.asarray(resample_poly(y, 160, 441))
+        ref = scipy.signal.resample_poly(y.astype(np.float64), 160, 441, axis=-1)
+        assert ours.shape == ref.shape == (4, 16000)
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_gcd_simplification(self):
+        rng = np.random.default_rng(6)
+        y = rng.standard_normal(3000).astype(np.float32)
+        a = np.asarray(resample_poly(y, 4, 2))
+        b = np.asarray(resample_poly(y, 2, 1))
+        np.testing.assert_array_equal(a, b)
+
+    def test_identity(self, random_signal):
+        out = np.asarray(resample_poly(random_signal, 7, 7))
+        np.testing.assert_array_equal(out, random_signal)
+
+    def test_validation(self, random_signal):
+        with pytest.raises(ValueError):
+            resample_poly(random_signal, 0, 2)
+        with pytest.raises(NotImplementedError):
+            resample_poly(random_signal, 2, 1, padtype="mean")
