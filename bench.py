@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched mel-spectrogram throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": frames/sec, "unit": "frames/s", "vs_baseline": x}
+
+vs_baseline = speedup over a torch-CPU implementation of the identical
+pipeline (torch.stft -> |.|^2 -> mel matmul -> power_to_db), the stand-in for
+the driver's torchaudio-CPU baseline (torchaudio is not installed in this
+image; this is the same compute torchaudio.transforms.MelSpectrogram does).
+Config per BASELINE.md "Measurement configs": batch-64 x 1 s @ 22.05 kHz,
+n_fft=2048, hop=512, n_mels=128, power=2, + power_to_db.
+
+Also verifies the ISTFT round-trip max-error target (<= 1e-5) on a 30 s clip
+and includes it as an auxiliary field.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+SR = 22050
+N_FFT = 2048
+HOP = 512
+N_MELS = 128
+BATCH = 64
+WARMUP = 3
+RUNS = 20
+
+
+def _median_time(fn, runs=RUNS, warmup=WARMUP) -> float:
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_ours(y: np.ndarray) -> float:
+    import jax
+
+    from mlx_audio_primitives_tpu import melspectrogram, power_to_db
+
+    yd = jax.device_put(jax.numpy.asarray(y))
+
+    def run():
+        out = power_to_db(melspectrogram(yd, sr=SR, n_fft=N_FFT,
+                                         hop_length=HOP, n_mels=N_MELS))
+        out.block_until_ready()
+
+    return _median_time(run)
+
+
+def bench_torch_cpu(y: np.ndarray) -> float:
+    import torch
+
+    from mlx_audio_primitives_tpu.ops.mel import _mel_filterbank_table
+
+    yt = torch.from_numpy(y)
+    window = torch.hann_window(N_FFT, periodic=True)
+    fb = torch.from_numpy(
+        _mel_filterbank_table.host(SR, N_FFT, N_MELS, 0.0, SR / 2.0, False, "slaney")
+        .astype(np.float32)
+    )
+
+    def run():
+        spec = torch.stft(
+            yt, n_fft=N_FFT, hop_length=HOP, window=window, center=True,
+            pad_mode="constant", return_complex=True,
+        )
+        power = spec.real**2 + spec.imag**2
+        mel = torch.matmul(fb, power)
+        db = 10.0 * torch.log10(torch.clamp(mel, min=1e-10))
+        db = torch.maximum(db, db.max() - 80.0)
+        return db
+
+    return _median_time(run, runs=5, warmup=1)
+
+
+def roundtrip_error() -> float:
+    import jax
+
+    from mlx_audio_primitives_tpu import istft, stft
+
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal(30 * SR).astype(np.float32)
+    S = stft(y, n_fft=N_FFT, hop_length=HOP)
+    rec = istft(S, hop_length=HOP, length=len(y))
+    return float(jax.numpy.abs(rec - jax.numpy.asarray(y)).max())
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((BATCH, SR)).astype(np.float32)
+    n_frames = 1 + SR // HOP
+
+    t_ours = bench_ours(y)
+    t_torch = bench_torch_cpu(y)
+    frames_per_sec = BATCH * n_frames / t_ours
+    err = roundtrip_error()
+
+    import jax
+
+    print(
+        json.dumps(
+            {
+                "metric": "batched mel-spectrogram frames/sec/chip (n_fft=2048)",
+                "value": round(frames_per_sec, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(t_torch / t_ours, 2),
+                "istft_roundtrip_max_err": err,
+                "ours_ms": round(t_ours * 1e3, 3),
+                "torch_cpu_ms": round(t_torch * 1e3, 3),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Flagship composed pipelines.
+
+The reference has no model zoo — its "models" are the composed DSP pipelines
+(melspectrogram -> dB -> MFCC, SURVEY.md §3.3). This module packages those as
+reusable callables with pre-resolved tables (window / filterbank / DFT basis)
+so repeated calls hit one cached XLA executable, plus a multi-chip training
+step around the log-mel frontend used to validate dp x sp sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .._config import MATMUL_PRECISION
+from ..ops.convert import power_to_db
+from ..ops.mel import melspectrogram
+from ..ops.mfcc import mfcc
+from ..parallel.mesh import DATA_AXIS, TIME_AXIS
+from ..parallel.time_shard import logmel_time_sharded
+
+ArrayLike = Any
+
+
+class LogMelFrontend:
+    """Batched log-mel feature extractor (the library's flagship pipeline).
+
+    ``(batch, samples) -> (batch, n_mels, n_frames)`` in dB. One fused jit:
+    frame -> window -> rDFT GEMM -> power -> mel GEMM -> log.
+    """
+
+    def __init__(
+        self,
+        sr: int = 22050,
+        n_fft: int = 2048,
+        hop_length: int = 512,
+        n_mels: int = 128,
+        fmin: float = 0.0,
+        fmax: float | None = None,
+        top_db: float | None = 80.0,
+    ):
+        self.sr, self.n_fft, self.hop_length = sr, n_fft, hop_length
+        self.n_mels, self.fmin, self.fmax = n_mels, fmin, fmax
+        self.top_db = top_db
+
+    def __call__(self, y: ArrayLike) -> jax.Array:
+        mel = melspectrogram(
+            y,
+            sr=self.sr,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            n_mels=self.n_mels,
+            fmin=self.fmin,
+            fmax=self.fmax,
+        )
+        return power_to_db(mel, top_db=self.top_db)
+
+
+class MFCCPipeline:
+    """Batched MFCC extractor: mel -> dB -> DCT-II -> liftering."""
+
+    def __init__(
+        self,
+        sr: int = 22050,
+        n_mfcc: int = 13,
+        n_fft: int = 2048,
+        hop_length: int = 512,
+        n_mels: int = 128,
+        lifter: int = 0,
+    ):
+        self.sr, self.n_mfcc = sr, n_mfcc
+        self.n_fft, self.hop_length = n_fft, hop_length
+        self.n_mels, self.lifter = n_mels, lifter
+
+    def __call__(self, y: ArrayLike) -> jax.Array:
+        return mfcc(
+            y,
+            sr=self.sr,
+            n_mfcc=self.n_mfcc,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            n_mels=self.n_mels,
+            lifter=self.lifter,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip training step (dp over 'data', sp over 'time')
+
+
+def init_classifier_params(
+    n_mels: int, n_classes: int, seed: int = 0
+) -> dict[str, jax.Array]:
+    rng = np.random.default_rng(seed)
+    return {
+        "w": jnp.asarray(
+            (rng.standard_normal((n_mels, n_classes)) / np.sqrt(n_mels)).astype(
+                np.float32
+            )
+        ),
+        "b": jnp.zeros((n_classes,), jnp.float32),
+    }
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    sr: int = 22050,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    n_mels: int = 128,
+    n_classes: int = 10,
+    lr: float = 1e-2,
+):
+    """SGD step of a log-mel + linear classifier, sharded dp x sp.
+
+    Exercises every parallelism primitive the library uses on real meshes:
+    the log-mel frontend runs time-sharded with ``ppermute`` halo exchange
+    (sequence parallelism), frame-pooling reduces over 'time' with ``psum``,
+    the loss and gradients reduce over 'data' with ``pmean`` (data
+    parallelism), and parameters stay replicated. Returns
+    ``step(params, y, labels) -> (new_params, loss)``, jittable with batch
+    sharded (data, time).
+    """
+    t_size = mesh.shape[TIME_AXIS]
+
+    def step(params, y, labels):
+        feats = logmel_time_sharded(
+            y, mesh, sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels
+        )  # (B, F, n_mels) sharded (data, time, -)
+
+        def sharded_loss_and_grads(params, feats, labels):
+            def body(p, f_local, lab_local):
+                def loss_fn(p):
+                    # mean-pool over ALL frames: local sum + psum over time
+                    pooled = lax.psum(jnp.sum(f_local, axis=1), TIME_AXIS)
+                    n_frames_total = f_local.shape[1] * t_size
+                    pooled = pooled / n_frames_total  # (B_l, n_mels)
+                    logits = (
+                        jnp.matmul(pooled, p["w"], precision=MATMUL_PRECISION)
+                        + p["b"]
+                    )
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    nll = -jnp.take_along_axis(
+                        logp, lab_local[:, None], axis=-1
+                    )[:, 0]
+                    return jnp.mean(nll)
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                loss = lax.pmean(loss, DATA_AXIS)
+                grads = jax.tree.map(lambda g: lax.pmean(g, DATA_AXIS), grads)
+                return loss, grads
+
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS, TIME_AXIS, None), P(DATA_AXIS)),
+                out_specs=(P(), P()),
+            )(params, feats, labels)
+
+        loss, grads = sharded_loss_and_grads(params, feats, labels)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    return step

@@ -1,0 +1,56 @@
+"""Device-mesh helpers.
+
+The reference is strictly single-device (SURVEY.md §2.3: no collectives, no
+process groups anywhere). Multi-chip support is therefore a TPU-native
+*extension*, built the JAX way: a `jax.sharding.Mesh` over ICI with named
+axes, sharding annotations on the batch ('data') and signal-time ('time')
+axes, and XLA-inserted collectives. No NCCL/MPI analog exists or is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+TIME_AXIS = "time"
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_time: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ``(data, time)`` mesh over the available devices.
+
+    ``data`` is the embarrassingly-parallel batch axis (every op in the API
+    is independent per batch element, so no collectives cross it). ``time``
+    shards long signals along the sample axis; STFT-family ops on that axis
+    exchange ``n_fft - hop`` halos over ICI (see `time_shard.py`).
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if n_data is None:
+        n_data = len(devices) // n_time
+    if n_data * n_time > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_time} needs {n_data * n_time} devices, "
+            f"have {len(devices)}"
+        )
+    arr = np.asarray(devices[: n_data * n_time]).reshape(n_data, n_time)
+    return Mesh(arr, (DATA_AXIS, TIME_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for ``(batch, ...)`` arrays: batch split over 'data'."""
+    ndim_spec = P(DATA_AXIS)
+    return NamedSharding(mesh, ndim_spec)
+
+
+def batch_time_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for ``(batch, samples)``: batch over 'data', samples over 'time'."""
+    return NamedSharding(mesh, P(DATA_AXIS, TIME_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

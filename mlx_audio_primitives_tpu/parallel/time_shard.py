@@ -1,0 +1,222 @@
+"""Time-axis (sequence-parallel) sharding for STFT-family ops.
+
+The reference scales long signals only within one device (SURVEY.md §5.7);
+its docs list streaming/chunked processing as future work
+(reference `ARCHITECTURE.md:536-540`). This module is the TPU-native
+realization of that direction: shard the *sample axis* of a long signal over
+a mesh axis and exchange exactly the ``n_fft - hop`` halo samples that couple
+neighboring shards — the context-parallel analog for frame-local DSP.
+
+Design (all inside ``shard_map`` over a ``(data, time)`` mesh):
+
+* forward (STFT/mel): each time-shard holds ``L_s`` samples with
+  ``hop | L_s``; frames *starting* in a shard belong to it (``F_s = L_s/hop``
+  frames each, uniform), and each shard fetches the next shard's first
+  ``n_fft - hop`` samples with one ``lax.ppermute`` (the last shard gets
+  zeros). Output frames are sharded over 'time' with no further comms.
+* inverse (ISTFT): each shard overlap-adds its own frames into a local
+  buffer of ``L_s + halo``; the tail spills into the next shard's territory,
+  so one reverse ``ppermute`` carries it right and it is added on. The
+  squared-window envelope follows the same halo algebra, then normalization
+  is purely local.
+
+Semantics: equivalent to the single-device ops with ``center=False`` on a
+signal zero-padded to ``T * L_s`` samples, computing the full ``T * F_s``
+frame grid (trailing frames read zero-padding). Wrappers that need librosa's
+``center=True`` pad globally before sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .._config import MATMUL_PRECISION, REAL_DTYPE, WINDOW_SUM_EPSILON
+from ..kernels.dft import forward_basis, inverse_basis
+from ..ops._frames import frame_signal_batched, overlap_add, window_envelope
+from ..ops.mel import mel_filterbank
+from ..ops.stft import _get_padded_window
+from .mesh import DATA_AXIS, TIME_AXIS
+
+ArrayLike = Any
+
+
+def _right_halo(y_local: jax.Array, halo: int, t_size: int) -> jax.Array:
+    """Fetch the next time-shard's first ``halo`` samples (zeros at the end)."""
+    if halo == 0:
+        return y_local[:, :0]
+    # shard k receives shard k+1's head: send my head to my LEFT neighbor.
+    perm = [(k, (k - 1) % t_size) for k in range(t_size)]
+    head = lax.ppermute(y_local[:, :halo], TIME_AXIS, perm=perm)
+    t_idx = lax.axis_index(TIME_AXIS)
+    return jnp.where(t_idx == t_size - 1, jnp.zeros_like(head), head)
+
+
+def _check_shardable(L: int, n_fft: int, hop_length: int, t_size: int) -> int:
+    if L % t_size != 0:
+        raise ValueError(f"signal length {L} must divide over {t_size} time shards")
+    L_s = L // t_size
+    if L_s % hop_length != 0:
+        raise ValueError(
+            f"per-shard length {L_s} must be a multiple of hop_length {hop_length}"
+        )
+    if n_fft - hop_length > L_s:
+        raise ValueError(
+            f"halo (n_fft-hop = {n_fft - hop_length}) exceeds shard length {L_s}; "
+            "use fewer time shards"
+        )
+    return L_s
+
+
+def stft_time_sharded(
+    y: ArrayLike,
+    mesh: Mesh,
+    n_fft: int = 2048,
+    hop_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    fft_mode: str = "matmul",
+) -> jax.Array:
+    """STFT of ``(batch, samples)`` sharded (data, time) -> complex
+    ``(batch, n_frames, n_bins)`` sharded (data, time, -).
+
+    ``n_frames = samples/hop`` (full frame grid; see module docstring).
+    """
+    if hop_length is None:
+        hop_length = n_fft // 4
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    B, L = y.shape
+    t_size = mesh.shape[TIME_AXIS]
+    _check_shardable(L, n_fft, hop_length, t_size)
+    halo = n_fft - hop_length
+    win = _get_padded_window(window, n_fft, n_fft)
+    use_matmul = fft_mode == "matmul"
+    basis = (
+        forward_basis(n_fft)
+        if use_matmul
+        else jnp.zeros((0,), dtype=REAL_DTYPE)  # unused placeholder
+    )
+    n_bins = n_fft // 2 + 1
+
+    def body(y_local, win_, basis_):
+        ext = jnp.concatenate(
+            [y_local, _right_halo(y_local, halo, t_size)], axis=1
+        )
+        frames = frame_signal_batched(ext, n_fft, hop_length) * win_
+        if use_matmul:
+            ri = jnp.matmul(frames, basis_, precision=MATMUL_PRECISION)
+            return lax.complex(ri[..., :n_bins], ri[..., n_bins:])
+        return jnp.fft.rfft(frames, axis=-1)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, TIME_AXIS), P(), P()),
+        out_specs=P(DATA_AXIS, TIME_AXIS, None),
+    )(y, win, basis)
+
+
+def istft_time_sharded(
+    S: ArrayLike,
+    mesh: Mesh,
+    n_fft: int,
+    hop_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    fft_mode: str = "matmul",
+) -> jax.Array:
+    """Inverse of :func:`stft_time_sharded`: frames ``(B, F, bins)`` sharded
+    (data, time, -) -> signal ``(B, F*hop)`` sharded (data, time)."""
+    if hop_length is None:
+        hop_length = n_fft // 4
+    S = jnp.asarray(S)
+    t_size = mesh.shape[TIME_AXIS]
+    B, F, n_bins = S.shape
+    if F % t_size != 0:
+        raise ValueError(f"frame count {F} must divide over {t_size} time shards")
+    F_s = F // t_size
+    L_s = F_s * hop_length
+    halo = n_fft - hop_length
+    if halo > L_s:
+        raise ValueError("halo exceeds shard length; use fewer time shards")
+    win = _get_padded_window(window, n_fft, n_fft)
+    use_matmul = fft_mode == "matmul"
+    basis = (
+        inverse_basis(n_fft) if use_matmul else jnp.zeros((0,), dtype=REAL_DTYPE)
+    )
+
+    def body(S_local, win_, basis_):
+        if use_matmul:
+            stacked = jnp.concatenate([jnp.real(S_local), jnp.imag(S_local)], axis=-1)
+            frames = jnp.matmul(stacked, basis_, precision=MATMUL_PRECISION)
+        else:
+            frames = jnp.fft.irfft(S_local, n=n_fft, axis=-1)
+        fw = frames.astype(REAL_DTYPE) * win_
+        local = overlap_add(fw, hop_length, L_s + halo)  # tail spills right
+        env = window_envelope(win_, F_s, hop_length, L_s + halo)
+
+        # carry my tail to the right neighbor (first shard receives zeros)
+        perm = [(k, (k + 1) % t_size) for k in range(t_size)]
+        t_idx = lax.axis_index(TIME_AXIS)
+        tail = lax.ppermute(local[:, L_s:], TIME_AXIS, perm=perm)
+        tail = jnp.where(t_idx == 0, jnp.zeros_like(tail), tail)
+        # env is identical on every shard (same window, same F_s), so the
+        # neighbor's env-tail equals our own — only a first-shard mask needed.
+        env_head_add = jnp.where(t_idx == 0, jnp.zeros_like(env[L_s:]), env[L_s:])
+
+        y_local = local[:, :L_s].at[:, :halo].add(tail)
+        env_local = env[:L_s].at[:halo].add(env_head_add)
+        return y_local / jnp.maximum(env_local, WINDOW_SUM_EPSILON)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, TIME_AXIS, None), P(), P()),
+        out_specs=P(DATA_AXIS, TIME_AXIS),
+    )(S, win, basis)
+
+
+def logmel_time_sharded(
+    y: ArrayLike,
+    mesh: Mesh,
+    sr: int = 22050,
+    n_fft: int = 2048,
+    hop_length: int | None = None,
+    n_mels: int = 128,
+    window: str | ArrayLike = "hann",
+    fft_mode: str = "matmul",
+) -> jax.Array:
+    """Fused log-mel frontend, dp x sp sharded: ``(B, L)`` (data, time) ->
+    ``(B, F, n_mels)`` (data, time, -). Power mel in dB without top_db clip
+    (the global max would need a collective; the training frontend does not
+    clip)."""
+    if hop_length is None:
+        hop_length = n_fft // 4
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    B, L = y.shape
+    t_size = mesh.shape[TIME_AXIS]
+    _check_shardable(L, n_fft, hop_length, t_size)
+    halo = n_fft - hop_length
+    win = _get_padded_window(window, n_fft, n_fft)
+    basis = forward_basis(n_fft)
+    fb_t = mel_filterbank(sr, n_fft, n_mels=n_mels).T
+    n_bins = n_fft // 2 + 1
+
+    def body(y_local, win_, basis_, fb_):
+        ext = jnp.concatenate([y_local, _right_halo(y_local, halo, t_size)], axis=1)
+        frames = frame_signal_batched(ext, n_fft, hop_length) * win_
+        ri = jnp.matmul(frames, basis_, precision=MATMUL_PRECISION)
+        pow2 = ri[..., :n_bins] ** 2 + ri[..., n_bins:] ** 2
+        mel = jnp.matmul(pow2, fb_, precision=MATMUL_PRECISION)
+        return 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, TIME_AXIS), P(), P(), P()),
+        out_specs=P(DATA_AXIS, TIME_AXIS, None),
+    )(y, win, basis, fb_t)

@@ -1,0 +1,121 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+The reference has no distributed tests (nothing distributed exists,
+SURVEY.md §2.3); these validate the TPU-native extension: batch (data)
+sharding and time-axis (sequence-parallel) sharding with halo exchange.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_audio_primitives_tpu import istft, melspectrogram, power_to_db, stft
+from mlx_audio_primitives_tpu.models import (
+    init_classifier_params,
+    make_sharded_train_step,
+)
+from mlx_audio_primitives_tpu.parallel import (
+    batch_time_sharding,
+    istft_time_sharded,
+    logmel_time_sharded,
+    make_mesh,
+    shard_batch,
+    stft_time_sharded,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+N_FFT, HOP = 256, 64
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    return make_mesh(n_data=2, n_time=4)
+
+
+@pytest.fixture(scope="module")
+def signal():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((4, 4 * 8 * N_FFT)).astype(np.float32)
+
+
+class TestBatchSharding:
+    def test_melspectrogram_batch_sharded_matches(self, signal):
+        mesh = make_mesh(n_data=8, n_time=1)
+        ys = shard_batch(jnp.asarray(signal[:2].repeat(4, axis=0)), mesh)
+        out = melspectrogram(ys, n_fft=N_FFT, hop_length=HOP, n_mels=32)
+        ref = melspectrogram(signal[:2].repeat(4, axis=0), n_fft=N_FFT,
+                             hop_length=HOP, n_mels=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+    def test_output_is_sharded(self, signal):
+        mesh = make_mesh(n_data=8, n_time=1)
+        ys = shard_batch(jnp.asarray(signal[:2].repeat(4, axis=0)), mesh)
+        out = melspectrogram(ys, n_fft=N_FFT, hop_length=HOP, n_mels=32)
+        assert len(out.sharding.device_set) == 8
+
+
+class TestTimeSharding:
+    def test_stft_matches_unsharded(self, mesh24, signal):
+        ys = jax.device_put(jnp.asarray(signal), batch_time_sharding(mesh24))
+        out = np.asarray(stft_time_sharded(ys, mesh24, n_fft=N_FFT, hop_length=HOP))
+        # equivalent single-device computation: center=False on zero-padded y
+        L = signal.shape[1]
+        ypad = np.pad(signal, ((0, 0), (0, N_FFT - HOP)))
+        ref = np.asarray(
+            stft(ypad, n_fft=N_FFT, hop_length=HOP, center=False)
+        ).swapaxes(1, 2)  # (B, F, bins)
+        assert out.shape == (4, L // HOP, N_FFT // 2 + 1)
+        np.testing.assert_allclose(out, ref[:, : out.shape[1]], atol=2e-4)
+
+    def test_istft_roundtrip(self, mesh24, signal):
+        ys = jax.device_put(jnp.asarray(signal), batch_time_sharding(mesh24))
+        S = stft_time_sharded(ys, mesh24, n_fft=N_FFT, hop_length=HOP)
+        y_rec = np.asarray(
+            istft_time_sharded(S, mesh24, n_fft=N_FFT, hop_length=HOP)
+        )
+        # interior reconstructs exactly; the first n_fft-hop samples have
+        # partial window coverage (no left context), as with center=False
+        inner = slice(N_FFT, signal.shape[1] - N_FFT)
+        np.testing.assert_allclose(
+            y_rec[:, inner], signal[:, inner], atol=1e-4
+        )
+
+    def test_logmel_matches_unsharded(self, mesh24, signal):
+        ys = jax.device_put(jnp.asarray(signal), batch_time_sharding(mesh24))
+        out = np.asarray(
+            logmel_time_sharded(ys, mesh24, n_fft=N_FFT, hop_length=HOP, n_mels=32)
+        )
+        ypad = np.pad(signal, ((0, 0), (0, N_FFT - HOP)))
+        mel = melspectrogram(ypad, n_fft=N_FFT, hop_length=HOP, n_mels=32,
+                             center=False)
+        ref = np.asarray(power_to_db(mel, top_db=None)).swapaxes(1, 2)
+        np.testing.assert_allclose(out, ref[:, : out.shape[1]], atol=2e-3)
+
+    def test_validation(self, mesh24, signal):
+        with pytest.raises(ValueError):
+            stft_time_sharded(signal[:, :1000], mesh24, n_fft=N_FFT)  # not divisible
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, mesh24, signal):
+        n_mels, n_classes = 32, 5
+        rng = np.random.default_rng(1)
+        labels = jnp.asarray(rng.integers(0, n_classes, size=(4,)).astype(np.int32))
+        ys = jax.device_put(jnp.asarray(signal), batch_time_sharding(mesh24))
+        params = init_classifier_params(n_mels, n_classes)
+        step = jax.jit(
+            make_sharded_train_step(
+                mesh24, n_fft=N_FFT, hop_length=HOP, n_mels=n_mels,
+                n_classes=n_classes, lr=0.05,
+            )
+        )
+        losses = []
+        for _ in range(5):
+            params, loss = step(params, ys, labels)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert all(np.isfinite(losses))
