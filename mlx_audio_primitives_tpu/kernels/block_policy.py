@@ -1,0 +1,35 @@
+"""Block/grid sizing policy for Pallas kernels.
+
+TPU analog of the reference's Metal threadgroup chooser
+(`csrc/primitives/metal_utils.h:53-100`): pick block sizes that respect the
+(8, 128) f32 tile, keep per-program VMEM under budget, and give the MXU
+enough rows.
+"""
+
+from __future__ import annotations
+
+SUBLANE = 8
+LANE = 128
+VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def clips_per_block(n_clips: int, bytes_per_clip: int, max_clips: int = 8) -> int:
+    """Largest divisor of n_clips that is <= max_clips and fits VMEM."""
+    limit = max(1, min(max_clips, VMEM_BUDGET // max(bytes_per_clip, 1)))
+    for cb in range(min(limit, n_clips), 0, -1):
+        if n_clips % cb == 0:
+            return cb
+    return 1
+
+
+def bin_block(n_bins: int, default: int = 128) -> int:
+    """Bins-per-block for streamed DFT basis columns (lane-aligned)."""
+    return min(default, round_up(n_bins, LANE))

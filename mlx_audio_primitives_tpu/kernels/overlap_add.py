@@ -1,0 +1,118 @@
+"""Fused overlap-add + normalize Pallas kernel (ISTFT reconstruction).
+
+TPU re-design of the reference's fused Metal overlap-add kernel
+(`csrc/metal/overlap_add.metal:16-55`, dispatched at
+`csrc/primitives/overlap_add.cpp:13-72`): output-centric, race-free, no
+atomics — each output region *gathers* every frame that covers it
+(SURVEY.md §3.2 "Design note").
+
+Formulation: view the output as hop-sized rows; row ``r`` is
+``sum_{c=0}^{C-1} fw[r-c, c*hop:(c+1)*hop]`` (the transpose of the chunk
+framing identity). Frames are pre-padded with ``C-1`` zero frames so every
+program's DMA window is in-bounds and 8-aligned; each program stages
+``RB + C - 1`` frames in VMEM, forms its RB output rows with C static
+shifted adds (VPU), divides by the squared-window envelope rows, and writes
+a disjoint output block — races are impossible by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .._config import WINDOW_SUM_EPSILON
+from ..utils.dispatch import pallas_interpret_mode
+from .block_policy import LANE, SUBLANE, cdiv, round_up
+
+
+def _ola_kernel_factory(CB, RB, C, HOP, FBk):
+    def kernel(fw_hbm, env_ref, out_ref, fw_scr, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        cp = pltpu.make_async_copy(
+            fw_hbm.at[pl.ds(i * CB, CB), pl.ds(j * RB, FBk), :], fw_scr, sem
+        )
+        cp.start()
+        cp.wait()
+
+        # out_rows[r] = sum_c fw[r - c, c*hop:(c+1)*hop]; with the C-1 zero-
+        # frame prepad, frame (r-c) sits at scratch row (r_local + C-1-c).
+        acc = fw_scr[:, C - 1 : C - 1 + RB, pl.ds(0, HOP)]
+        for c in range(1, C):
+            acc = acc + fw_scr[:, C - 1 - c : C - 1 - c + RB, pl.ds(c * HOP, HOP)]
+        out_ref[:] = acc / env_ref[:]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("hop_length", "output_length"))
+def overlap_add_pallas(
+    fw: jax.Array,  # (B, F, n_fft) windowed frames
+    env: jax.Array,  # (T_rows * hop,) squared-window envelope (>= epsilon)
+    *,
+    hop_length: int,
+    output_length: int,
+) -> jax.Array:
+    """Fused OLA + envelope normalization: ``(B, F, n_fft) -> (B, output_length)``.
+
+    ``env`` must already be clamped to the NOLA epsilon (the caller computes
+    it once per (window, F, hop) — it is loop-invariant for Griffin-Lim).
+    Requires ``hop_length % 128 == 0``; other hops use the XLA chunk path.
+    """
+    if hop_length % LANE != 0:
+        raise ValueError("pallas OLA requires hop_length % 128 == 0")
+    B, F, n_fft = fw.shape
+    C = cdiv(n_fft, hop_length)
+    if C * hop_length != n_fft:
+        fw = jnp.pad(fw, ((0, 0), (0, 0), (0, C * hop_length - n_fft)))
+
+    RT = cdiv(output_length, hop_length)  # output rows needed
+    RB = min(round_up(RT, SUBLANE), 64)
+    RT_pad = round_up(RT, RB)
+    FBk = round_up(RB + C - 1, SUBLANE)
+
+    # prepad C-1 zero frames; extend so every DMA window is in bounds
+    NF = RT_pad + FBk
+    fw_p = jnp.pad(fw, ((0, 0), (C - 1, NF - F - (C - 1)), (0, 0)))
+
+    env_rows = jnp.pad(env, (0, RT_pad * hop_length - env.shape[0]),
+                       constant_values=1.0).reshape(RT_pad, hop_length)
+
+    CB = 8 if B % 8 == 0 else (4 if B % 4 == 0 else (2 if B % 2 == 0 else 1))
+
+    out = pl.pallas_call(
+        _ola_kernel_factory(CB, RB, C, hop_length, FBk),
+        out_shape=jax.ShapeDtypeStruct((B, RT_pad, hop_length), jnp.float32),
+        grid=(B // CB, RT_pad // RB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((RB, hop_length), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (CB, RB, hop_length), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CB, FBk, C * hop_length), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=pallas_interpret_mode(),
+    )(fw_p, env_rows)
+    return out.reshape(B, RT_pad * hop_length)[:, :output_length]
+
+
+def envelope_for_ola(win: jax.Array, n_frames: int, hop_length: int,
+                     output_length: int) -> jax.Array:
+    """Clamped squared-window envelope sized for :func:`overlap_add_pallas`."""
+    from ..ops._frames import window_envelope
+
+    env = window_envelope(win, n_frames, hop_length, output_length)
+    return jnp.maximum(env, WINDOW_SUM_EPSILON)

@@ -188,11 +188,14 @@ def melspectrogram(
     htk: bool = False,
     norm: str | None = "slaney",
     fft_mode: str = "auto",
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Mel spectrogram ``(n_mels, n_frames)`` / ``(batch, n_mels, n_frames)``.
 
     librosa-compatible signature (reference `mel.py:245-352`); the compute is
-    one fused jit (see module docstring).
+    one fused jit (see module docstring). ``use_pallas=True`` selects the
+    single-kernel fused path (`kernels/mel_fused.py`); default (None/auto)
+    uses the XLA pipeline, which matches it on current TPUs.
     """
     if hop_length is None:
         hop_length = n_fft // 4
@@ -217,6 +220,29 @@ def melspectrogram(
             f"signal length ({y.shape[1]}) must be >= n_fft ({n_fft}) "
             "when center=False"
         )
+
+    pallas_ok = (
+        use_pallas is True  # explicit opt-in; XLA path matches it on TPU
+        and hop_length % 128 == 0
+        and power == 2.0
+        and isinstance(window, str)
+        and win_length == n_fft
+    )
+    if pallas_ok:
+        from ..kernels.mel_fused import mel_pallas_tables, melspectrogram_pallas
+
+        basis2 = mel_pallas_tables(n_fft, window, n_fft // 2 + 1)
+        out = melspectrogram_pallas(
+            y,
+            fb.T,
+            basis2,
+            n_fft=n_fft,
+            hop_length=hop_length,
+            center=center,
+            pad_mode=pad_mode,
+            power=float(power),
+        )
+        return out[0] if input_is_1d else out
 
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
     out = _melspec_core(

@@ -166,7 +166,7 @@ def stft(
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "padded_length", "fft_mode"),
+    static_argnames=("n_fft", "hop_length", "padded_length", "fft_mode", "use_pallas"),
 )
 def _istft_core(
     S: jax.Array,
@@ -177,6 +177,7 @@ def _istft_core(
     hop_length: int,
     padded_length: int,
     fft_mode: str,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """(B, F, n_bins) complex -> (B, padded_length) normalized reconstruction."""
     if fft_mode == "matmul":
@@ -185,6 +186,13 @@ def _istft_core(
         frames = jnp.fft.irfft(S, n=n_fft, axis=-1)
     frames = frames.astype(REAL_DTYPE)
     fw = frames * win
+    if use_pallas:
+        from ..kernels.overlap_add import envelope_for_ola, overlap_add_pallas
+
+        env = envelope_for_ola(win, S.shape[1], hop_length, padded_length)
+        return overlap_add_pallas(
+            fw, env, hop_length=hop_length, output_length=padded_length
+        )
     y = overlap_add(fw, hop_length, padded_length)
     env = window_envelope(win, S.shape[1], hop_length, padded_length)
     return y / jnp.maximum(env, WINDOW_SUM_EPSILON)
@@ -199,11 +207,17 @@ def istft(
     center: bool = True,
     length: int | None = None,
     fft_mode: str = "auto",
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Inverse Short-Time Fourier Transform.
 
     librosa-compatible semantics including ``length`` crop/pad and center-pad
     trimming (reference: `mlx_audio_primitives/stft.py:225-344`).
+
+    ``use_pallas`` selects the fused overlap-add+normalize kernel
+    (`kernels/overlap_add.py`, the analog of the reference's fused Metal
+    kernel); ``None`` = auto (TPU backend and 128-aligned hop only) — the
+    same graceful-dispatch contract as the reference's ``use_cpp``.
     """
     S = jnp.asarray(stft_matrix)
     if S.ndim not in (2, 3):
@@ -231,6 +245,7 @@ def istft(
         padded_length = n_fft + (n_frames - 1) * hop_length
 
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
+    pallas_ok = dispatch.resolve_use_pallas(use_pallas) and hop_length % 128 == 0
     y = _istft_core(
         S,
         win,
@@ -239,6 +254,7 @@ def istft(
         hop_length=hop_length,
         padded_length=padded_length,
         fft_mode=fft_mode_r,
+        use_pallas=pallas_ok,
     )
 
     if center:
