@@ -1,0 +1,66 @@
+"""Platform detection: TPU topology/generation in place of the reference's
+Apple-chip sysctl sniffing (`benchmarks/platform.py:39-166`)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+
+
+def platform_info() -> dict[str, Any]:
+    devs = jax.devices()
+    info: dict[str, Any] = {
+        "backend": jax.default_backend(),
+        "num_devices": len(devs),
+        "device_kind": devs[0].device_kind if devs else "unknown",
+        "jax_version": jax.__version__,
+        "python_version": __import__("sys").version.split()[0],
+    }
+    try:
+        import jaxlib
+
+        info["jaxlib_version"] = jaxlib.__version__
+    except Exception:
+        pass
+    try:
+        stats = devs[0].memory_stats() or {}
+        if "bytes_limit" in stats:
+            info["hbm_gb"] = round(stats["bytes_limit"] / 1e9, 1)
+    except Exception:
+        pass
+    return info
+
+
+def platform_key() -> str:
+    """Stable key for the baseline store (e.g. 'tpu-TPU v5 lite-1')."""
+    i = platform_info()
+    kind = str(i["device_kind"]).replace(" ", "_")
+    return f"{i['backend']}-{kind}-{i['num_devices']}"
+
+
+# Rough per-generation expected speedup vs TPU v4 for the headline mel bench
+# (analog of the reference's M1->M4 table, `platform.py:151-166`).
+EXPECTED_SPEEDUP = {
+    "TPU v4": 1.0,
+    "TPU v5 lite": 0.7,
+    "TPU v5": 1.6,
+    "TPU v5p": 1.6,
+    "TPU v6 lite": 1.8,
+    "TPU v6e": 1.8,
+}
+
+
+def expected_speedup(device_kind: str) -> float:
+    for k, v in EXPECTED_SPEEDUP.items():
+        if device_kind.startswith(k):
+            return v
+    return 1.0
+
+
+def format_platform_header() -> str:
+    i = platform_info()
+    return (
+        f"platform: {i['backend']} x{i['num_devices']} ({i['device_kind']}) | "
+        f"jax {i['jax_version']}"
+    )

@@ -1,0 +1,305 @@
+"""Per-op benchmark suites vs CPU oracles.
+
+Condensed TPU analog of the reference's ten `bench_*.py` files
+(`bench_stft.py`, `bench_mel.py`, `bench_mfcc.py`, `bench_features.py`,
+`bench_windows.py`, `bench_resample.py`, `bench_griffinlim.py` — SURVEY.md
+§2.4): every public-op family timed on device against the best available CPU
+oracle (torch for STFT/mel, scipy for windows/resample/DCT), with accuracy
+stats. librosa/torchaudio are not installed in this image; torch.stft and
+scipy are the stand-in baselines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .schemas import BenchmarkResult
+from .utils import compute_accuracy, time_function, time_jax_amortized
+
+SR = 22050
+
+
+def _signal(n=SR, batch=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (n,) if batch is None else (batch, n)
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+def bench_stft() -> list[BenchmarkResult]:
+    import torch
+
+    from mlx_audio_primitives_tpu import stft
+
+    y = _signal()
+    yd = jax.device_put(jnp.asarray(y))
+    n_fft, hop = 2048, 512
+
+    t_ours = time_jax_amortized(
+        lambda x: stft(x, n_fft=n_fft, hop_length=hop), yd
+    )
+    yt = torch.from_numpy(y)
+    win = torch.hann_window(n_fft, periodic=True)
+
+    def torch_stft():
+        return torch.stft(yt, n_fft, hop, window=win, center=True,
+                          pad_mode="constant", return_complex=True)
+
+    t_torch = time_function(torch_stft, warmup=1, runs=5)
+    # complex64 device->host transfer is unimplemented on some remote TPU
+    # attachments; take |.| on device before transferring.
+    acc = compute_accuracy(
+        np.asarray(jnp.abs(stft(yd, n_fft=n_fft, hop_length=hop))),
+        np.abs(torch_stft().numpy()),
+    )
+    return [
+        BenchmarkResult(
+            name=f"stft n_fft={n_fft}",
+            time_ms=t_ours * 1e3,
+            baseline_name="torch-cpu stft",
+            baseline_time_ms=t_torch * 1e3,
+            accuracy=acc,
+        )
+    ]
+
+
+def bench_istft() -> list[BenchmarkResult]:
+    from mlx_audio_primitives_tpu import istft, stft
+
+    y = _signal()
+    S = stft(y, n_fft=2048, hop_length=512)
+    S = jax.device_put(S)
+    t = time_jax_amortized(
+        lambda s: istft(s, hop_length=512, length=SR), S
+    )
+    rec = np.asarray(istft(S, hop_length=512, length=SR))
+    acc = compute_accuracy(rec, y)
+    return [
+        BenchmarkResult(
+            name="istft round-trip n_fft=2048",
+            time_ms=t * 1e3,
+            accuracy=acc,
+            extra={"roundtrip_max_err": acc.max_error},
+        )
+    ]
+
+
+def bench_mel(batch: int = 64) -> list[BenchmarkResult]:
+    import torch
+
+    from mlx_audio_primitives_tpu import melspectrogram
+    from mlx_audio_primitives_tpu.ops.mel import _mel_filterbank_table
+
+    y = _signal(batch=batch)
+    yd = jax.device_put(jnp.asarray(y))
+    t_ours = time_jax_amortized(
+        lambda x: melspectrogram(x, sr=SR, n_mels=128), yd
+    )
+    yt = torch.from_numpy(y)
+    win = torch.hann_window(2048, periodic=True)
+    fb = torch.from_numpy(
+        _mel_filterbank_table.host(SR, 2048, 128, 0.0, SR / 2.0, False, "slaney")
+        .astype(np.float32)
+    )
+
+    def torch_mel():
+        spec = torch.stft(yt, 2048, 512, window=win, center=True,
+                          pad_mode="constant", return_complex=True)
+        return fb @ (spec.real**2 + spec.imag**2)
+
+    t_torch = time_function(torch_mel, warmup=1, runs=5)
+    acc = compute_accuracy(
+        np.asarray(melspectrogram(yd, sr=SR, n_mels=128)), torch_mel().numpy()
+    )
+    return [
+        BenchmarkResult(
+            name=f"melspectrogram batch={batch} n_mels=128",
+            time_ms=t_ours * 1e3,
+            baseline_name="torch-cpu mel",
+            baseline_time_ms=t_torch * 1e3,
+            accuracy=acc,
+        )
+    ]
+
+
+def bench_mfcc() -> list[BenchmarkResult]:
+    import scipy.fft
+
+    from mlx_audio_primitives_tpu import mfcc
+
+    y = _signal(batch=8)
+    yd = jax.device_put(jnp.asarray(y))
+    t = time_jax_amortized(lambda x: mfcc(x, sr=SR, n_mfcc=13), yd)
+    return [BenchmarkResult(name="mfcc batch=8 n_mfcc=13", time_ms=t * 1e3)]
+
+
+def bench_windows() -> list[BenchmarkResult]:
+    import scipy.signal
+
+    from mlx_audio_primitives_tpu import get_window
+    from mlx_audio_primitives_tpu.utils.cache import clear_all_caches
+
+    out = []
+    for name, n in [("hann", 2048), ("blackman", 4096)]:
+        get_window(name, n)  # warm
+        t_cached = time_function(lambda: get_window(name, n), warmup=1, runs=20)
+        t_scipy = time_function(
+            lambda: scipy.signal.get_window(name, n, fftbins=True),
+            warmup=1, runs=20,
+        )
+        out.append(
+            BenchmarkResult(
+                name=f"get_window {name}-{n} (cached)",
+                time_ms=t_cached * 1e3,
+                baseline_name="scipy get_window",
+                baseline_time_ms=t_scipy * 1e3,
+            )
+        )
+    return out
+
+
+def bench_filterbank() -> list[BenchmarkResult]:
+    from mlx_audio_primitives_tpu import mel_filterbank
+
+    out = []
+    for n_mels in (40, 128):
+        mel_filterbank(SR, 2048, n_mels=n_mels)  # warm
+        t_cached = time_function(
+            lambda: mel_filterbank(SR, 2048, n_mels=n_mels), warmup=1, runs=20
+        )
+        from mlx_audio_primitives_tpu.ops.mel import _mel_filterbank_table
+
+        def cold():
+            _mel_filterbank_table._host_builder.cache_clear()
+            return _mel_filterbank_table.host(
+                SR, 2048, n_mels, 0.0, SR / 2.0, False, "slaney"
+            )
+
+        t_cold = time_function(cold, warmup=0, runs=5)
+        out.append(
+            BenchmarkResult(
+                name=f"mel_filterbank n_mels={n_mels} (cached)",
+                time_ms=t_cached * 1e3,
+                baseline_name="uncached f64 build",
+                baseline_time_ms=t_cold * 1e3,
+            )
+        )
+    return out
+
+
+def bench_resample() -> list[BenchmarkResult]:
+    import scipy.signal
+
+    from mlx_audio_primitives_tpu import resample, resample_poly
+
+    y = _signal(n=44100, batch=8)
+    yd = jax.device_put(jnp.asarray(y))
+    t_poly = time_jax_amortized(lambda x: resample_poly(x, 160, 441), yd)
+    t_scipy = time_function(
+        lambda: scipy.signal.resample_poly(y, 160, 441, axis=-1),
+        warmup=1, runs=5,
+    )
+    acc = compute_accuracy(
+        np.asarray(resample_poly(yd, 160, 441)),
+        scipy.signal.resample_poly(y.astype(np.float64), 160, 441, axis=-1),
+    )
+    t_fft = time_jax_amortized(lambda x: resample(x, 44100, 16000), yd)
+    return [
+        BenchmarkResult(
+            name="resample_poly 44.1k->16k batch=8",
+            time_ms=t_poly * 1e3,
+            baseline_name="scipy resample_poly",
+            baseline_time_ms=t_scipy * 1e3,
+            accuracy=acc,
+        ),
+        BenchmarkResult(name="resample fft 44.1k->16k batch=8", time_ms=t_fft * 1e3),
+    ]
+
+
+def bench_griffinlim() -> list[BenchmarkResult]:
+    from mlx_audio_primitives_tpu import griffinlim, magnitude, stft
+
+    y = _signal()
+    S = jax.device_put(magnitude(stft(y, n_fft=1024, hop_length=256)))
+    t = time_jax_amortized(
+        lambda s: griffinlim(s, n_iter=32, hop_length=256, init="zeros"), S, k=3
+    )
+    return [BenchmarkResult(name="griffinlim 32 iters", time_ms=t * 1e3)]
+
+
+def bench_features() -> list[BenchmarkResult]:
+    from mlx_audio_primitives_tpu import (
+        pitch_detect_acf,
+        spectral_centroid,
+        spectral_contrast,
+        zero_crossing_rate,
+    )
+
+    y = _signal(batch=8)
+    yd = jax.device_put(jnp.asarray(y))
+    out = []
+    for name, fn in [
+        ("spectral_centroid batch=8", lambda x: spectral_centroid(x, sr=SR)),
+        ("spectral_contrast batch=8", lambda x: spectral_contrast(x, sr=SR)),
+        ("zero_crossing_rate batch=8", lambda x: zero_crossing_rate(x)),
+        ("pitch_detect_acf batch=8", lambda x: pitch_detect_acf(x, sr=SR)[0]),
+    ]:
+        out.append(
+            BenchmarkResult(name=name, time_ms=time_jax_amortized(fn, yd) * 1e3)
+        )
+    return out
+
+
+def bench_pallas() -> list[BenchmarkResult]:
+    """Pallas kernels vs XLA fallback (analog of `bench_cpp_extension.py`)."""
+    from mlx_audio_primitives_tpu import istft, melspectrogram, stft
+
+    y = _signal(batch=64)
+    yd = jax.device_put(jnp.asarray(y))
+    out = []
+    t_xla = time_jax_amortized(
+        lambda x: melspectrogram(x, sr=SR, n_mels=128, use_pallas=False), yd
+    )
+    t_pal = time_jax_amortized(
+        lambda x: melspectrogram(x, sr=SR, n_mels=128, use_pallas=True), yd
+    )
+    out.append(
+        BenchmarkResult(
+            name="melspectrogram pallas-fused batch=64",
+            time_ms=t_pal * 1e3,
+            baseline_name="xla pipeline",
+            baseline_time_ms=t_xla * 1e3,
+        )
+    )
+    S = jax.device_put(stft(_signal(), n_fft=2048, hop_length=512))
+    t_x = time_jax_amortized(
+        lambda s: istft(s, hop_length=512, use_pallas=False), S
+    )
+    t_p = time_jax_amortized(
+        lambda s: istft(s, hop_length=512, use_pallas=True), S
+    )
+    out.append(
+        BenchmarkResult(
+            name="istft pallas overlap-add",
+            time_ms=t_p * 1e3,
+            baseline_name="xla chunk overlap-add",
+            baseline_time_ms=t_x * 1e3,
+        )
+    )
+    return out
+
+
+ALL_SUITES = {
+    "stft": bench_stft,
+    "istft": bench_istft,
+    "mel": bench_mel,
+    "mfcc": bench_mfcc,
+    "windows": bench_windows,
+    "filterbank": bench_filterbank,
+    "resample": bench_resample,
+    "griffinlim": bench_griffinlim,
+    "features": bench_features,
+    "pallas": bench_pallas,
+}

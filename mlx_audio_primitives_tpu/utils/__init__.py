@@ -23,6 +23,14 @@ from .profiler import (
     profile,
     profile_section,
 )
+from .memory_profiler import (
+    MemoryProfile,
+    estimate_operation_memory,
+    get_active_memory,
+    get_peak_memory,
+    profile_memory,
+    track_memory,
+)
 from .validation import validate_non_negative, validate_positive, validate_range
 
 __all__ = [
@@ -51,4 +59,10 @@ __all__ = [
     "get_profiling_data",
     "generate_text_report",
     "export_json",
+    "MemoryProfile",
+    "track_memory",
+    "profile_memory",
+    "get_active_memory",
+    "get_peak_memory",
+    "estimate_operation_memory",
 ]

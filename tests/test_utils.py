@@ -1,0 +1,136 @@
+"""Cache, profiler, memory-profiler, and validation subsystem tests
+(analogs of the reference's cache benches + profiler module coverage)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mlx_audio_primitives_tpu import get_window, mel_filterbank, melspectrogram
+from mlx_audio_primitives_tpu.utils import (
+    cache_stats,
+    clear_all_caches,
+    clear_profiling,
+    disable_profiling,
+    enable_profiling,
+    estimate_operation_memory,
+    generate_text_report,
+    get_profiling_data,
+    profile,
+    profile_memory,
+    profile_section,
+    validate_positive,
+    validate_range,
+)
+from mlx_audio_primitives_tpu.utils.cache import table_cache
+
+
+class TestTableCache:
+    def test_hit_miss_accounting(self):
+        clear_all_caches()
+        get_window("hann", 777)
+        get_window("hann", 777)
+        stats = cache_stats()["window"]
+        assert stats["misses"] >= 1
+        assert stats["hits"] >= 1
+
+    def test_clear_all(self):
+        get_window("hamming", 333)
+        clear_all_caches()
+        assert cache_stats()["window"]["entries"] == 0
+
+    def test_lru_eviction(self):
+        @table_cache("test_evict", maxsize=2)
+        def builder(n):
+            return np.zeros(n)
+
+        a = builder(1)
+        builder(2)
+        builder(3)  # evicts key 1
+        assert builder.stats["entries"] == 2
+        b = builder(1)  # rebuild
+        assert b is not a
+
+    def test_host_tier(self):
+        fb = mel_filterbank(22050, 1024, n_mels=32)
+        from mlx_audio_primitives_tpu.ops.mel import _mel_filterbank_table
+
+        host = _mel_filterbank_table.host(22050, 1024, 32, 0.0, 11025.0, False, "slaney")
+        assert host.dtype == np.float64
+        np.testing.assert_allclose(np.asarray(fb), host.astype(np.float32))
+
+
+class TestProfiler:
+    def setup_method(self):
+        clear_profiling()
+        enable_profiling()
+
+    def teardown_method(self):
+        disable_profiling()
+
+    def test_profile_section(self, random_signal):
+        with profile_section("mel"):
+            melspectrogram(random_signal, n_mels=32)
+        data = get_profiling_data()
+        assert len(data["timings"]["mel"]) == 1
+
+    def test_profile_decorator(self):
+        @profile(name="op")
+        def op():
+            return jnp.ones(10) * 2
+
+        op()
+        op()
+        assert len(get_profiling_data()["timings"]["op"]) == 2
+
+    def test_cache_accesses_logged(self):
+        clear_all_caches()
+        get_window("hann", 555)
+        get_window("hann", 555)
+        acc = get_profiling_data()["cache_accesses"]["window"]
+        assert acc["misses"] >= 1 and acc["hits"] >= 1
+
+    def test_text_report(self, random_signal):
+        with profile_section("stft"):
+            melspectrogram(random_signal, n_mels=32)
+        report = generate_text_report()
+        assert "stft" in report and "cache hit rates" in report
+
+    def test_zero_overhead_when_disabled(self):
+        disable_profiling()
+        with profile_section("x"):
+            pass
+        assert get_profiling_data()["timings"] == {}
+
+
+class TestMemoryProfiler:
+    def test_profile_memory_returns_result(self, random_signal):
+        out, prof = profile_memory(
+            lambda: melspectrogram(random_signal, n_mels=32)
+        )
+        assert out.shape[0] == 32
+        assert prof.output_bytes == out.nbytes
+
+    def test_analytical_estimates(self):
+        est = estimate_operation_memory("mfcc", 22050, batch=64)
+        assert est["frames_mb"] > est["input_mb"]
+        assert est["total_mb"] > 0
+        assert "mfcc_mb" in est
+
+    def test_istft_estimate(self):
+        est = estimate_operation_memory("istft", 22050)
+        assert "output_mb" in est
+
+
+class TestValidation:
+    def test_validate_positive(self):
+        validate_positive(1, "x")
+        with pytest.raises(ValueError, match="x must be positive"):
+            validate_positive(0, "x")
+
+    def test_validate_range(self):
+        validate_range(0.5, "q", low=0.0, high=1.0)
+        with pytest.raises(ValueError):
+            validate_range(1.5, "q", low=0.0, high=1.0)
+        with pytest.raises(ValueError):
+            validate_range(0.0, "q", low=0.0, inclusive=False)
