@@ -1,0 +1,142 @@
+"""Optional native (C++) table-builder library, loaded via ctypes.
+
+TPU analog of the reference's optional C++ extension loader
+(`mlx_audio_primitives/_extension.py:22-46`): attempt to load (building once
+with make if the shared object is missing and a toolchain exists), run a
+live smoke-test call, and fall back silently to the NumPy builders on any
+failure. ``HAS_NATIVE`` plays the role of ``HAS_CPP_EXT``.
+
+The native layer covers the host float64 table math (windows, mel scale,
+mel filterbank, DCT basis — `csrc/tables.cpp`); device compute is always
+JAX/XLA/Pallas and never depends on it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_PKG_DIR = Path(__file__).parent
+_SO_PATH = _PKG_DIR / "_tables.so"
+_CSRC = _PKG_DIR.parent / "csrc"
+
+_WINDOW_KINDS = {
+    "hann": 0,
+    "hamming": 1,
+    "blackman": 2,
+    "bartlett": 3,
+    "rectangular": 4,
+    "kaiser": 5,
+}
+
+_lib: ctypes.CDLL | None = None
+
+
+def _try_build() -> None:
+    if _SO_PATH.exists() or not (_CSRC / "Makefile").exists():
+        return
+    if os.environ.get("MLX_AUDIO_TPU_NO_NATIVE_BUILD") == "1":
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", str(_CSRC)],
+            capture_output=True,
+            timeout=120,
+            check=True,
+        )
+    except Exception:
+        pass
+
+
+def _load() -> ctypes.CDLL | None:
+    _try_build()
+    if not _SO_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO_PATH))
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.mapt_abi_version.restype = ctypes.c_int32
+        lib.mapt_window.argtypes = [
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int32, ctypes.c_double, f64p,
+        ]
+        lib.mapt_window.restype = ctypes.c_int32
+        lib.mapt_hz_to_mel.argtypes = [f64p, ctypes.c_int64, ctypes.c_int32, f64p]
+        lib.mapt_hz_to_mel.restype = ctypes.c_int32
+        lib.mapt_mel_to_hz.argtypes = [f64p, ctypes.c_int64, ctypes.c_int32, f64p]
+        lib.mapt_mel_to_hz.restype = ctypes.c_int32
+        lib.mapt_mel_filterbank.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32, ctypes.c_int32, f64p,
+        ]
+        lib.mapt_mel_filterbank.restype = ctypes.c_int32
+        lib.mapt_dct_basis_t.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f64p,
+        ]
+        lib.mapt_dct_basis_t.restype = ctypes.c_int32
+
+        # live smoke test (reference `_extension.py:30-44`)
+        if lib.mapt_abi_version() != 1:
+            return None
+        probe = np.empty(4, np.float64)
+        rc = lib.mapt_window(0, 4, 1, 0.0,
+                             probe.ctypes.data_as(f64p))
+        if rc != 0 or not np.isfinite(probe).all():
+            return None
+        return lib
+    except Exception:
+        return None
+
+
+_lib = _load()
+
+#: True when the native table builders are available (analog of HAS_CPP_EXT).
+HAS_NATIVE: bool = _lib is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def native_window(name: str, n: int, fftbins: bool, beta: float | None) -> np.ndarray | None:
+    if _lib is None or name not in _WINDOW_KINDS:
+        return None
+    out = np.empty(n, np.float64)
+    rc = _lib.mapt_window(
+        _WINDOW_KINDS[name], n, int(fftbins), float(beta or 0.0), _ptr(out)
+    )
+    return out if rc == 0 else None
+
+
+def native_mel_filterbank(
+    sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float,
+    htk: bool, norm: str | None,
+) -> np.ndarray | None:
+    if _lib is None or norm not in (None, "slaney"):
+        return None
+    out = np.empty((n_mels, n_fft // 2 + 1), np.float64)
+    rc = _lib.mapt_mel_filterbank(
+        sr, n_fft, n_mels, float(fmin), float(fmax), int(htk),
+        1 if norm == "slaney" else 0, _ptr(out),
+    )
+    return out if rc == 0 else None
+
+
+def native_dct_basis_t(n_out: int, n_in: int, norm: str | None) -> np.ndarray | None:
+    if _lib is None or norm not in (None, "ortho"):
+        return None
+    out = np.empty((n_in, n_out), np.float64)
+    rc = _lib.mapt_dct_basis_t(n_out, n_in, 1 if norm == "ortho" else 0, _ptr(out))
+    return out if rc == 0 else None
+
+
+def native_hz_to_mel(f: np.ndarray, htk: bool) -> np.ndarray | None:
+    if _lib is None:
+        return None
+    f = np.ascontiguousarray(f, np.float64)
+    out = np.empty_like(f)
+    rc = _lib.mapt_hz_to_mel(_ptr(f), f.size, int(htk), _ptr(out))
+    return out if rc == 0 else None

@@ -82,7 +82,14 @@ def _mel_filterbank_table(
     norm: str | None,
 ) -> np.ndarray:
     """librosa's exact fdiff/ramps triangular-filter algorithm in float64
-    (reference `mel.py:100-168`, `csrc/primitives/mel_filterbank.cpp:144-228`)."""
+    (reference `mel.py:100-168`, `csrc/primitives/mel_filterbank.cpp:144-228`).
+    Native C++ builder first, NumPy fallback."""
+    if norm in (None, "slaney"):
+        from .._native import native_mel_filterbank
+
+        fb = native_mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk, norm)
+        if fb is not None:
+            return fb
     fftfreqs = np.linspace(0, sr / 2.0, 1 + n_fft // 2)
     mels = np.linspace(hz_to_mel(fmin, htk), hz_to_mel(fmax, htk), n_mels + 2)
     mel_f = mel_to_hz(mels, htk)

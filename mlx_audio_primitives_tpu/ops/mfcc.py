@@ -37,7 +37,14 @@ ArrayLike = Any
 @table_cache("dct_basis", maxsize=DCT_CACHE_SIZE)
 def _dct_basis_t(n_out: int, n_in: int, norm: str | None) -> np.ndarray:
     """Transposed DCT-II basis ``(n_in, n_out)``: C[k,n]=cos(pi k (2n+1)/(2N)),
-    optional ortho scaling (reference `mfcc.py:23-66`)."""
+    optional ortho scaling (reference `mfcc.py:23-66`). Native C++ builder
+    first, NumPy fallback."""
+    if norm in (None, "ortho"):
+        from .._native import native_dct_basis_t
+
+        basis_t = native_dct_basis_t(n_out, n_in, norm)
+        if basis_t is not None:
+            return basis_t
     n = np.arange(n_in, dtype=np.float64)
     k = np.arange(n_out, dtype=np.float64)
     basis = np.cos(np.pi * k[:, None] * (2.0 * n[None, :] + 1.0) / (2.0 * n_in))

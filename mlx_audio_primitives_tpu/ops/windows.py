@@ -88,7 +88,17 @@ def _symmetric_window_np(name: str, n: int, beta: float | None) -> np.ndarray:
 
 @table_cache("window", maxsize=WINDOW_CACHE_SIZE)
 def _window_table(name: str, n: int, fftbins: bool, beta: float | None) -> np.ndarray:
-    """Host float64 window table (tier-1 cache)."""
+    """Host float64 window table (tier-1 cache).
+
+    Tries the native C++ builder first (`csrc/tables.cpp::mapt_window`,
+    bit-identical f64 math), falling back to NumPy — the reference's
+    optional-extension contract (`windows.py:152-189`).
+    """
+    from .._native import native_window
+
+    w = native_window(name, n, fftbins, beta)
+    if w is not None:
+        return w
     if fftbins and n > 1:
         w = _symmetric_window_np(name, n + 1, beta)[:n]
     else:
