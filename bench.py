@@ -43,39 +43,25 @@ def _median_time(fn, runs=RUNS, warmup=WARMUP) -> float:
 
 
 def bench_ours(y: np.ndarray) -> float:
-    """Seconds per batch, amortized over a K-step serialized scan in one jit.
-
-    Per-call wall timing through the remote TPU attachment has a bimodal
-    latency floor (~0.1 ms vs ~30 ms depending on session); chaining K
-    iterations inside one executable removes dispatch latency entirely.
-    """
+    """Honest seconds-per-batch via the slope-amortized scan harness
+    (see benchmarks/utils.py::time_jax_amortized for why: RPC latency floor,
+    XLA DCE/factoring/LICM, and non-blocking block_until_ready on async
+    PJRT proxies are all neutralized)."""
     import jax
     import jax.numpy as jnp
 
+    from benchmarks.utils import time_jax_amortized
     from mlx_audio_primitives_tpu import melspectrogram, power_to_db
 
     yd = jax.device_put(jnp.asarray(y))
-    K = 20
-
-    @jax.jit
-    def loop(x):
-        def body(carry, _):
-            out = power_to_db(
-                melspectrogram(x * (1.0 + carry), sr=SR, n_fft=N_FFT,
-                               hop_length=HOP, n_mels=N_MELS)
-            )
-            z = out[0, 0, 0] * 0.0
-            return z, z
-
-        return jax.lax.scan(body, jnp.float32(0.0), None, length=K)[1]
-
-    loop(yd).block_until_ready()  # compile
-    times = []
-    for _ in range(RUNS // 2):
-        t0 = time.perf_counter()
-        loop(yd).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / K
+    return time_jax_amortized(
+        lambda x: power_to_db(
+            melspectrogram(x, sr=SR, n_fft=N_FFT, hop_length=HOP,
+                           n_mels=N_MELS)
+        ),
+        yd,
+        k=20,
+    )
 
 
 def bench_torch_cpu(y: np.ndarray) -> float:

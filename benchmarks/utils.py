@@ -42,29 +42,55 @@ def time_jax_amortized(
     k: int = 20,
     runs: int = 5,
 ) -> float:
-    """Seconds per call of ``fn`` measured as a K-step serialized scan.
+    """Honest seconds-per-call of a jax op on a remote/async TPU attachment.
 
-    ``fn`` must map an array to an array; iterations are chained through a
-    scalar carry so XLA cannot parallelize them away.
+    Four measurement hazards, all hit in practice, all handled here:
+
+    1. per-call RPC latency floor (tens of ms on tunneled TPUs) — amortized
+       by chaining iterations inside ONE executable via ``lax.scan``;
+    2. XLA dead-code elimination — the output is consumed by a *nonlinear*
+       full reduction (a scalar slice gets slice-propagated away; a linear
+       sum factors through matmuls as sum(A@B)=rowsum(A)·colsum(B));
+    3. XLA loop-invariant code motion — the scan carry is *data-dependent*
+       (a 0.0 carry constant-folds and the body hoists out of the loop);
+    4. ``block_until_ready`` that does not actually block (async PJRT
+       proxies) — synchronization is a real scalar device->host transfer,
+       and the per-op time is the SLOPE between two different K values,
+       which cancels the transfer floor exactly.
     """
+    k_lo = max(2, k // 5)
+    k_hi = k_lo + k
 
-    @jax.jit
-    def loop(xx):
-        def body(carry, _):
-            out = fn(xx * (1.0 + carry))
-            flat = jax.tree.leaves(out)[0].ravel()[0]
-            zero = jnp.real(flat).astype(jnp.float32) * 0.0
-            return zero, zero
+    def make_loop(length):
+        @jax.jit
+        def loop(xx):
+            def body(carry, _):
+                out = fn(xx * (1.0 + carry))
+                total = sum(
+                    jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
+                    for leaf in jax.tree.leaves(out)
+                )
+                return total * 1e-20, total
 
-        return jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=k)[1]
+            return jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), None, length=length
+            )[1][-1]
 
-    loop(x).block_until_ready()
-    times = []
+        return loop
+
+    lo, hi = make_loop(k_lo), make_loop(k_hi)
+    float(lo(x))
+    float(hi(x))
+    t_lo, t_hi = [], []
     for _ in range(runs):
         t0 = time.perf_counter()
-        loop(x).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / k
+        float(lo(x))
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(hi(x))
+        t_hi.append(time.perf_counter() - t0)
+    slope = (float(np.median(t_hi)) - float(np.median(t_lo))) / (k_hi - k_lo)
+    return max(slope, 1e-9)
 
 
 def compute_accuracy(ours, reference) -> AccuracyStats:

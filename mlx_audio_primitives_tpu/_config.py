@@ -33,6 +33,7 @@ COMPLEX_DTYPE = jnp.complex64
 # ~1e-4..5e-5 parity tolerances (SURVEY.md §7 "Hard parts" #1).
 MATMUL_PRECISION = lax.Precision.HIGHEST
 
-# STFT sizes at or below this threshold may use the DFT-as-matmul fast path
-# (MXU-friendly) instead of jnp.fft.rfft; chosen by benchmark on TPU.
+# STFT sizes at or below this threshold are sensible for the DFT-as-matmul
+# path (fft_mode='matmul'). Benchmarked on v5e: XLA's FFT wins at the default
+# HIGHEST matmul precision, the GEMM wins at HIGH/DEFAULT; 'auto' uses FFT.
 DFT_MATMUL_MAX_NFFT: int = 4096

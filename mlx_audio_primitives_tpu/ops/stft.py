@@ -9,9 +9,10 @@ TPU-native architecture (vs the reference `mlx_audio_primitives/stft.py`):
 * pad -> frame -> window -> rfft all live inside one jitted core so XLA fuses
   the window multiply and padding index math into the transform's operand
   loads. Framing is chunk algebra (see `_frames.py`), not a strided view.
-* The transform itself has two paths: ``jnp.fft.rfft`` (always available) and
-  the MXU GEMM path (`kernels/dft.py`), selected by ``fft_mode``; 'auto'
-  picks the GEMM on TPU for n_fft <= DFT_MATMUL_MAX_NFFT.
+* The transform itself has two paths: ``jnp.fft.rfft`` (default — faster at
+  the library's HIGHEST matmul precision and ~2e-7 accurate on TPU) and the
+  MXU DFT-GEMM path (`kernels/dft.py`, ``fft_mode='matmul'``), which wins
+  when matmul precision is relaxed to HIGH/DEFAULT.
 * ISTFT's overlap-add + squared-window normalization is the race-free chunk
   transpose (`_frames.py:overlap_add`), the TPU analog of the reference's
   fused output-centric Metal kernel (`csrc/metal/overlap_add.metal:16-55`).
@@ -29,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .._config import (
-    DFT_MATMUL_MAX_NFFT,
     REAL_DTYPE,
     WINDOW_SUM_EPSILON,
 )
@@ -44,9 +44,16 @@ _PAD_MODES = ("constant", "reflect", "edge")
 
 
 def _resolve_fft_mode(fft_mode: str, n_fft: int) -> str:
+    """Resolve the transform path.
+
+    Measured on TPU v5e with slope-amortized timing (see
+    benchmarks/utils.py): XLA's FFT is both faster than the DFT-GEMM at the
+    library's default Precision.HIGHEST (0.61 vs 0.84 ms for the batch-64
+    mel pipeline) and equally accurate (~2e-7 rel), so 'auto' = 'fft'. The
+    GEMM path wins when precision is relaxed (HIGH: 0.47 ms, DEFAULT:
+    0.12 ms) and remains selectable via fft_mode='matmul'.
+    """
     if fft_mode == "auto":
-        if dispatch.is_tpu() and n_fft <= DFT_MATMUL_MAX_NFFT:
-            return "matmul"
         return "fft"
     if fft_mode not in ("fft", "matmul"):
         raise ValueError(f"fft_mode must be 'auto', 'fft' or 'matmul', got {fft_mode}")
@@ -112,8 +119,8 @@ def stft(
     ``(batch, samples)``; output ``(n_fft//2+1, n_frames)`` or
     ``(batch, n_fft//2+1, n_frames)`` complex64.
 
-    ``fft_mode`` is a TPU-native extension: 'auto' (GEMM on TPU, FFT
-    elsewhere), 'fft', or 'matmul'.
+    ``fft_mode`` is a TPU-native extension: 'auto' (= 'fft'), 'fft', or
+    'matmul' (the MXU DFT-GEMM path; faster at relaxed matmul precision).
     """
     if hop_length is None:
         hop_length = n_fft // 4
@@ -214,10 +221,11 @@ def istft(
     librosa-compatible semantics including ``length`` crop/pad and center-pad
     trimming (reference: `mlx_audio_primitives/stft.py:225-344`).
 
-    ``use_pallas`` selects the fused overlap-add+normalize kernel
+    ``use_pallas=True`` selects the fused overlap-add+normalize kernel
     (`kernels/overlap_add.py`, the analog of the reference's fused Metal
-    kernel); ``None`` = auto (TPU backend and 128-aligned hop only) — the
-    same graceful-dispatch contract as the reference's ``use_cpp``.
+    kernel); default uses the XLA chunk overlap-add, which measures ~2x
+    faster on current TPUs — the same graceful-dispatch contract as the
+    reference's ``use_cpp``.
     """
     S = jnp.asarray(stft_matrix)
     if S.ndim not in (2, 3):
@@ -245,7 +253,9 @@ def istft(
         padded_length = n_fft + (n_frames - 1) * hop_length
 
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
-    pallas_ok = dispatch.resolve_use_pallas(use_pallas) and hop_length % 128 == 0
+    # Pallas OLA is explicit opt-in: the XLA chunk OLA measures ~2x faster
+    # on v5e (0.04 vs 0.09 ms for a 1 s clip, slope-amortized).
+    pallas_ok = use_pallas is True and dispatch.HAS_PALLAS and hop_length % 128 == 0
     y = _istft_core(
         S,
         win,
