@@ -1,0 +1,109 @@
+"""Arbitrary-length FFTs on TPU via Bluestein's chirp-Z algorithm.
+
+XLA's TPU FFT is fast only for power-of-2 lengths; any other length lowers to
+a dense (n, n) DFT matmul — 7.8 GB of HBM and ~200 ms for n = 44100, OOM for
+n = 88200 (measured). That breaks exact-length transforms like
+scipy-compatible FFT resampling. Bluestein re-expresses a length-n DFT as a
+circular convolution of length M = next_pow2(2n-1):
+
+    X[k] = b*[k] . FFT^-1( FFT(x . b*) . FFT(b) )[k],   b[m] = exp(i pi m^2/n)
+
+so only power-of-2 FFTs ever run. The chirp phase m^2/n is reduced with
+*exact integer* arithmetic on the host ((m*m) mod 2n as Python ints — naive
+f32/f64 evaluation of m^2 loses all phase accuracy by m ~ 1e4), and FFT(b) is
+precomputed in float64 NumPy and cached device-resident.
+
+Public helpers `rfft_len` / `irfft_len` dispatch: power-of-2 -> jnp.fft,
+small n -> the DFT-GEMM basis (kernels/dft.py), otherwise Bluestein.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.cache import table_cache
+from .dft import irdft_matmul, rdft_matmul
+
+_DFT_MATMUL_MAX = 4096
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n - 1)).bit_length()
+
+
+def _chirp_angles(n: int, count: int) -> np.ndarray:
+    """Exact angles pi*m^2/n reduced mod 2pi, via integer (m*m) mod 2n."""
+    mods = np.array([(m * m) % (2 * n) for m in range(count)], dtype=np.float64)
+    return np.pi * mods / n
+
+
+@table_cache("bluestein", maxsize=16, dtype=np.float32)
+def _bluestein_tables(n: int) -> np.ndarray:
+    """Packed (2, 2, M) float32: [chirp conj, FFT(b)] x [real, imag].
+
+    Stored in real components (not complex64) because complex device arrays
+    cannot be embedded as jit constants on some remote TPU attachments
+    (complex64 device->host transfer is unimplemented there).
+    """
+    M = _next_pow2(2 * n - 1)
+    ang = _chirp_angles(n, n)
+    chirp = np.exp(1j * ang)  # b[m]
+    a_mult = np.zeros(M, np.complex128)
+    a_mult[:n] = np.conj(chirp)  # also the output chirp
+    b_circ = np.zeros(M, np.complex128)
+    b_circ[:n] = chirp
+    b_circ[M - n + 1 :] = chirp[1:][::-1]  # b[-m] = b[m]
+    B = np.fft.fft(b_circ)
+    return np.stack(
+        [
+            np.stack([a_mult.real, a_mult.imag]),
+            np.stack([B.real, B.imag]),
+        ]
+    )
+
+
+@partial(jax.jit, static_argnames=("n",))
+def fft_bluestein(x: jax.Array, *, n: int) -> jax.Array:
+    """Complex DFT of length n over the last axis (input length must be n)."""
+    tables = _bluestein_tables(n)
+    M = tables.shape[2]
+    chirp_c = jax.lax.complex(tables[0, 0], tables[0, 1])  # conj chirp, len M
+    Bf = jax.lax.complex(tables[1, 0], tables[1, 1])
+    a = x.astype(jnp.complex64) * chirp_c[:n]
+    A = jnp.fft.fft(a, n=M, axis=-1)
+    conv = jnp.fft.ifft(A * Bf, axis=-1)
+    return conv[..., :n] * chirp_c[:n]
+
+
+@partial(jax.jit, static_argnames=("n",))
+def ifft_bluestein(X: jax.Array, *, n: int) -> jax.Array:
+    """Complex inverse DFT of length n: conj(fft(conj(X)))/n."""
+    return jnp.conj(fft_bluestein(jnp.conj(X), n=n)) / n
+
+
+def rfft_len(x: jax.Array, n: int) -> jax.Array:
+    """rfft of real input already of length ``n`` -> (..., n//2+1).
+
+    Dispatch: pow2 -> jnp.fft.rfft; n <= 4096 -> DFT-GEMM; else Bluestein.
+    """
+    if n & (n - 1) == 0:
+        return jnp.fft.rfft(x, axis=-1)
+    if n <= _DFT_MATMUL_MAX:
+        return rdft_matmul(x, n)
+    return fft_bluestein(x, n=n)[..., : n // 2 + 1]
+
+
+def irfft_len(X: jax.Array, n: int) -> jax.Array:
+    """irfft producing real output of length ``n`` from (..., n//2+1) bins."""
+    if n & (n - 1) == 0:
+        return jnp.fft.irfft(X, n=n, axis=-1)
+    if n <= _DFT_MATMUL_MAX:
+        return irdft_matmul(X, n)
+    # hermitian extension then complex inverse Bluestein
+    tail = jnp.conj(X[..., 1 : (n + 1) // 2][..., ::-1])
+    full = jnp.concatenate([X, tail], axis=-1)
+    return jnp.real(ifft_bluestein(full, n=n))

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .._config import REAL_DTYPE, WINDOW_SUM_EPSILON
+from ..kernels.bluestein import irfft_len, rfft_len
 from ..kernels.dft import forward_basis, inverse_basis, irdft_matmul, rdft_matmul
 from ..utils.validation import validate_positive
 from ._frames import frame_signal_batched, overlap_add, window_envelope
@@ -88,7 +89,7 @@ def _griffinlim_core(
         if fft_mode == "matmul":
             frames = irdft_matmul(spec, n_fft, inv_basis)
         else:
-            frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)
+            frames = irfft_len(spec, n_fft)
         y = overlap_add(frames.astype(REAL_DTYPE) * win, hop_length, padded_length)
         y = y / env
         if center:
@@ -106,7 +107,7 @@ def _griffinlim_core(
         if fft_mode == "matmul":
             spec = rdft_matmul(frames, n_fft, fwd_basis)
         else:
-            spec = jnp.fft.rfft(frames, axis=-1)
+            spec = rfft_len(frames, n_fft)
         # +/-1 frame fixup (static): crop or zero-pad the frame axis to F
         F2 = spec.shape[1]
         if F2 > F:

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .._config import REAL_DTYPE
+from ..kernels.bluestein import irfft_len, rfft_len
 from ..utils.cache import table_cache
 from ..utils.validation import validate_positive
 from ._frames import frame_signal_batched
@@ -39,7 +40,7 @@ def _resample_fft_core(y: jax.Array, *, target_length: int) -> jax.Array:
     """scipy.signal.resample algorithm for real input, on device."""
     B, n = y.shape
     num = target_length
-    X = jnp.fft.rfft(y, axis=-1)
+    X = rfft_len(y, n)
     N = min(num, n)
     nyq = N // 2 + 1
     out_bins = num // 2 + 1
@@ -53,7 +54,7 @@ def _resample_fft_core(y: jax.Array, *, target_length: int) -> jax.Array:
             Y = Y.at[:, N // 2].multiply(0.5)
     if out_bins > nyq:
         Y = jnp.pad(Y, ((0, 0), (0, out_bins - nyq)))
-    out = jnp.fft.irfft(Y, n=num, axis=-1) * (num / n)
+    out = irfft_len(Y, num) * (num / n)
     return out.astype(REAL_DTYPE)
 
 

@@ -33,6 +33,7 @@ from .._config import (
     REAL_DTYPE,
     WINDOW_SUM_EPSILON,
 )
+from ..kernels.bluestein import irfft_len, rfft_len
 from ..kernels.dft import forward_basis, inverse_basis, irdft_matmul, rdft_matmul
 from ..utils import dispatch
 from ._frames import frame_signal_batched, num_frames, overlap_add, window_envelope
@@ -99,7 +100,7 @@ def _stft_core(
     frames = frames * win
     if fft_mode == "matmul":
         return rdft_matmul(frames, n_fft, basis)
-    return jnp.fft.rfft(frames, axis=-1)
+    return rfft_len(frames, n_fft)
 
 
 def stft(
@@ -190,7 +191,7 @@ def _istft_core(
     if fft_mode == "matmul":
         frames = irdft_matmul(S, n_fft, basis)
     else:
-        frames = jnp.fft.irfft(S, n=n_fft, axis=-1)
+        frames = irfft_len(S, n_fft)
     frames = frames.astype(REAL_DTYPE)
     fw = frames * win
     if use_pallas:

@@ -1,0 +1,89 @@
+"""Bluestein arbitrary-length FFT tests (kernels/bluestein.py).
+
+On TPU, XLA lowers non-power-of-2 FFTs to a dense (n, n) DFT matmul (7.8 GB
+for n=44100); these verify the chirp-Z replacement against numpy across
+length classes and through the public resample/stft paths.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mlx_audio_primitives_tpu import istft, resample, stft
+from mlx_audio_primitives_tpu.kernels.bluestein import (
+    fft_bluestein,
+    ifft_bluestein,
+    irfft_len,
+    rfft_len,
+)
+
+
+@pytest.mark.parametrize("n", [7, 100, 441, 1000, 22050, 44100])
+def test_fft_bluestein_matches_numpy(n):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))).astype(
+        np.complex64
+    )
+    ours = np.asarray(fft_bluestein(jnp.asarray(x), n=n))
+    ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(ours, ref, atol=3e-4 * scale)
+
+
+@pytest.mark.parametrize("n", [100, 441, 44100])
+def test_ifft_bluestein_roundtrip(n):
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))).astype(
+        np.complex64
+    )
+    back = np.asarray(ifft_bluestein(fft_bluestein(jnp.asarray(x), n=n), n=n))
+    np.testing.assert_allclose(back, x, atol=2e-4 * np.abs(x).max())
+
+
+@pytest.mark.parametrize("n", [128, 441, 6000, 44100])
+def test_rfft_len_matches_numpy(n):
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    ours = np.asarray(rfft_len(jnp.asarray(x), n))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(ours, ref, atol=3e-4 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("n", [128, 441, 6000, 44100])
+def test_irfft_len_matches_numpy(n):
+    rng = np.random.default_rng(3)
+    X = np.fft.rfft(rng.standard_normal((2, n))).astype(np.complex64)
+    ours = np.asarray(irfft_len(jnp.asarray(X), n))
+    ref = np.fft.irfft(X.astype(np.complex128), n=n, axis=-1)
+    np.testing.assert_allclose(ours, ref, atol=3e-4 * np.abs(ref).max() + 1e-6)
+
+
+def test_resample_nonpow2_path():
+    """44100 -> 16000 FFT resample (both lengths non-pow2) still matches scipy."""
+    import scipy.signal
+
+    rng = np.random.default_rng(4)
+    y = rng.standard_normal(44100).astype(np.float32)
+    ours = np.asarray(resample(y, 44100, 16000))
+    ref = scipy.signal.resample(y.astype(np.float64), 16000)
+    np.testing.assert_allclose(ours, ref, atol=3e-4)
+
+
+def test_nonpow2_nfft_stft_roundtrip():
+    """Odd n_fft sizes route through Bluestein and still reconstruct."""
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal(12000).astype(np.float32)
+    n_fft, hop = 6000, 1500  # > DFT-GEMM threshold, non-pow2
+    S = stft(y, n_fft=n_fft, hop_length=hop)
+    rec = np.asarray(istft(S, hop_length=hop, n_fft=n_fft, length=len(y)))
+    np.testing.assert_allclose(rec, y, atol=5e-4)
+
+
+def test_small_nonpow2_uses_dft_gemm():
+    """n <= 4096 non-pow2 lengths go through the DFT-GEMM (exact vs numpy)."""
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((3, 441)).astype(np.float32)
+    ours = np.asarray(rfft_len(jnp.asarray(x), 441))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
