@@ -127,6 +127,41 @@ def log_cache_access(name: str, hit: bool) -> None:
         entry["hits" if hit else "misses"] += 1
 
 
+def tracked_to_device(x, context: str = "to_device"):
+    """``jax.device_put`` that logs the host->device transfer when profiling.
+
+    Analog of the reference's ``tracked_mx_array`` converter
+    (`_profiler.py:263-303`).
+    """
+    arr = jax.device_put(x)
+    if _STATE.enabled and hasattr(arr, "nbytes"):
+        log_transfer("h2d", context, arr.nbytes)
+    return arr
+
+
+def tracked_to_host(x, context: str = "to_host"):
+    """Device->host conversion (``np.asarray``) that logs the transfer.
+
+    Analog of the reference's ``tracked_np_array`` (`_profiler.py:263-303`).
+    """
+    import numpy as np
+
+    out = np.asarray(x)
+    if _STATE.enabled:
+        log_transfer("d2h", context, out.nbytes)
+    return out
+
+
+def start_device_trace(log_dir: str) -> None:
+    """Start a full jax.profiler trace (TensorBoard format) alongside the
+    lightweight section timers."""
+    jax.profiler.start_trace(log_dir)
+
+
+def stop_device_trace() -> None:
+    jax.profiler.stop_trace()
+
+
 def get_profiling_data() -> dict[str, Any]:
     return {
         "timings": {k: list(v) for k, v in _STATE.timings.items()},

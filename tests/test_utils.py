@@ -134,3 +134,43 @@ class TestValidation:
             validate_range(1.5, "q", low=0.0, high=1.0)
         with pytest.raises(ValueError):
             validate_range(0.0, "q", low=0.0, inclusive=False)
+
+
+class TestTrackedTransfers:
+    def test_tracked_converters_log(self):
+        import numpy as np
+
+        from mlx_audio_primitives_tpu.utils import (
+            clear_profiling,
+            disable_profiling,
+            enable_profiling,
+            get_profiling_data,
+            tracked_to_device,
+            tracked_to_host,
+        )
+
+        clear_profiling()
+        enable_profiling()
+        try:
+            x = tracked_to_device(np.ones(1000, np.float32), context="w")
+            back = tracked_to_host(x, context="r")
+            assert back.shape == (1000,)
+            transfers = get_profiling_data()["transfers"]
+            dirs = {t["direction"] for t in transfers}
+            assert dirs == {"h2d", "d2h"}
+            assert all(t["bytes"] == 4000 for t in transfers)
+        finally:
+            disable_profiling()
+
+    def test_no_logging_when_disabled(self):
+        import numpy as np
+
+        from mlx_audio_primitives_tpu.utils import (
+            clear_profiling,
+            get_profiling_data,
+            tracked_to_device,
+        )
+
+        clear_profiling()
+        tracked_to_device(np.ones(10, np.float32))
+        assert get_profiling_data()["transfers"] == []
