@@ -1,0 +1,128 @@
+"""Differentiability tests: the DSP pipeline as a trainable frontend.
+
+The reference (MLX, inference-only usage) never tests gradients; a TPU
+library feeding training loops must be differentiable end-to-end. These
+check jax.grad through the jitted cores against finite differences and
+verify the sharded training step's gradients are exact.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_audio_primitives_tpu import (
+    deemphasis,
+    istft,
+    magnitude,
+    melspectrogram,
+    mfcc,
+    power_to_db,
+    preemphasis,
+    resample_poly,
+    stft,
+)
+
+
+def _fd_check(f, x, atol=None, eps=1e-2, rtol=0.05, n_probe=3):
+    """Directional finite-difference check: g·v vs (f(x+εv)-f(x-εv))/2ε.
+
+    Full-vector directions keep the signal well above float32 rounding noise
+    (pointwise FD of a large sum drowns in ε_f32·|f| error).
+    """
+    g = np.asarray(jax.grad(f)(x), dtype=np.float64)
+    rng = np.random.default_rng(0)
+    for _ in range(n_probe):
+        v = rng.standard_normal(x.shape).astype(np.float32)
+        v /= np.linalg.norm(v)
+        fp = float(f(jnp.asarray(np.asarray(x) + eps * v)))
+        fm = float(f(jnp.asarray(np.asarray(x) - eps * v)))
+        fd = (fp - fm) / (2 * eps)
+        gv = float((g * v).sum())
+        scale = max(abs(gv), abs(fd), 1e-6)
+        # rtol on the signal + an absolute floor for f32 evaluation noise
+        assert abs(gv - fd) <= rtol * scale + 2e-4, (gv, fd)
+
+
+@pytest.fixture
+def y_small():
+    rng = np.random.default_rng(1)
+    return jnp.asarray(rng.standard_normal(2048).astype(np.float32))
+
+
+class TestGradients:
+    def test_stft_magnitude_grad(self, y_small):
+        def f(y):
+            return jnp.sum(magnitude(stft(y, n_fft=256, hop_length=64)) ** 2)
+
+        # larger eps: f ~ 4e5, so f32 rounding of f dominates FD at small eps
+        _fd_check(f, y_small, eps=3e-2)
+
+    def test_melspectrogram_grad(self, y_small):
+        def f(y):
+            return jnp.mean(melspectrogram(y, n_fft=256, hop_length=64, n_mels=32))
+
+        _fd_check(f, y_small)
+
+    def test_logmel_grad_finite(self, y_small):
+        def f(y):
+            m = melspectrogram(y, n_fft=256, hop_length=64, n_mels=32)
+            return jnp.mean(power_to_db(m, top_db=None))
+
+        g = np.asarray(jax.grad(f)(y_small))
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0
+
+    def test_mfcc_grad_finite(self, y_small):
+        def f(y):
+            return jnp.mean(mfcc(y, n_fft=256, hop_length=64, n_mels=32, n_mfcc=8))
+
+        g = np.asarray(jax.grad(f)(y_small))
+        assert np.isfinite(g).all()
+
+    def test_istft_roundtrip_grad(self, y_small):
+        """d/dy ||istft(stft(y)) - y||^2 must be ~0 at perfect reconstruction."""
+
+        def f(y):
+            S = stft(y, n_fft=256, hop_length=64)
+            rec = istft(S, hop_length=64, length=y.shape[0])
+            return jnp.sum((rec - y) ** 2)
+
+        g = np.asarray(jax.grad(f)(y_small))
+        assert np.abs(g).max() < 1e-3
+
+    def test_resample_poly_grad(self, y_small):
+        def f(y):
+            return jnp.sum(resample_poly(y, 2, 3) ** 2)
+
+        _fd_check(f, y_small)
+
+    def test_preemphasis_deemphasis_grad(self, y_small):
+        def f(y):
+            return jnp.sum(deemphasis(preemphasis(y)) ** 2)
+
+        g = np.asarray(jax.grad(f)(y_small))
+        # roundtrip is identity => grad = 2*y
+        np.testing.assert_allclose(g, 2 * np.asarray(y_small), atol=5e-3)
+
+    def test_grad_batched(self):
+        rng = np.random.default_rng(2)
+        yb = jnp.asarray(rng.standard_normal((3, 2048)).astype(np.float32))
+
+        def f(y):
+            return jnp.mean(melspectrogram(y, n_fft=256, hop_length=64, n_mels=16))
+
+        g = np.asarray(jax.grad(f)(yb))
+        assert g.shape == yb.shape and np.isfinite(g).all()
+
+    def test_value_and_grad_jit(self, y_small):
+        f = jax.jit(
+            jax.value_and_grad(
+                lambda y: jnp.mean(
+                    melspectrogram(y, n_fft=256, hop_length=64, n_mels=16)
+                )
+            )
+        )
+        v, g = f(y_small)
+        assert np.isfinite(float(v)) and np.isfinite(np.asarray(g)).all()
