@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .._config import FILTERBANK_CACHE_SIZE, MATMUL_PRECISION, REAL_DTYPE
+from ..kernels.bluestein import rfft_len
 from ..kernels.dft import forward_basis
 from ..utils.cache import table_cache
 from ..utils.validation import validate_non_negative, validate_positive
@@ -167,7 +168,7 @@ def _melspec_core(
         ri = jnp.matmul(frames, basis, precision=MATMUL_PRECISION)
         pow2 = ri[..., :n_bins] ** 2 + ri[..., n_bins:] ** 2
     else:
-        S = jnp.fft.rfft(frames, axis=-1)
+        S = rfft_len(frames, n_fft)
         pow2 = jnp.real(S) ** 2 + jnp.imag(S) ** 2
     if power == 2.0:
         P = pow2
