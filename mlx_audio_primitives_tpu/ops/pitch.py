@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .._config import REAL_DTYPE
+from ..kernels.bluestein import rfft_len
 from ..utils.validation import validate_positive
 from ._frames import frame_signal_batched
 
@@ -40,7 +41,8 @@ def _autocorrelation_core(
     if center:
         y = y - jnp.mean(y, axis=-1, keepdims=True)
     n_fft = _next_pow2(2 * n - 1)
-    Y = jnp.fft.rfft(y, n=n_fft, axis=-1)
+    y = jnp.pad(y, ((0, 0), (0, n_fft - y.shape[-1])))
+    Y = rfft_len(y, n_fft)
     power = jnp.real(Y) ** 2 + jnp.imag(Y) ** 2
     r = jnp.fft.irfft(power, n=n_fft, axis=-1)[:, :max_lag]
     if normalize:
@@ -83,7 +85,8 @@ def _framewise_acf(
     frames = frame_signal_batched(y, frame_length, hop_length)
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     n_fft = _next_pow2(2 * frame_length - 1)
-    Y = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, n_fft - frame_length)))
+    Y = rfft_len(frames, n_fft)
     power = jnp.real(Y) ** 2 + jnp.imag(Y) ** 2
     r = jnp.fft.irfft(power, n=n_fft, axis=-1)
     r0 = r[..., :1]
