@@ -131,9 +131,43 @@ def rfft_len(x: jax.Array, n: int) -> jax.Array:
     return fft_bluestein(x, n=n)[..., : n // 2 + 1]
 
 
+def irfft_packed(X: jax.Array, n: int) -> jax.Array:
+    """irfft via pair-packed complex inverse FFT (dual of :func:`rfft_packed`).
+
+    Two hermitian spectra A, B share one inverse transform: with full-length
+    extensions, ``z = ifft(A_full + i*B_full)`` gives ``a = Re z``,
+    ``b = Im z`` (linearity + realness of a, b).
+    """
+    *lead, n_bins = X.shape
+    rows = int(np.prod(lead)) if lead else 1
+    flat = X.reshape(rows, n_bins)
+    odd_rows = rows % 2 == 1
+    if odd_rows:
+        flat = jnp.pad(flat, ((0, 1), (0, 0)))
+    # irfft semantics use only the real part of the DC (and, for even n,
+    # Nyquist) bins; zero their imaginary parts so the extension is exactly
+    # hermitian — otherwise the packed pair leak into each other.
+    flat = flat.at[:, 0].set(jnp.real(flat[:, 0]).astype(flat.dtype))
+    if n % 2 == 0:
+        flat = flat.at[:, -1].set(jnp.real(flat[:, -1]).astype(flat.dtype))
+    tail = jnp.conj(flat[:, 1 : (n + 1) // 2][:, ::-1])
+    full = jnp.concatenate([flat, tail], axis=-1)  # (rows', n)
+    Z = full[0::2] + jax.lax.complex(
+        -jnp.imag(full[1::2]), jnp.real(full[1::2])
+    )  # A + i*B
+    z = jnp.fft.ifft(Z, axis=-1)
+    out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=1).reshape(-1, n)
+    if odd_rows:
+        out = out[:rows]
+    return out.reshape(*lead, n)
+
+
 def irfft_len(X: jax.Array, n: int) -> jax.Array:
     """irfft producing real output of length ``n`` from (..., n//2+1) bins."""
     if n & (n - 1) == 0:
+        rows = int(np.prod(X.shape[:-1])) if X.ndim > 1 else 1
+        if rows >= 2:
+            return irfft_packed(X, n)
         return jnp.fft.irfft(X, n=n, axis=-1)
     if n <= _DFT_MATMUL_MAX:
         return irdft_matmul(X, n)

@@ -87,3 +87,56 @@ def test_small_nonpow2_uses_dft_gemm():
     ours = np.asarray(rfft_len(jnp.asarray(x), 441))
     ref = np.fft.rfft(x.astype(np.float64), axis=-1)
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+class TestPackedTransforms:
+    def test_rfft_packed_odd_rows(self):
+        from mlx_audio_primitives_tpu.kernels.bluestein import rfft_packed
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((5, 256)).astype(np.float32)  # odd rows
+        ours = np.asarray(rfft_packed(jnp.asarray(x)))
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_rfft_packed_3d(self):
+        from mlx_audio_primitives_tpu.kernels.bluestein import rfft_packed
+
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((3, 7, 128)).astype(np.float32)
+        ours = np.asarray(rfft_packed(jnp.asarray(x)))
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_irfft_packed_matches_numpy(self):
+        from mlx_audio_primitives_tpu.kernels.bluestein import irfft_packed
+
+        rng = np.random.default_rng(9)
+        X = np.fft.rfft(rng.standard_normal((6, 512)), axis=-1).astype(np.complex64)
+        ours = np.asarray(irfft_packed(jnp.asarray(X), 512))
+        ref = np.fft.irfft(X.astype(np.complex128), n=512, axis=-1)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_irfft_packed_nonhermitian_dc_nyquist(self):
+        """Complex DC/Nyquist bins must follow irfft's use-real-part rule,
+        with no leakage between the packed pair."""
+        from mlx_audio_primitives_tpu.kernels.bluestein import irfft_packed
+
+        rng = np.random.default_rng(10)
+        X = (rng.standard_normal((4, 65)) + 1j * rng.standard_normal((4, 65))
+             ).astype(np.complex64)  # fully complex incl. DC/Nyquist
+        ours = np.asarray(irfft_packed(jnp.asarray(X), 128))
+        ref = np.fft.irfft(X.astype(np.complex128), n=128, axis=-1)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_roundtrip_packed(self):
+        from mlx_audio_primitives_tpu.kernels.bluestein import (
+            irfft_packed,
+            rfft_packed,
+        )
+
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((8, 1024)).astype(np.float32)
+        back = np.asarray(irfft_packed(rfft_packed(jnp.asarray(x)), 1024))
+        np.testing.assert_allclose(back, x, atol=1e-5)
