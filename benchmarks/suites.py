@@ -291,7 +291,79 @@ def bench_pallas() -> list[BenchmarkResult]:
     return out
 
 
+def bench_headline() -> list[BenchmarkResult]:
+    """The driver's five measurement configs (BASELINE.md), in one suite."""
+    import jax.numpy as jnp
+
+    from mlx_audio_primitives_tpu import (
+        griffinlim,
+        istft,
+        magnitude,
+        melspectrogram,
+        mfcc,
+        pitch_detect_acf,
+        power_to_db,
+        resample_poly,
+        stft,
+    )
+
+    out = []
+
+    # 1. STFT->ISTFT round-trip, 30 s mono 22.05 kHz
+    y30 = _signal(n=30 * SR, seed=1)
+    S30 = stft(y30, n_fft=2048, hop_length=512)
+    rec = np.asarray(istft(S30, hop_length=512, length=len(y30)))
+    err = float(np.abs(rec - y30).max())
+    S30d = jax.device_put(S30)
+    t = time_jax_amortized(
+        lambda s: istft(s, hop_length=512, length=30 * SR), S30d, k=10
+    )
+    out.append(
+        BenchmarkResult(
+            name="headline: 30s STFT->ISTFT round-trip",
+            time_ms=t * 1e3,
+            extra={"max_err": err, "target_err": 1e-5},
+        )
+    )
+
+    # 2. batch-64 melspectrogram + power_to_db, n_mels=128
+    yb = jax.device_put(jnp.asarray(_signal(batch=64)))
+    t = time_jax_amortized(
+        lambda x: power_to_db(melspectrogram(x, sr=SR, n_mels=128)), yb
+    )
+    out.append(
+        BenchmarkResult(
+            name="headline: batch-64 mel+db",
+            time_ms=t * 1e3,
+            extra={"frames_per_sec": 64 * 45 / t},
+        )
+    )
+
+    # 3. MFCC pipeline
+    t = time_jax_amortized(lambda x: mfcc(x, sr=SR, n_mfcc=13), yb)
+    out.append(BenchmarkResult(name="headline: batch-64 mfcc", time_ms=t * 1e3))
+
+    # 4. polyphase 44.1k -> 16k batched
+    y44 = jax.device_put(jnp.asarray(_signal(n=44100, batch=8)))
+    t = time_jax_amortized(lambda x: resample_poly(x, 160, 441), y44)
+    out.append(
+        BenchmarkResult(name="headline: batch-8 poly 44.1k->16k", time_ms=t * 1e3)
+    )
+
+    # 5. 32-iter Griffin-Lim + pitch tracking
+    Sm = jax.device_put(magnitude(stft(_signal(), n_fft=1024, hop_length=256)))
+    t = time_jax_amortized(
+        lambda s: griffinlim(s, n_iter=32, hop_length=256, init="zeros"), Sm, k=4
+    )
+    out.append(BenchmarkResult(name="headline: griffinlim 32 iters", time_ms=t * 1e3))
+    y1 = jax.device_put(jnp.asarray(_signal()))
+    t = time_jax_amortized(lambda x: pitch_detect_acf(x, sr=SR)[0], y1, k=10)
+    out.append(BenchmarkResult(name="headline: pitch_detect_acf 1s", time_ms=t * 1e3))
+    return out
+
+
 ALL_SUITES = {
+    "headline": bench_headline,
     "stft": bench_stft,
     "istft": bench_istft,
     "mel": bench_mel,

@@ -24,7 +24,13 @@ check_nola : invertibility check
 
 from __future__ import annotations
 
-__version__ = "0.1.0"
+try:  # single source of truth in pyproject (reference `__init__.py:85-91`)
+    from importlib.metadata import PackageNotFoundError as _PNFE
+    from importlib.metadata import version as _get_version
+
+    __version__ = _get_version("mlx-audio-primitives-tpu")
+except Exception:  # editable / in-tree use
+    __version__ = "0.1.0"
 
 from .ops import (
     amplitude_to_db,
