@@ -11,7 +11,7 @@ import json
 from dataclasses import dataclass
 from pathlib import Path
 
-from .schemas import BenchmarkMetric, BenchmarkRun
+from .schemas import BenchmarkRun
 
 DEFAULT_BASELINE_PATH = Path(__file__).parent / "baselines.json"
 REGRESSION_THRESHOLD = 0.10  # >10% slower = regression

@@ -125,8 +125,6 @@ def bench_mel(batch: int = 64) -> list[BenchmarkResult]:
 
 
 def bench_mfcc() -> list[BenchmarkResult]:
-    import scipy.fft
-
     from mlx_audio_primitives_tpu import mfcc
 
     y = _signal(batch=8)
@@ -139,7 +137,6 @@ def bench_windows() -> list[BenchmarkResult]:
     import scipy.signal
 
     from mlx_audio_primitives_tpu import get_window
-    from mlx_audio_primitives_tpu.utils.cache import clear_all_caches
 
     out = []
     for name, n in [("hann", 2048), ("blackman", 4096)]:

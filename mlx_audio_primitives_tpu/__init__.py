@@ -25,7 +25,6 @@ check_nola : invertibility check
 from __future__ import annotations
 
 try:  # single source of truth in pyproject (reference `__init__.py:85-91`)
-    from importlib.metadata import PackageNotFoundError as _PNFE
     from importlib.metadata import version as _get_version
 
     __version__ = _get_version("mlx-audio-primitives-tpu")

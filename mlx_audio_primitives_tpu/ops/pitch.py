@@ -19,7 +19,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .._config import REAL_DTYPE
 from ..kernels.bluestein import rfft_len

@@ -28,7 +28,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .._config import MATMUL_PRECISION, REAL_DTYPE, WINDOW_SUM_EPSILON
 from ..kernels.bluestein import irfft_len, rfft_len

@@ -28,13 +28,12 @@ frame grid (trailing frames read zero-padding). Wrappers that need librosa's
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from .._config import MATMUL_PRECISION, REAL_DTYPE, WINDOW_SUM_EPSILON

@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 
 from benchmarks.baseline import (
-    Comparison,
     compare_to_baseline,
     has_regressions,
     load_baselines,

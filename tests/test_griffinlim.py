@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from mlx_audio_primitives_tpu import griffinlim, istft, magnitude, stft
+from mlx_audio_primitives_tpu import griffinlim, magnitude, stft
 from mlx_audio_primitives_tpu.ops.griffinlim import griffinlim_iter
 
 

@@ -3,7 +3,6 @@
 fallback). On CPU these run the kernels in interpret mode (SURVEY.md §4
 "TPU translation")."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -17,10 +16,9 @@ from mlx_audio_primitives_tpu.kernels.overlap_add import (
     envelope_for_ola,
     overlap_add_pallas,
 )
-from mlx_audio_primitives_tpu.ops._frames import overlap_add, window_envelope
+from mlx_audio_primitives_tpu.ops._frames import overlap_add
 from mlx_audio_primitives_tpu.ops.mel import mel_filterbank
 from mlx_audio_primitives_tpu.ops.stft import _get_padded_window
-from mlx_audio_primitives_tpu._config import WINDOW_SUM_EPSILON
 
 
 class TestOverlapAddPallas:

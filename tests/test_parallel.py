@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mlx_audio_primitives_tpu import istft, melspectrogram, power_to_db, stft
+from mlx_audio_primitives_tpu import melspectrogram, power_to_db, stft
 from mlx_audio_primitives_tpu.models import (
     init_classifier_params,
     make_sharded_train_step,
