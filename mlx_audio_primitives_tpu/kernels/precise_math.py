@@ -26,7 +26,11 @@ _LOG2_10_F32 = np.float32(np.log2(10.0))
 
 
 def log10(x: jax.Array) -> jax.Array:
-    """Accurate float32 log10 (~1.6e-6 max abs error over f32 range)."""
+    """Accurate float32 log10 (~1.6e-6 max abs error over f32 range).
+
+    Non-finite/edge semantics match ``jnp.log10``: +inf -> +inf, 0 -> -inf,
+    negative -> nan (frexp alone would turn inf into nan via the series).
+    """
     m, e = jnp.frexp(x)  # m in [0.5, 1)
     s = (m - 1.0) / (m + 1.0)
     s2 = s * s
@@ -34,7 +38,10 @@ def log10(x: jax.Array) -> jax.Array:
     for c in (1.0 / 9, 1.0 / 7, 1.0 / 5, 1.0 / 3, 1.0):
         p = p * s2 + c
     ln_m = 2.0 * s * p
-    return (e.astype(x.dtype) * _LN2_F32 + ln_m) * _INV_LN10_F32
+    out = (e.astype(x.dtype) * _LN2_F32 + ln_m) * _INV_LN10_F32
+    out = jnp.where(jnp.isposinf(x), jnp.inf, out)
+    out = jnp.where(x == 0, -jnp.inf, out)
+    return jnp.where(x < 0, jnp.nan, out)
 
 
 def exp10(x: jax.Array) -> jax.Array:

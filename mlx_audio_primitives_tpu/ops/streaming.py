@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from .._config import MATMUL_PRECISION, REAL_DTYPE, WINDOW_SUM_EPSILON
 from ..kernels.bluestein import irfft_len, rfft_len
+from .convert import power_to_db
 from ._frames import frame_signal_batched, overlap_add
 from .mel import mel_filterbank
 from .stft import _get_padded_window
@@ -196,7 +197,7 @@ class StreamingLogMel:
         spec = self.stft.push(chunk)
         power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
         mel = jnp.matmul(power, self.fb_t, precision=MATMUL_PRECISION)
-        return 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+        return power_to_db(mel, top_db=None)
 
     def reset(self) -> None:
         self.stft.reset()

@@ -211,7 +211,9 @@ def logmel_time_sharded(
         ri = jnp.matmul(frames, basis_, precision=MATMUL_PRECISION)
         pow2 = ri[..., :n_bins] ** 2 + ri[..., n_bins:] ** 2
         mel = jnp.matmul(pow2, fb_, precision=MATMUL_PRECISION)
-        return 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+        from ..ops.convert import power_to_db
+
+        return power_to_db(mel, top_db=None)
 
     return shard_map(
         body,

@@ -82,3 +82,20 @@ def test_invalid_topdb_raises(power_spec):
 def test_db_of_ones_is_zero():
     out = np.asarray(power_to_db(np.ones(16, np.float32)))
     np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_precise_log10_edge_semantics():
+    """inf/0/negative handling matches jnp.log10 (kernel-level contract)."""
+    import jax.numpy as jnp
+
+    from mlx_audio_primitives_tpu.kernels.precise_math import exp10, log10
+
+    x = np.array([np.inf, 0.0, -1.0, 1.0, 1e30], np.float32)
+    out = np.asarray(log10(jnp.asarray(x)))
+    assert np.isposinf(out[0])
+    assert np.isneginf(out[1])
+    assert np.isnan(out[2])
+    np.testing.assert_allclose(out[3:], [0.0, 30.0], atol=1e-5)
+    # exp10 edges
+    e = np.asarray(exp10(jnp.asarray(np.array([0.0, 2.0], np.float32))))
+    np.testing.assert_allclose(e, [1.0, 100.0], rtol=1e-6)
