@@ -18,6 +18,7 @@ def round_up(x: int, m: int) -> int:
 
 
 def cdiv(a: int, b: int) -> int:
+    # (shared definition; ops/_frames.py re-exports the same helper)
     return -(-a // b)
 
 
@@ -29,7 +30,3 @@ def clips_per_block(n_clips: int, bytes_per_clip: int, max_clips: int = 8) -> in
             return cb
     return 1
 
-
-def bin_block(n_bins: int, default: int = 128) -> int:
-    """Bins-per-block for streamed DFT basis columns (lane-aligned)."""
-    return min(default, round_up(n_bins, LANE))

@@ -76,6 +76,13 @@ def overlap_add_pallas(
     RT_pad = round_up(RT, RB)
     FBk = round_up(RB + C - 1, SUBLANE)
 
+    # frames starting at/after output_length contribute nothing: row r only
+    # reads frames f <= r, so at most RT_pad frames matter (prevents a
+    # negative pad when F exceeds the requested output span)
+    if F > RT_pad:
+        fw = fw[:, :RT_pad, :]
+        F = RT_pad
+
     # prepad C-1 zero frames; extend so every DMA window is in bounds
     NF = RT_pad + FBk
     fw_p = jnp.pad(fw, ((0, 0), (C - 1, NF - F - (C - 1)), (0, 0)))

@@ -35,8 +35,6 @@ from .stft import magnitude, stft
 
 ArrayLike = Any
 
-_LN10 = float(np.log(10.0))
-
 
 def _get_frequencies(sr: int, n_fft: int) -> jax.Array:
     return jnp.linspace(0.0, sr / 2.0, n_fft // 2 + 1, dtype=REAL_DTYPE)

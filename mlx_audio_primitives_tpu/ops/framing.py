@@ -174,13 +174,14 @@ def _deemphasis_core(y, zi, *, coef: float, has_zi: bool):
     powers = jnp.asarray(powers_np.astype(np.float32))[None, :]
     if has_zi:
         out = out + zi * powers
+        zf = coef * out[:, -1:]
     else:
-        # Correction matching librosa's preemphasis default zi
-        # (reference `framing.py:374-380`): subtract the decaying offset the
-        # pre-emphasis initial state introduced.
+        # zf comes from the raw filter state BEFORE the librosa default-zi
+        # correction (matching scipy.signal.lfilter's returned state in the
+        # reference, `framing.py:361-380`), so chunked continuations agree.
+        zf = coef * out[:, -1:]
         corr = ((2.0 - coef) * y[:, 0:1] - y[:, 1:2]) / (3.0 - coef)
         out = out - corr * powers
-    zf = coef * out[:, -1:]
     return out, zf
 
 

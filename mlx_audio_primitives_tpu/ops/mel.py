@@ -211,8 +211,16 @@ def melspectrogram(
         win_length = n_fft
     if hop_length <= 0:
         raise ValueError(f"hop_length must be positive, got {hop_length}")
+    if hop_length > n_fft:
+        raise ValueError(
+            f"hop_length ({hop_length}) should typically be <= n_fft ({n_fft})"
+        )
     if win_length > n_fft:
         raise ValueError(f"win_length ({win_length}) must be <= n_fft ({n_fft})")
+    if pad_mode not in ("constant", "reflect", "edge"):
+        raise ValueError(
+            f"Unknown pad_mode: '{pad_mode}'. Supported: constant, reflect, edge"
+        )
 
     fb = mel_filterbank(
         sr=sr, n_fft=n_fft, n_mels=n_mels, fmin=fmin, fmax=fmax, htk=htk, norm=norm
@@ -229,8 +237,10 @@ def melspectrogram(
             "when center=False"
         )
 
+    from ..utils import dispatch as _dispatch
+
     pallas_ok = (
-        use_pallas is True  # explicit opt-in; XLA path matches it on TPU
+        _dispatch.resolve_use_pallas(use_pallas)
         and hop_length % 128 == 0
         and power == 2.0
         and isinstance(window, str)

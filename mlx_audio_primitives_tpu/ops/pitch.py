@@ -21,15 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from .._config import REAL_DTYPE
-from ..kernels.bluestein import rfft_len
+from ..kernels.bluestein import _next_pow2, rfft_len
 from ..utils.validation import validate_positive
 from ._frames import frame_signal_batched
 
 ArrayLike = Any
 
-
-def _next_pow2(n: int) -> int:
-    return 1 << (int(n - 1)).bit_length()
 
 
 @partial(jax.jit, static_argnames=("max_lag", "normalize", "center"))

@@ -36,6 +36,7 @@ from .._config import (
 from ..kernels.bluestein import irfft_len, rfft_len
 from ..kernels.dft import forward_basis, inverse_basis, irdft_matmul, rdft_matmul
 from ..utils import dispatch
+from ..utils.cache import table_cache
 from ._frames import frame_signal_batched, num_frames, overlap_add, window_envelope
 from .windows import get_window
 
@@ -59,6 +60,45 @@ def _resolve_fft_mode(fft_mode: str, n_fft: int) -> str:
     if fft_mode not in ("fft", "matmul"):
         raise ValueError(f"fft_mode must be 'auto', 'fft' or 'matmul', got {fft_mode}")
     return fft_mode
+
+
+@table_cache("istft_envelope", maxsize=32)
+def _istft_envelope_table(
+    window_key: tuple, win_length: int, n_fft: int,
+    n_frames: int, hop_length: int, padded_length: int,
+) -> np.ndarray:
+    """Squared-window overlap-add envelope, built once per config in f64.
+
+    The envelope is constant given (window, F, hop, length); recomputing it
+    as a traced overlap-add inside every istft call roughly doubles the OLA
+    work in the hot reconstruction path (win is a traced argument, so XLA
+    cannot fold it). Host f64 construction is also more accurate.
+    """
+    from .windows import window_host
+
+    name, beta = window_key
+    win = window_host(name if beta is None else (name, beta), win_length)
+    if win_length < n_fft:
+        lp = (n_fft - win_length) // 2
+        win = np.pad(win, (lp, n_fft - win_length - lp))
+    sq = win * win
+    env = np.zeros(padded_length, np.float64)
+    for f in range(n_frames):
+        s = f * hop_length
+        e = min(s + n_fft, padded_length)
+        if s >= padded_length:
+            break
+        env[s:e] += sq[: e - s]
+    return np.maximum(env, WINDOW_SUM_EPSILON)
+
+
+def _window_key(window) -> tuple | None:
+    """Hashable cache key for string/tuple window specs (None for arrays)."""
+    if isinstance(window, str):
+        return (window.lower(), None)
+    if isinstance(window, tuple) and len(window) == 2:
+        return (str(window[0]).lower(), float(window[1]))
+    return None
 
 
 def _get_padded_window(
@@ -180,6 +220,7 @@ def _istft_core(
     S: jax.Array,
     win: jax.Array,
     basis: jax.Array | None,
+    env: jax.Array | None,
     *,
     n_fft: int,
     hop_length: int,
@@ -187,23 +228,29 @@ def _istft_core(
     fft_mode: str,
     use_pallas: bool = False,
 ) -> jax.Array:
-    """(B, F, n_bins) complex -> (B, padded_length) normalized reconstruction."""
+    """(B, F, n_bins) complex -> (B, padded_length) normalized reconstruction.
+
+    ``env`` is the precomputed clamped squared-window envelope (None only for
+    array windows, where it is derived in-graph)."""
     if fft_mode == "matmul":
         frames = irdft_matmul(S, n_fft, basis)
     else:
         frames = irfft_len(S, n_fft)
     frames = frames.astype(REAL_DTYPE)
     fw = frames * win
+    if env is None:
+        env = jnp.maximum(
+            window_envelope(win, S.shape[1], hop_length, padded_length),
+            WINDOW_SUM_EPSILON,
+        )
     if use_pallas:
-        from ..kernels.overlap_add import envelope_for_ola, overlap_add_pallas
+        from ..kernels.overlap_add import overlap_add_pallas
 
-        env = envelope_for_ola(win, S.shape[1], hop_length, padded_length)
         return overlap_add_pallas(
             fw, env, hop_length=hop_length, output_length=padded_length
         )
     y = overlap_add(fw, hop_length, padded_length)
-    env = window_envelope(win, S.shape[1], hop_length, padded_length)
-    return y / jnp.maximum(env, WINDOW_SUM_EPSILON)
+    return y / env
 
 
 def istft(
@@ -256,11 +303,19 @@ def istft(
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
     # Pallas OLA is explicit opt-in: the XLA chunk OLA measures ~2x faster
     # on v5e (0.04 vs 0.09 ms for a 1 s clip, slope-amortized).
-    pallas_ok = use_pallas is True and dispatch.HAS_PALLAS and hop_length % 128 == 0
+    pallas_ok = dispatch.resolve_use_pallas(use_pallas) and hop_length % 128 == 0
+    wkey = _window_key(window)
+    env = (
+        _istft_envelope_table(wkey, win_length, n_fft, n_frames, hop_length,
+                              padded_length)
+        if wkey is not None
+        else None
+    )
     y = _istft_core(
         S,
         win,
         inverse_basis(n_fft) if fft_mode_r == "matmul" else None,
+        env,
         n_fft=n_fft,
         hop_length=hop_length,
         padded_length=padded_length,
@@ -306,6 +361,11 @@ def check_nola(
     """Nonzero-overlap-add constraint check (scipy ``check_NOLA`` algorithm;
     reference: `mlx_audio_primitives/stft.py:382-431`). Host-side: it's a
     tiny O(n_fft) reduction whose result gates Python-level control flow."""
+    if hop_length <= 0:
+        raise ValueError(f"hop_length must be positive, got {hop_length}")
+    if hop_length > n_fft:
+        # hops larger than the window leave uncovered gaps: NOLA fails
+        return False
     win = np.asarray(get_window(window, n_fft, fftbins=True), dtype=np.float64)
     step = hop_length
     n_bins = n_fft // step

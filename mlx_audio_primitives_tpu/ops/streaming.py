@@ -98,10 +98,8 @@ def streaming_istft_push(
     tail_len = n_fft - hop_length
     combined = local.at[:, :tail_len].add(carry)
     emitted = combined[:, :emit_len]
-    new_carry = jnp.zeros((B, tail_len), REAL_DTYPE)
-    new_carry = new_carry.at[:, : local.shape[1] - emit_len].set(
-        combined[:, emit_len:]
-    )
+    # local has length emit_len + tail_len by construction
+    new_carry = combined[:, emit_len:]
     env = _steady_envelope(win, hop_length)
     emitted = emitted / jnp.tile(env, emit_len // hop_length)
     return new_carry, emitted

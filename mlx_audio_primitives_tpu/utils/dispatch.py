@@ -45,14 +45,14 @@ HAS_PALLAS: bool = _pallas_available()
 
 
 def resolve_use_pallas(flag: bool | None) -> bool:
-    """Resolve a per-op ``use_pallas`` kwarg against backend availability.
+    """Resolve a per-op ``use_pallas`` kwarg against availability.
 
-    ``None`` (auto) enables Pallas only on a real TPU backend; ``True`` forces
-    the kernel (interpret mode off-TPU); ``False`` forces the pure-XLA path.
+    Pallas kernels are explicit opt-in (the XLA paths benchmark as fast or
+    faster on current TPUs): ``None``/``False`` select the pure-XLA path;
+    ``True`` selects the kernel when Pallas is available (interpret mode
+    off-TPU), honoring the MLX_AUDIO_TPU_DISABLE_PALLAS kill switch.
     """
-    if flag is None:
-        return HAS_PALLAS_TPU
-    return bool(flag) and HAS_PALLAS
+    return flag is True and HAS_PALLAS
 
 
 def pallas_interpret_mode() -> bool:
