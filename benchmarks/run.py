@@ -133,7 +133,10 @@ def main(argv: list[str] | None = None) -> int:
     from .suites import ALL_SUITES
 
     results: list[BenchmarkResult] = []
-    results.extend(run_all(args.suite if args.suite else sorted(ALL_SUITES)))
+    if args.suite is not None:
+        results.extend(run_all(args.suite))
+    elif not (args.scaling or args.cache_analysis or args.memory):
+        results.extend(run_all(sorted(ALL_SUITES)))
     if args.scaling:
         from .scaling import run_scaling
 

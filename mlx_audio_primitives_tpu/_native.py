@@ -104,6 +104,8 @@ def _ptr(a: np.ndarray):
 def native_window(name: str, n: int, fftbins: bool, beta: float | None) -> np.ndarray | None:
     if _lib is None or name not in _WINDOW_KINDS:
         return None
+    if name == "kaiser" and beta is None:
+        beta = 8.6  # same default as the NumPy builder (ops/windows.py)
     out = np.empty(n, np.float64)
     rc = _lib.mapt_window(
         _WINDOW_KINDS[name], n, int(fftbins), float(beta or 0.0), _ptr(out)

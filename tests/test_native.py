@@ -95,3 +95,11 @@ class TestIntegration:
             22050, 512, 20, 0.0, 11025.0, False, "slaney"
         ).astype(np.float32)
         np.testing.assert_array_equal(fb, ref)
+
+    def test_kaiser_default_beta_matches_fallback(self):
+        """get_window('kaiser', n) must use beta=8.6 on BOTH paths (a native
+        'beta or 0.0' coercion once produced a rectangular window)."""
+        w = native_window("kaiser", 64, True, None)
+        ref = scipy.signal.get_window(("kaiser", 8.6), 64, fftbins=True)
+        np.testing.assert_allclose(w, ref, atol=1e-13)
+        assert w[0] < 0.01  # tapered, not rectangular
