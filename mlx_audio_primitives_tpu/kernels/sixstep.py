@@ -1,0 +1,119 @@
+"""Six-step (Cooley-Tukey N1 x N2) FFT on the MXU.
+
+Decomposes a length-N = N1*N2 DFT into batched small DFT *matmuls* plus a
+twiddle multiply:
+
+    A = W_N1 @ x.reshape(N1, N2)      (contract n1)
+    B = A * W_N^(k1*n2)               (twiddle)
+    X[k1 + N1*k2] = (B @ W_N2)[k1,k2] (contract n2)
+
+All heavy ops are MXU contractions, so the transform's speed follows the
+matmul precision knob. Measured on v5e for (1408, 2048) complex64 against
+``jnp.fft.fft`` (0.221 ms): HIGHEST 0.223 ms / 2.2e-7 rel (tie), HIGH
+0.126 ms / 2.7e-5 (1.75x), DEFAULT 0.046 ms / 5e-3 (4.8x). The library's
+default transform stays the packed ``jnp.fft`` path (max accuracy);
+``fft_mode='sixstep'`` selects this path for throughput-focused pipelines
+whose accuracy budget is the reference's ~1e-4 band.
+
+Twiddle tables are built with exact integer-mod angle reduction and embedded
+as host constants (complex device arrays cannot be jit-embedded on some
+remote TPU attachments).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: Matmul precision for the six-step contractions. HIGH is the intended
+#: operating point (1.75x over jnp.fft at ~3e-5 rel error).
+SIXSTEP_PRECISION = jax.lax.Precision.HIGH
+
+_MAX_N = 16384  # N1, N2 <= 128
+
+
+def _split(n: int) -> tuple[int, int]:
+    """Factor pow2 n into N1*N2 with N1 >= N2, both <= 128."""
+    k = n.bit_length() - 1
+    k1 = (k + 1) // 2
+    return 1 << k1, 1 << (k - k1)
+
+
+@lru_cache(maxsize=16)
+def _tables(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    N1, N2 = _split(n)
+
+    def tw(i, j, M):
+        mods = np.mod(np.outer(i, j), M).astype(np.float64)
+        return np.exp(-2j * np.pi * mods / M)
+
+    W1 = tw(np.arange(N1), np.arange(N1), N1).astype(np.complex64)
+    W2 = tw(np.arange(N2), np.arange(N2), N2).astype(np.complex64)
+    Tw = tw(np.arange(N1), np.arange(N2), n).astype(np.complex64)
+    return W1, W2, Tw
+
+
+def supported(n: int) -> bool:
+    return n & (n - 1) == 0 and 4 <= n <= _MAX_N
+
+
+@partial(jax.jit, static_argnames=("n",))
+def fft_sixstep(x: jax.Array, *, n: int) -> jax.Array:
+    """Complex DFT over the last axis via MXU matmuls (pow2 n <= 16384)."""
+    N1, N2 = _split(n)
+    W1, W2, Tw = _tables(n)
+    lead = x.shape[:-1]
+    xm = x.reshape(-1, N1, N2)
+    A = jnp.einsum("rab,ak->rkb", xm, W1, precision=SIXSTEP_PRECISION)
+    B = A * Tw[None]
+    C = jnp.einsum("rkb,bm->rkm", B, W2, precision=SIXSTEP_PRECISION)
+    return jnp.transpose(C, (0, 2, 1)).reshape(*lead, n)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def ifft_sixstep(X: jax.Array, *, n: int) -> jax.Array:
+    return jnp.conj(fft_sixstep(jnp.conj(X), n=n)) / n
+
+
+def rfft_sixstep(x: jax.Array, n: int) -> jax.Array:
+    """rfft via row pairing + six-step complex FFT: (..., n) -> (..., n//2+1)."""
+    *lead, _ = x.shape
+    rows = int(np.prod(lead)) if lead else 1
+    flat = x.reshape(rows, n)
+    odd = rows % 2 == 1
+    if odd:
+        flat = jnp.pad(flat, ((0, 1), (0, 0)))
+    z = jax.lax.complex(flat[0::2], flat[1::2])
+    Z = fft_sixstep(z, n=n)
+    Zf = jnp.concatenate([Z[..., :1], Z[..., :0:-1]], axis=-1)
+    A = 0.5 * (Z + jnp.conj(Zf))
+    B = jax.lax.complex(jnp.imag(Z) + jnp.imag(Zf), jnp.real(Zf) - jnp.real(Z)) * 0.5
+    n_bins = n // 2 + 1
+    out = jnp.stack([A[..., :n_bins], B[..., :n_bins]], axis=1).reshape(-1, n_bins)
+    if odd:
+        out = out[:rows]
+    return out.reshape(*lead, n_bins)
+
+
+def irfft_sixstep(X: jax.Array, n: int) -> jax.Array:
+    """irfft via spectrum pairing + inverse six-step: (..., n//2+1) -> (..., n)."""
+    *lead, n_bins = X.shape
+    rows = int(np.prod(lead)) if lead else 1
+    flat = X.reshape(rows, n_bins)
+    odd = rows % 2 == 1
+    if odd:
+        flat = jnp.pad(flat, ((0, 1), (0, 0)))
+    flat = flat.at[:, 0].set(jnp.real(flat[:, 0]).astype(flat.dtype))
+    if n % 2 == 0:
+        flat = flat.at[:, -1].set(jnp.real(flat[:, -1]).astype(flat.dtype))
+    tail = jnp.conj(flat[:, 1 : (n + 1) // 2][:, ::-1])
+    full = jnp.concatenate([flat, tail], axis=-1)
+    Z = full[0::2] + jax.lax.complex(-jnp.imag(full[1::2]), jnp.real(full[1::2]))
+    z = ifft_sixstep(Z, n=n)
+    out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=1).reshape(-1, n)
+    if odd:
+        out = out[:rows]
+    return out.reshape(*lead, n)

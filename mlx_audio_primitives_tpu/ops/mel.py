@@ -167,6 +167,11 @@ def _melspec_core(
         # basis: (n_fft, 2*n_bins) [cos | -sin]
         ri = jnp.matmul(frames, basis, precision=MATMUL_PRECISION)
         pow2 = ri[..., :n_bins] ** 2 + ri[..., n_bins:] ** 2
+    elif fft_mode == "sixstep":
+        from ..kernels.sixstep import rfft_sixstep
+
+        S = rfft_sixstep(frames, n_fft)
+        pow2 = jnp.real(S) ** 2 + jnp.imag(S) ** 2
     else:
         S = rfft_len(frames, n_fft)
         pow2 = jnp.real(S) ** 2 + jnp.imag(S) ** 2
@@ -262,7 +267,16 @@ def melspectrogram(
         )
         return out[0] if input_is_1d else out
 
-    fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
+    if fft_mode == "auto":
+        # Mel's accuracy budget (reference claims ~1e-4 for mel/MFCC) admits
+        # the six-step MXU transform: 2.4e-5 rel vs the f64 oracle and ~1.3x
+        # the packed-FFT path on v5e (0.39 vs 0.51 ms for the batch-64
+        # headline). stft() keeps the max-accuracy FFT default.
+        from ..kernels import sixstep as _sixstep
+
+        fft_mode_r = "sixstep" if _sixstep.supported(n_fft) else "fft"
+    else:
+        fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
     out = _melspec_core(
         y,
         win,

@@ -57,8 +57,16 @@ def _resolve_fft_mode(fft_mode: str, n_fft: int) -> str:
     """
     if fft_mode == "auto":
         return "fft"
+    if fft_mode == "sixstep":
+        from ..kernels import sixstep
+
+        if not sixstep.supported(n_fft):
+            return "fft"  # graceful fallback for unsupported sizes
+        return "sixstep"
     if fft_mode not in ("fft", "matmul"):
-        raise ValueError(f"fft_mode must be 'auto', 'fft' or 'matmul', got {fft_mode}")
+        raise ValueError(
+            f"fft_mode must be 'auto', 'fft', 'matmul' or 'sixstep', got {fft_mode}"
+        )
     return fft_mode
 
 
@@ -140,6 +148,10 @@ def _stft_core(
     frames = frames * win
     if fft_mode == "matmul":
         return rdft_matmul(frames, n_fft, basis)
+    if fft_mode == "sixstep":
+        from ..kernels.sixstep import rfft_sixstep
+
+        return rfft_sixstep(frames, n_fft)
     return rfft_len(frames, n_fft)
 
 
@@ -234,6 +246,10 @@ def _istft_core(
     array windows, where it is derived in-graph)."""
     if fft_mode == "matmul":
         frames = irdft_matmul(S, n_fft, basis)
+    elif fft_mode == "sixstep":
+        from ..kernels.sixstep import irfft_sixstep
+
+        frames = irfft_sixstep(S, n_fft)
     else:
         frames = irfft_len(S, n_fft)
     frames = frames.astype(REAL_DTYPE)

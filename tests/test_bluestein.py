@@ -140,3 +140,53 @@ class TestPackedTransforms:
         x = rng.standard_normal((8, 1024)).astype(np.float32)
         back = np.asarray(irfft_packed(rfft_packed(jnp.asarray(x)), 1024))
         np.testing.assert_allclose(back, x, atol=1e-5)
+
+
+class TestSixStep:
+    @pytest.mark.parametrize("n", [256, 1024, 2048, 4096, 16384])
+    def test_fft_matches_numpy(self, n):
+        from mlx_audio_primitives_tpu.kernels.sixstep import fft_sixstep
+
+        rng = np.random.default_rng(12)
+        x = (rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+             ).astype(np.complex64)
+        out = np.asarray(fft_sixstep(jnp.asarray(x), n=n))
+        ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+        # HIGH-precision operating point: ~3e-5 relative
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-4
+
+    def test_rfft_irfft_roundtrip(self):
+        from mlx_audio_primitives_tpu.kernels.sixstep import (
+            irfft_sixstep,
+            rfft_sixstep,
+        )
+
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal((6, 2048)).astype(np.float32)
+        back = np.asarray(irfft_sixstep(rfft_sixstep(jnp.asarray(x), 2048), 2048))
+        np.testing.assert_allclose(back, x, atol=5e-4)
+
+    def test_stft_sixstep_mode(self):
+        rng = np.random.default_rng(14)
+        y = rng.standard_normal(8192).astype(np.float32)
+        a = np.asarray(jnp.abs(stft(y, n_fft=1024, hop_length=256)))
+        b = np.asarray(jnp.abs(stft(y, n_fft=1024, hop_length=256,
+                                    fft_mode="sixstep")))
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+
+    def test_sixstep_roundtrip(self):
+        rng = np.random.default_rng(15)
+        y = rng.standard_normal(8192).astype(np.float32)
+        S = stft(y, n_fft=1024, hop_length=256, fft_mode="sixstep")
+        rec = np.asarray(istft(S, hop_length=256, length=len(y),
+                               fft_mode="sixstep"))
+        assert np.abs(rec - y).max() < 5e-4
+
+    def test_unsupported_size_falls_back(self):
+        # non-pow2 n_fft with fft_mode='sixstep' silently uses the fft path
+        rng = np.random.default_rng(16)
+        y = rng.standard_normal(4000).astype(np.float32)
+        a = np.asarray(jnp.abs(stft(y, n_fft=500, hop_length=125,
+                                    fft_mode="sixstep")))
+        b = np.asarray(jnp.abs(stft(y, n_fft=500, hop_length=125)))
+        np.testing.assert_allclose(a, b, atol=1e-5)
