@@ -88,6 +88,10 @@ def _griffinlim_core(
     def istft_step(spec: jax.Array) -> jax.Array:
         if fft_mode == "matmul":
             frames = irdft_matmul(spec, n_fft, inv_basis)
+        elif fft_mode == "sixstep":
+            from ..kernels.sixstep import irfft_sixstep
+
+            frames = irfft_sixstep(spec, n_fft)
         else:
             frames = irfft_len(spec, n_fft)
         y = overlap_add(frames.astype(REAL_DTYPE) * win, hop_length, padded_length)
@@ -106,6 +110,10 @@ def _griffinlim_core(
         frames = frame_signal_batched(y, n_fft, hop_length) * win
         if fft_mode == "matmul":
             spec = rdft_matmul(frames, n_fft, fwd_basis)
+        elif fft_mode == "sixstep":
+            from ..kernels.sixstep import rfft_sixstep
+
+            spec = rfft_sixstep(frames, n_fft)
         else:
             spec = rfft_len(frames, n_fft)
         # +/-1 frame fixup (static): crop or zero-pad the frame axis to F
@@ -187,6 +195,9 @@ def griffinlim(
         raise ValueError(f"Unknown init: '{init}'. Supported: 'random', 'zeros'")
 
     win = _get_padded_window(window, win_length, n_fft)
+    # 'auto' stays on the packed FFT: GL's per-iteration transforms are small
+    # (tens of frames), where six-step's reshuffles outweigh its MXU gains
+    # (measured 1.59 vs 1.08 ms for 32 iters on v5e).
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
     fwd = forward_basis(n_fft) if fft_mode_r == "matmul" else None
     inv = inverse_basis(n_fft) if fft_mode_r == "matmul" else None

@@ -267,14 +267,19 @@ def melspectrogram(
         )
         return out[0] if input_is_1d else out
 
+    n_frames_est = 1 + (y.shape[1] + (n_fft if center else 0) - n_fft) // hop_length
     if fft_mode == "auto":
         # Mel's accuracy budget (reference claims ~1e-4 for mel/MFCC) admits
         # the six-step MXU transform: 2.4e-5 rel vs the f64 oracle and ~1.3x
         # the packed-FFT path on v5e (0.39 vs 0.51 ms for the batch-64
-        # headline). stft() keeps the max-accuracy FFT default.
+        # headline). Only worthwhile when the frame GEMMs have enough rows;
+        # small workloads stay on the packed FFT (stft() always does).
         from ..kernels import sixstep as _sixstep
 
-        fft_mode_r = "sixstep" if _sixstep.supported(n_fft) else "fft"
+        enough_rows = y.shape[0] * n_frames_est >= 256
+        fft_mode_r = (
+            "sixstep" if (_sixstep.supported(n_fft) and enough_rows) else "fft"
+        )
     else:
         fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
     out = _melspec_core(
