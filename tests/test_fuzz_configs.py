@@ -1,0 +1,147 @@
+"""Seeded randomized configuration sweep.
+
+Broad-net shape/edge fuzzing across the (n_fft, hop, win_length, length,
+window, center, pad_mode, batch) space: every sampled config must round-trip
+STFT->ISTFT within NOLA-permitting tolerance and agree with the float64
+NumPy oracle. Catches the class of off-by-one/edge bugs that parametrized
+tests with hand-picked values miss.
+"""
+
+import numpy as np
+import pytest
+
+from mlx_audio_primitives_tpu import check_nola, istft, melspectrogram, stft
+
+from oracles import stft_np
+
+RNG = np.random.default_rng(20260816)
+
+WINDOWS = ["hann", "hamming", "blackman"]
+PAD_MODES = ["constant", "reflect", "edge"]
+
+
+def _sample_config(rng):
+    n_fft = int(rng.choice([64, 128, 256, 320, 512, 1000, 1024, 2048]))
+    # hop in [n_fft//8, n_fft], not necessarily a divisor
+    hop = int(rng.integers(max(1, n_fft // 8), n_fft + 1))
+    win_length = int(rng.integers(n_fft // 2, n_fft + 1))
+    length = int(rng.integers(n_fft + 1, 6 * n_fft))
+    return {
+        "n_fft": n_fft,
+        "hop_length": hop,
+        "win_length": win_length,
+        "window": str(rng.choice(WINDOWS)),
+        "center": bool(rng.choice([True, False])),
+        "pad_mode": str(rng.choice(PAD_MODES)),
+        "length": length,
+        "batch": int(rng.choice([1, 3])),
+    }
+
+
+CONFIGS = [_sample_config(RNG) for _ in range(30)]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: (
+    f"n{c['n_fft']}-h{c['hop_length']}-w{c['win_length']}-{c['window'][:3]}-"
+    f"{'c' if c['center'] else 'nc'}-{c['pad_mode'][:3]}-L{c['length']}-b{c['batch']}"
+))
+def test_stft_matches_oracle_and_roundtrips(cfg):
+    rng = np.random.default_rng(cfg["n_fft"] * 31 + cfg["hop_length"])
+    shape = (cfg["batch"], cfg["length"]) if cfg["batch"] > 1 else (cfg["length"],)
+    y = rng.standard_normal(shape).astype(np.float32)
+
+    # reflect padding requires pad <= len-1
+    if cfg["center"] and cfg["pad_mode"] == "reflect" and cfg["n_fft"] // 2 >= cfg["length"]:
+        pytest.skip("reflect pad larger than signal")
+
+    S = stft(
+        y,
+        n_fft=cfg["n_fft"],
+        hop_length=cfg["hop_length"],
+        win_length=cfg["win_length"],
+        window=cfg["window"],
+        center=cfg["center"],
+        pad_mode=cfg["pad_mode"],
+    )
+
+    # oracle comparison (first batch element)
+    y0 = y[0] if cfg["batch"] > 1 else y
+    ref = stft_np(
+        y0,
+        n_fft=cfg["n_fft"],
+        hop_length=cfg["hop_length"],
+        win_length=cfg["win_length"],
+        window=cfg["window"],
+        center=cfg["center"],
+        pad_mode=cfg["pad_mode"],
+    )
+    ours = np.asarray(S[0] if cfg["batch"] > 1 else S)
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(ours, ref, atol=2e-4 * scale)
+
+    # round-trip wherever NOLA permits
+    if cfg["center"] and check_nola(
+        cfg["window"], cfg["hop_length"], cfg["n_fft"]
+    ):
+        # win_length<n_fft zero-pads the window, which can break NOLA even
+        # when the full-length window satisfies it; check the padded window.
+        from mlx_audio_primitives_tpu.ops.stft import _get_padded_window
+
+        win = np.asarray(
+            _get_padded_window(cfg["window"], cfg["win_length"], cfg["n_fft"]),
+            dtype=np.float64,
+        )
+        step = cfg["hop_length"]
+        binsums = np.zeros(step)
+        for start in range(0, cfg["n_fft"] - step + 1, step):
+            binsums += win[start : start + step] ** 2
+        if cfg["n_fft"] % step:
+            binsums[: cfg["n_fft"] % step] += win[-(cfg["n_fft"] % step):] ** 2
+        if binsums.min() > 1e-6:
+            rec = np.asarray(
+                istft(
+                    S,
+                    hop_length=cfg["hop_length"],
+                    win_length=cfg["win_length"],
+                    n_fft=cfg["n_fft"],
+                    window=cfg["window"],
+                    center=True,
+                    length=cfg["length"],
+                )
+            )
+            assert rec.shape == y.shape
+            # the final up-to-n_fft samples can lie beyond the last frame's
+            # window support and are intrinsically non-reconstructable (the
+            # f64 oracle shows identical tail error); compare the covered span
+            covered = max(cfg["length"] - cfg["n_fft"], 1)
+            err = np.abs(rec[..., :covered] - y[..., :covered]).max()
+            # sparse envelopes amplify float error; scale tolerance by 1/min
+            tol = 5e-5 / min(binsums.min(), 1.0)
+            assert err <= max(tol, 5e-5), (err, binsums.min())
+
+
+@pytest.mark.parametrize("cfg", CONFIGS[:10], ids=lambda c: (
+    f"mel-n{c['n_fft']}-h{c['hop_length']}-b{c['batch']}"
+))
+def test_mel_finite_and_shaped(cfg):
+    rng = np.random.default_rng(1)
+    shape = (cfg["batch"], cfg["length"]) if cfg["batch"] > 1 else (cfg["length"],)
+    y = rng.standard_normal(shape).astype(np.float32)
+    if cfg["center"] and cfg["pad_mode"] == "reflect" and cfg["n_fft"] // 2 >= cfg["length"]:
+        pytest.skip("reflect pad larger than signal")
+    n_mels = min(40, cfg["n_fft"] // 4)
+    m = np.asarray(
+        melspectrogram(
+            y,
+            n_fft=cfg["n_fft"],
+            hop_length=cfg["hop_length"],
+            win_length=cfg["win_length"],
+            window=cfg["window"],
+            center=cfg["center"],
+            pad_mode=cfg["pad_mode"],
+            n_mels=n_mels,
+        )
+    )
+    assert np.isfinite(m).all()
+    assert m.shape[-2] == n_mels
