@@ -18,10 +18,18 @@ Formulation (per program, grid = (clip blocks, bin blocks)):
   grid's second axis and accumulate into the output block (sequential TPU
   grid => race-free revisiting).
 
-Performance note (v5e, batch-64 x 1 s): ties XLA's fusion of the reference
-pipeline (~2.1 ms at HIGHEST precision) — kept as the explicit-control path
-and as the base for shapes XLA schedules poorly; selected via
+Performance note (v5e, batch-64 x 1 s, slope-amortized): 0.97 ms at
+HIGHEST precision — the XLA pipeline with the six-step MXU FFT
+(`kernels/sixstep.py`, 0.39 ms) is the production default; this kernel is
+the explicit-control path, selected via
 ``melspectrogram(..., use_pallas=True)``.
+
+Future work: fusing the *six-step* transform inside this kernel (keeping the
+twiddle stage in VMEM) would remove the remaining ~0.1 ms of HBM round-trips,
+but Mosaic currently rejects the required minor-dim reshapes
+("infer-vector-layout: unsupported shape cast" when splitting the frame axis
+into (N1, N2) or merging (k1, k2) for the filterbank GEMM); revisit when
+Mosaic's layout inference supports those casts.
 """
 
 from __future__ import annotations
