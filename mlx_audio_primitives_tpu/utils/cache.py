@@ -63,6 +63,13 @@ class TableCache:
         if hit is not None:
             self.hits += 1
             self._note_profiler(True)
+            # true LRU: a hit refreshes recency (otherwise eviction is FIFO
+            # and a constantly-hit table can be evicted by churn)
+            try:
+                self._order.remove(key)
+            except ValueError:
+                pass
+            self._order.append(key)
             return hit
         self.misses += 1
         self._note_profiler(False)

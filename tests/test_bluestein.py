@@ -190,3 +190,88 @@ class TestSixStep:
                                     fft_mode="sixstep")))
         b = np.asarray(jnp.abs(stft(y, n_fft=500, hop_length=125)))
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestDispatchPolicy:
+    """Assert WHICH transform path dispatch selects (not just numerics)."""
+
+    def test_rfft_len_pow2_multirow_uses_packed(self, monkeypatch):
+        import mlx_audio_primitives_tpu.kernels.bluestein as bl
+
+        called = {}
+        orig = bl.rfft_packed
+        monkeypatch.setattr(bl, "rfft_packed",
+                            lambda x: called.setdefault("packed", True) or orig(x))
+        bl.rfft_len(jnp.zeros((4, 256), jnp.float32), 256)
+        assert called.get("packed")
+
+    def test_rfft_len_small_nonpow2_uses_gemm(self, monkeypatch):
+        import mlx_audio_primitives_tpu.kernels.bluestein as bl
+
+        called = {}
+        orig = bl.rdft_matmul
+        monkeypatch.setattr(bl, "rdft_matmul",
+                            lambda x, n, b=None: called.setdefault("gemm", True)
+                            or orig(x, n, b))
+        bl.rfft_len(jnp.zeros((2, 441), jnp.float32), 441)
+        assert called.get("gemm")
+
+    def test_rfft_len_large_nonpow2_uses_bluestein(self, monkeypatch):
+        import mlx_audio_primitives_tpu.kernels.bluestein as bl
+
+        called = {}
+        orig = bl.fft_bluestein
+
+        def spy(x, n):
+            called["bluestein"] = True
+            return orig(x, n=n)
+
+        monkeypatch.setattr(bl, "fft_bluestein", spy)
+        bl.rfft_len(jnp.zeros((1, 44100), jnp.float32), 44100)
+        assert called.get("bluestein")
+
+    def test_sixstep_supported_contract(self):
+        from mlx_audio_primitives_tpu.kernels.sixstep import supported
+
+        assert supported(2048) and supported(16384) and supported(256)
+        assert not supported(44100)   # non-pow2
+        assert not supported(32768)   # beyond N1,N2 <= 128
+        assert not supported(2)       # below minimum
+
+    def test_mel_auto_selects_sixstep_at_scale(self, monkeypatch):
+        """The spy only fires at TRACE time, so clear jit caches first."""
+        import jax
+
+        import mlx_audio_primitives_tpu.kernels.sixstep as ss
+        from mlx_audio_primitives_tpu import melspectrogram
+
+        called = {}
+        orig = ss.rfft_sixstep
+
+        def spy(x, n):
+            called["six"] = True
+            return orig(x, n)
+
+        monkeypatch.setattr(ss, "rfft_sixstep", spy)
+        jax.clear_caches()
+        y = np.zeros((8, 22050), np.float32)
+        melspectrogram(y, n_fft=2048, hop_length=512, n_mels=32)  # 8*44 rows
+        assert called.get("six")
+
+    def test_mel_auto_small_batch_stays_on_fft(self, monkeypatch):
+        import jax
+
+        import mlx_audio_primitives_tpu.kernels.sixstep as ss
+        from mlx_audio_primitives_tpu import melspectrogram
+
+        called = {}
+
+        def spy(x, n):
+            called["six"] = True
+            raise AssertionError("sixstep selected for a small workload")
+
+        monkeypatch.setattr(ss, "rfft_sixstep", spy)
+        jax.clear_caches()
+        y = np.zeros(22050, np.float32)  # 44 rows < 256
+        melspectrogram(y, n_fft=2048, hop_length=512, n_mels=32)
+        assert not called.get("six")

@@ -26,10 +26,10 @@ HOP = 512
 
 
 @pytest.fixture(scope="module")
-def S_np():
-    rng = np.random.default_rng(42)
-    y = rng.standard_normal(22050).astype(np.float32)
-    return np.abs(stft_np(y, n_fft=N_FFT, hop_length=HOP))
+def S_np(random_signal):
+    # derived from the shared conftest fixture so oracle and library inputs
+    # can never silently diverge
+    return np.abs(stft_np(random_signal, n_fft=N_FFT, hop_length=HOP))
 
 
 @pytest.fixture(scope="module")

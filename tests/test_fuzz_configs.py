@@ -25,7 +25,9 @@ def _sample_config(rng):
     # hop in [n_fft//8, n_fft], not necessarily a divisor
     hop = int(rng.integers(max(1, n_fft // 8), n_fft + 1))
     win_length = int(rng.integers(n_fft // 2, n_fft + 1))
-    length = int(rng.integers(n_fft + 1, 6 * n_fft))
+    # include signals SHORTER than n_fft (center=True handles them; the
+    # reflect-pad skip below is live for those)
+    length = int(rng.integers(max(n_fft // 3, 8), 6 * n_fft))
     return {
         "n_fft": n_fft,
         "hop_length": hop,
@@ -50,6 +52,8 @@ def test_stft_matches_oracle_and_roundtrips(cfg):
     shape = (cfg["batch"], cfg["length"]) if cfg["batch"] > 1 else (cfg["length"],)
     y = rng.standard_normal(shape).astype(np.float32)
 
+    if cfg["length"] < cfg["n_fft"] and not cfg["center"]:
+        pytest.skip("center=False requires length >= n_fft (validated error)")
     # reflect padding requires pad <= len-1
     if cfg["center"] and cfg["pad_mode"] == "reflect" and cfg["n_fft"] // 2 >= cfg["length"]:
         pytest.skip("reflect pad larger than signal")
@@ -98,7 +102,9 @@ def test_stft_matches_oracle_and_roundtrips(cfg):
             binsums += win[start : start + step] ** 2
         if cfg["n_fft"] % step:
             binsums[: cfg["n_fft"] % step] += win[-(cfg["n_fft"] % step):] ** 2
-        if binsums.min() > 1e-6:
+        # require a well-conditioned envelope: near-degenerate NOLA would
+        # force a vacuously large tolerance (bounded below at 5e-3)
+        if binsums.min() > 1e-2:
             rec = np.asarray(
                 istft(
                     S,
@@ -117,7 +123,8 @@ def test_stft_matches_oracle_and_roundtrips(cfg):
             covered = max(cfg["length"] - cfg["n_fft"], 1)
             err = np.abs(rec[..., :covered] - y[..., :covered]).max()
             # sparse envelopes amplify float error; scale tolerance by 1/min
-            tol = 5e-5 / min(binsums.min(), 1.0)
+            # but never past 5e-3 (a broken reconstruction must still fail)
+            tol = min(5e-5 / min(binsums.min(), 1.0), 5e-3)
             assert err <= max(tol, 5e-5), (err, binsums.min())
 
 
@@ -128,6 +135,8 @@ def test_mel_finite_and_shaped(cfg):
     rng = np.random.default_rng(1)
     shape = (cfg["batch"], cfg["length"]) if cfg["batch"] > 1 else (cfg["length"],)
     y = rng.standard_normal(shape).astype(np.float32)
+    if cfg["length"] < cfg["n_fft"] and not cfg["center"]:
+        pytest.skip("center=False requires length >= n_fft")
     if cfg["center"] and cfg["pad_mode"] == "reflect" and cfg["n_fft"] // 2 >= cfg["length"]:
         pytest.skip("reflect pad larger than signal")
     n_mels = min(40, cfg["n_fft"] // 4)

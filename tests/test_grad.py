@@ -25,7 +25,7 @@ from mlx_audio_primitives_tpu import (
 )
 
 
-def _fd_check(f, x, atol=None, eps=1e-2, rtol=0.05, n_probe=3):
+def _fd_check(f, x, eps=1e-2, rtol=0.05, n_probe=3):
     """Directional finite-difference check: g·v vs (f(x+εv)-f(x-εv))/2ε.
 
     Full-vector directions keep the signal well above float32 rounding noise

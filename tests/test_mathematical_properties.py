@@ -22,15 +22,33 @@ from mlx_audio_primitives_tpu import (
 
 class TestParseval:
     def test_rfft_energy(self, random_signal):
-        y = random_signal[:4096]
-        Y = np.fft.rfft(y)
-        # Parseval for rfft: sum|y|^2 == (|Y0|^2 + 2*sum|Yk|^2 + |Yn|^2)/N
-        w = np.full(len(Y), 2.0)
+        """Parseval for the LIBRARY's transform (packed rfft path)."""
+        from mlx_audio_primitives_tpu.kernels.bluestein import rfft_len
+
+        y = random_signal[:4096].reshape(2, 2048)
+        Y = np.asarray(rfft_len(jnp.asarray(y), 2048))
+        w = np.full(Y.shape[-1], 2.0)
         w[0] = 1.0
         w[-1] = 1.0
-        lhs = np.sum(y.astype(np.float64) ** 2)
-        rhs = np.sum(w * np.abs(Y) ** 2) / len(y)
-        np.testing.assert_allclose(lhs, rhs, rtol=1e-6)
+        lhs = np.sum(y.astype(np.float64) ** 2, axis=-1)
+        rhs = np.sum(w * np.abs(Y.astype(np.complex128)) ** 2, axis=-1) / 2048
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+    def test_stft_boxcar_energy_absolute(self, random_signal):
+        """Absolute Parseval: boxcar window, hop=n_fft, center=False ->
+        STFT energy equals signal energy exactly (catches constant miscale
+        that a relative-scaling check cannot)."""
+        n = 4096
+        y = random_signal[:n]
+        S = magnitude(stft(y, n_fft=512, hop_length=512, window="boxcar",
+                           center=False))
+        Snp = np.asarray(S, dtype=np.float64)
+        w = np.full(S.shape[0], 2.0)
+        w[0] = 1.0
+        w[-1] = 1.0
+        stft_energy = float((w[:, None] * Snp**2).sum() / 512)
+        sig_energy = float(np.sum(y.astype(np.float64) ** 2))
+        np.testing.assert_allclose(stft_energy, sig_energy, rtol=1e-4)
 
     def test_stft_energy_proportional(self, random_signal):
         """STFT energy scales with signal energy (window/overlap factor)."""

@@ -60,10 +60,23 @@ class TestMFCC:
         assert m.shape[0] == 20
 
     def test_batched(self, batch_signals):
+        # NOTE: batched == per-item only holds when the top_db clamp does not
+        # bind differently (power_to_db's top_db uses the global array max,
+        # same as librosa and the reference `convert.py:54-57`); these
+        # equal-level signals keep it inactive.
         mb = np.asarray(mfcc(batch_signals, n_mfcc=13))
         assert mb.shape[:2] == (4, 13)
         ms = np.asarray(mfcc(batch_signals[0], n_mfcc=13))
         np.testing.assert_allclose(mb[0], ms, rtol=1e-4, atol=1e-4)
+
+    def test_batched_topdb_clamp_is_global(self, batch_signals):
+        """Documented (reference-parity) semantics: the dB dynamic-range clamp
+        is relative to the GLOBAL max, so a loud batch item raises the floor
+        for a quiet one — mixed-level batches are NOT item-independent."""
+        y = np.stack([batch_signals[0], 1e-4 * batch_signals[0]])
+        mb = np.asarray(mfcc(y, n_mfcc=13))
+        ms = np.asarray(mfcc(y[1], n_mfcc=13))
+        assert np.abs(mb[1] - ms).max() > 1.0  # clamp binds differently
 
     def test_precomputed_S_skips_db(self, random_signal):
         S_db = np.asarray(power_to_db(melspectrogram(random_signal)))

@@ -191,3 +191,20 @@ class TestCheckNola:
             ours = check_nola(win, hop, n_fft)
             ref = bool(sps.check_NOLA(win, n_fft, n_fft - hop))
             assert ours == ref, (win, hop, n_fft)
+
+
+class TestSmallHopISTFT:
+    def test_istft_tiny_hop_fori_branch(self, short_signal):
+        """hop=1 with n_fft=128 gives C=128 chunks > the unroll limit,
+        exercising overlap_add's fori_loop branch (the stft-side twin has a
+        dedicated test; this covers the inverse)."""
+        y = short_signal[:256]
+        S = stft(y, n_fft=128, hop_length=1)
+        rec = _np(istft(S, hop_length=1, n_fft=128, length=len(y)))
+        assert np.abs(rec - y).max() <= 1e-5
+
+    def test_istft_hop2_roundtrip(self, short_signal):
+        y = short_signal[:512]
+        S = stft(y, n_fft=256, hop_length=2)
+        rec = _np(istft(S, hop_length=2, n_fft=256, length=len(y)))
+        assert np.abs(rec - y).max() <= 1e-5

@@ -54,12 +54,16 @@ class TestWindowCrossval:
         ref = torch.blackman_window(2048, periodic=True).numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-6)
 
-    def test_symmetric_windows_more_symmetric_than_torch(self):
-        """Our float64-built symmetric windows have exactly zero asymmetry
-        (the reference asserts the same vs torch, crossval `:191-272`)."""
+    def test_symmetric_windows_at_least_as_symmetric_as_torch(self):
+        """Asymmetry of our f64-built windows is <= torch's float32 windows
+        (the reference asserts the same, crossval `:191-272`)."""
         ours = np.asarray(get_window("hann", 1023, fftbins=False),
                           dtype=np.float64)
-        assert np.abs(ours - ours[::-1]).max() == 0.0
+        ours_asym = np.abs(ours - ours[::-1]).max()
+        t = torch.hann_window(1023, periodic=False).numpy().astype(np.float64)
+        torch_asym = np.abs(t - t[::-1]).max()
+        assert ours_asym == 0.0
+        assert ours_asym <= torch_asym
 
 
 class TestMelCrossval:

@@ -46,10 +46,24 @@ class TestTableCache:
 
         a = builder(1)
         builder(2)
-        builder(3)  # evicts key 1
+        builder(3)  # evicts key 1 (least recently used)
         assert builder.stats["entries"] == 2
         b = builder(1)  # rebuild
         assert b is not a
+
+    def test_lru_hit_refreshes_recency(self):
+        """A sequence where LRU and FIFO differ: 1,2,hit(1),3 must evict 2,
+        keeping the constantly-hit entry resident."""
+        @table_cache("test_lru_refresh", maxsize=2)
+        def builder(n):
+            return np.zeros(n)
+
+        a1 = builder(1)
+        builder(2)
+        assert builder(1) is a1          # hit refreshes recency
+        builder(3)                       # must evict 2, not 1
+        assert builder(1) is a1          # still resident (no rebuild)
+        assert builder.stats["entries"] == 2
 
     def test_host_tier(self):
         fb = mel_filterbank(22050, 1024, n_mels=32)

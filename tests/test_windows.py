@@ -31,6 +31,15 @@ def test_window_aliases(alias, canon):
     )
 
 
+def test_kaiser_string_default_beta():
+    """get_window('kaiser', n) (string form) uses beta=8.6 regardless of
+    whether the native or NumPy builder serves it."""
+    ours = np.asarray(get_window("kaiser", 128, fftbins=True))
+    ref = scipy.signal.get_window(("kaiser", 8.6), 128, fftbins=True)
+    np.testing.assert_allclose(ours, ref.astype(np.float32), atol=1e-6)
+    assert ours[0] < 0.01  # tapered, not rectangular
+
+
 @pytest.mark.parametrize("beta", [5.0, 8.6, 14.0])
 def test_kaiser_matches_scipy(beta):
     ours = np.asarray(get_window(("kaiser", beta), 512, fftbins=True))
