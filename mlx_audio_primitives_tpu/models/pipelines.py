@@ -33,6 +33,11 @@ class LogMelFrontend:
 
     ``(batch, samples) -> (batch, n_mels, n_frames)`` in dB. One fused jit:
     frame -> window -> rDFT GEMM -> power -> mel GEMM -> log.
+
+    ``top_db`` defaults to None: the dB dynamic-range clamp is relative to
+    the GLOBAL array max (librosa semantics), so enabling it makes a batch
+    item's features depend on its batch-mates — undesirable for a training
+    frontend. Set it explicitly for librosa-style per-call clipping.
     """
 
     def __init__(
@@ -40,13 +45,18 @@ class LogMelFrontend:
         sr: int = 22050,
         n_fft: int = 2048,
         hop_length: int = 512,
+        win_length: int | None = None,
         n_mels: int = 128,
         fmin: float = 0.0,
         fmax: float | None = None,
-        top_db: float | None = 80.0,
+        htk: bool = False,
+        norm: str | None = "slaney",
+        top_db: float | None = None,
     ):
         self.sr, self.n_fft, self.hop_length = sr, n_fft, hop_length
+        self.win_length = win_length
         self.n_mels, self.fmin, self.fmax = n_mels, fmin, fmax
+        self.htk, self.norm = htk, norm
         self.top_db = top_db
 
     def __call__(self, y: ArrayLike) -> jax.Array:
@@ -55,9 +65,12 @@ class LogMelFrontend:
             sr=self.sr,
             n_fft=self.n_fft,
             hop_length=self.hop_length,
+            win_length=self.win_length,
             n_mels=self.n_mels,
             fmin=self.fmin,
             fmax=self.fmax,
+            htk=self.htk,
+            norm=self.norm,
         )
         return power_to_db(mel, top_db=self.top_db)
 

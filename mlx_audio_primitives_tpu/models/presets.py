@@ -22,16 +22,20 @@ def whisper_logmel() -> LogMelFrontend:
 
 
 def vggish_logmel() -> LogMelFrontend:
-    """VGGish/AudioSet-style frontend: 16 kHz, 25 ms window, 10 ms hop, 64 mels."""
+    """VGGish/AudioSet-style frontend: 16 kHz, 25 ms (400-sample) window
+    zero-padded to n_fft=512, 10 ms hop, 64 HTK-scale mel bands."""
     return LogMelFrontend(
-        sr=16000, n_fft=512, hop_length=160, n_mels=64, fmin=125.0, fmax=7500.0
+        sr=16000, n_fft=512, hop_length=160, win_length=400, n_mels=64,
+        fmin=125.0, fmax=7500.0, htk=True, norm=None,
     )
 
 
 def speech_kaldi_logmel() -> LogMelFrontend:
-    """Kaldi-style fbank: 16 kHz, 25 ms window, 10 ms hop, 80 mels, HTK-ish band."""
+    """Kaldi-style fbank: 16 kHz, 25 ms (400-sample) window, 10 ms hop,
+    80 HTK-scale mel bands."""
     return LogMelFrontend(
-        sr=16000, n_fft=512, hop_length=160, n_mels=80, fmin=20.0, fmax=7600.0
+        sr=16000, n_fft=512, hop_length=160, win_length=400, n_mels=80,
+        fmin=20.0, fmax=7600.0, htk=True, norm=None,
     )
 
 

@@ -39,6 +39,16 @@ from .stft import _get_padded_window
 ArrayLike = Any
 
 
+def _valid_hop(hop_length: int | None, n_fft: int) -> int:
+    """Validate/default the hop (``or`` would silently rewrite hop=0)."""
+    hop = n_fft // 4 if hop_length is None else hop_length
+    if not 0 < hop <= n_fft:
+        raise ValueError(
+            f"hop_length must be in (0, n_fft]; got {hop} with n_fft={n_fft}"
+        )
+    return hop
+
+
 def _steady_envelope(win: jax.Array, hop: int) -> jax.Array:
     """Steady-state periodic squared-window envelope, one hop period."""
     n_fft = win.shape[0]
@@ -74,7 +84,10 @@ def streaming_stft_push(
     ext = jnp.concatenate([carry, chunk.astype(REAL_DTYPE)], axis=1)
     frames = frame_signal_batched(ext, n_fft, hop_length) * win
     spec = rfft_len(frames, n_fft)
-    return ext[:, -(n_fft - hop_length):], spec
+    tail = n_fft - hop_length
+    # NB: slice from the absolute position — a negative -(tail) start would
+    # select the ENTIRE array when tail == 0 (hop == n_fft)
+    return ext[:, ext.shape[1] - tail :], spec
 
 
 def streaming_istft_init(batch: int, n_fft: int, hop_length: int) -> jax.Array:
@@ -110,7 +123,12 @@ def streaming_istft_push(
 
 
 class StreamingSTFT:
-    """Chunked STFT with librosa-equivalent frames (center=False alignment).
+    """Chunked STFT primed with silence.
+
+    The stream equals the offline ``stft(center=False)`` of the signal
+    pre-padded with ``n_fft - hop`` zeros — i.e. streamed frame ``f``
+    corresponds to offline (unpadded, center=False) frame
+    ``f - (n_fft - hop)/hop`` once past the priming region.
 
     >>> s = StreamingSTFT(n_fft=1024, hop_length=256, batch=1)
     >>> for chunk in chunks:                 # (1, k*256) each
@@ -125,7 +143,7 @@ class StreamingSTFT:
         batch: int = 1,
     ):
         self.n_fft = n_fft
-        self.hop_length = hop_length or n_fft // 4
+        self.hop_length = _valid_hop(hop_length, n_fft)
         self.win = _get_padded_window(window, n_fft, n_fft)
         self.batch = batch
         self.carry = streaming_stft_init(batch, n_fft, self.hop_length)
@@ -159,7 +177,7 @@ class StreamingISTFT:
         batch: int = 1,
     ):
         self.n_fft = n_fft
-        self.hop_length = hop_length or n_fft // 4
+        self.hop_length = _valid_hop(hop_length, n_fft)
         self.win = _get_padded_window(window, n_fft, n_fft)
         self.batch = batch
         self.carry = streaming_istft_init(batch, n_fft, self.hop_length)
@@ -176,8 +194,16 @@ class StreamingISTFT:
         self.carry = streaming_istft_init(self.batch, self.n_fft, self.hop_length)
 
 
+@jax.jit
+def _logmel_post(spec: jax.Array, fb_t: jax.Array) -> jax.Array:
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    mel = jnp.matmul(power, fb_t, precision=MATMUL_PRECISION)
+    return power_to_db(mel, top_db=None)
+
+
 class StreamingLogMel:
-    """Chunked log-mel frontend: StreamingSTFT + mel GEMM + dB."""
+    """Chunked log-mel frontend: StreamingSTFT + mel GEMM + dB (one jitted
+    post stage per chunk — the per-push hot path never dispatches eagerly)."""
 
     def __init__(
         self,
@@ -192,10 +218,7 @@ class StreamingLogMel:
         self.fb_t = mel_filterbank(sr, n_fft, n_mels=n_mels).T
 
     def push(self, chunk: ArrayLike) -> jax.Array:
-        spec = self.stft.push(chunk)
-        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        mel = jnp.matmul(power, self.fb_t, precision=MATMUL_PRECISION)
-        return power_to_db(mel, top_db=None)
+        return _logmel_post(self.stft.push(chunk), self.fb_t)
 
     def reset(self) -> None:
         self.stft.reset()

@@ -30,13 +30,41 @@ def make_mesh(
     exchange ``n_fft - hop`` halos over ICI (see `time_shard.py`).
     """
     devices = list(jax.devices()) if devices is None else list(devices)
+    if n_time < 1:
+        raise ValueError(f"n_time must be >= 1, got {n_time}")
     if n_data is None:
+        if len(devices) % n_time != 0:
+            raise ValueError(
+                f"{len(devices)} devices do not divide evenly over "
+                f"n_time={n_time}; pass n_data explicitly"
+            )
         n_data = len(devices) // n_time
+    if n_data < 1:
+        raise ValueError(f"n_data must be >= 1, got {n_data}")
     if n_data * n_time > len(devices):
         raise ValueError(
             f"mesh {n_data}x{n_time} needs {n_data * n_time} devices, "
             f"have {len(devices)}"
         )
+    if n_data * n_time < len(devices):
+        import warnings
+
+        warnings.warn(
+            f"mesh {n_data}x{n_time} uses {n_data * n_time} of "
+            f"{len(devices)} devices; the rest stay idle",
+            stacklevel=2,
+        )
+    # Prefer the topology-aware layout so 'time' neighbors are ICI-adjacent
+    # (ppermute halos ride single links); fall back to enumeration order for
+    # virtual/CPU device sets or explicit device lists.
+    if devices == list(jax.devices()) and n_data * n_time == len(devices):
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh((n_data, n_time))
+            return Mesh(arr, (DATA_AXIS, TIME_AXIS))
+        except Exception:
+            pass
     arr = np.asarray(devices[: n_data * n_time]).reshape(n_data, n_time)
     return Mesh(arr, (DATA_AXIS, TIME_AXIS))
 

@@ -11,15 +11,17 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from .mesh import DATA_AXIS
+from .mesh import batch_sharding
 
 
 def shard_batch(arr: Any, mesh: Mesh) -> jax.Array:
-    """Place a ``(batch, ...)`` array with the batch axis over 'data'."""
-    spec = P(DATA_AXIS, *([None] * (arr.ndim - 1)))
-    return jax.device_put(arr, NamedSharding(mesh, spec))
+    """Place a ``(batch, ...)`` array with the batch axis over 'data'.
+
+    (Unspecified trailing dims of a PartitionSpec are replicated, so the
+    rank-generic spec lives in one place: ``mesh.batch_sharding``.)"""
+    return jax.device_put(arr, batch_sharding(mesh))
 
 
 def data_parallel(fn: Callable, mesh: Mesh) -> Callable:

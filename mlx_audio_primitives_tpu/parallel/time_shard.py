@@ -57,6 +57,16 @@ def _right_halo(y_local: jax.Array, halo: int, t_size: int) -> jax.Array:
     return jnp.where(t_idx == t_size - 1, jnp.zeros_like(head), head)
 
 
+def _local_ri(y_local, win, basis, halo, t_size, n_fft, hop_length):
+    """Shared shard-local pipeline: halo-extend -> frame -> window -> DFT-GEMM.
+
+    Returns the stacked real|imag spectrum ``(B_l, F_l, 2*n_bins)``.
+    """
+    ext = jnp.concatenate([y_local, _right_halo(y_local, halo, t_size)], axis=1)
+    frames = frame_signal_batched(ext, n_fft, hop_length) * win
+    return jnp.matmul(frames, basis, precision=MATMUL_PRECISION)
+
+
 def _check_shardable(L: int, n_fft: int, hop_length: int, t_size: int) -> int:
     if L % t_size != 0:
         raise ValueError(f"signal length {L} must divide over {t_size} time shards")
@@ -103,14 +113,14 @@ def stft_time_sharded(
     n_bins = n_fft // 2 + 1
 
     def body(y_local, win_, basis_):
+        if use_matmul:
+            ri = _local_ri(y_local, win_, basis_, halo, t_size, n_fft, hop_length)
+            return lax.complex(ri[..., :n_bins], ri[..., n_bins:])
         ext = jnp.concatenate(
             [y_local, _right_halo(y_local, halo, t_size)], axis=1
         )
-        frames = frame_signal_batched(ext, n_fft, hop_length) * win_
-        if use_matmul:
-            ri = jnp.matmul(frames, basis_, precision=MATMUL_PRECISION)
-            return lax.complex(ri[..., :n_bins], ri[..., n_bins:])
-        return jnp.fft.rfft(frames, axis=-1)
+        return jnp.fft.rfft(frame_signal_batched(ext, n_fft, hop_length) * win_,
+                            axis=-1)
 
     return shard_map(
         body,
@@ -206,9 +216,7 @@ def logmel_time_sharded(
     n_bins = n_fft // 2 + 1
 
     def body(y_local, win_, basis_, fb_):
-        ext = jnp.concatenate([y_local, _right_halo(y_local, halo, t_size)], axis=1)
-        frames = frame_signal_batched(ext, n_fft, hop_length) * win_
-        ri = jnp.matmul(frames, basis_, precision=MATMUL_PRECISION)
+        ri = _local_ri(y_local, win_, basis_, halo, t_size, n_fft, hop_length)
         pow2 = ri[..., :n_bins] ** 2 + ri[..., n_bins:] ** 2
         mel = jnp.matmul(pow2, fb_, precision=MATMUL_PRECISION)
         from ..ops.convert import power_to_db

@@ -108,3 +108,30 @@ class TestStreamingLogMel:
         offline = np.asarray(power_to_db(mel, top_db=None)).T
         n = min(len(streamed), len(offline))
         np.testing.assert_allclose(streamed[:n], offline[:n], atol=1e-2)
+
+
+class TestStreamingEdgeCases:
+    def test_hop_equals_nfft_no_carry_growth(self):
+        """hop == n_fft means zero overlap: the carry must stay empty (a
+        negative-zero slice once returned the whole chunk, duplicating
+        frames and growing state unboundedly)."""
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal(8 * 256).astype(np.float32)
+        s = StreamingSTFT(n_fft=256, hop_length=256, window="boxcar")
+        got = []
+        for i in range(0, len(y), 4 * 256):
+            out = np.asarray(s.push(y[i : i + 4 * 256]))[0]
+            assert out.shape[0] == 4  # exactly chunk/hop frames, every push
+            got.append(out)
+        assert s.carry.shape == (1, 0)
+        streamed = np.concatenate(got, axis=0)
+        offline = np.asarray(
+            stft(y, n_fft=256, hop_length=256, window="boxcar", center=False)
+        ).T
+        np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+    def test_invalid_hop_raises(self):
+        with pytest.raises(ValueError):
+            StreamingSTFT(n_fft=256, hop_length=0)
+        with pytest.raises(ValueError):
+            StreamingISTFT(n_fft=256, hop_length=512)
