@@ -134,3 +134,23 @@ class TestCLI:
     def test_unknown_suite_is_graceful(self, capsys):
         code = main(["--suite", "nonexistent"])
         assert code == 0
+
+
+class TestAmortizedTimer:
+    def test_positive_time_for_real_work(self):
+        import jax.numpy as jnp
+
+        from benchmarks.utils import time_jax_amortized
+
+        x = jnp.ones((256, 256), jnp.float32)
+        t = time_jax_amortized(lambda a: jnp.tanh(a @ a), x, k=10, runs=3)
+        assert t > 0 and np.isfinite(t)
+
+    def test_handles_complex_outputs(self):
+        import jax.numpy as jnp
+
+        from benchmarks.utils import time_jax_amortized
+
+        x = jnp.ones((8, 256), jnp.float32)
+        t = time_jax_amortized(lambda a: jnp.fft.rfft(a, axis=-1), x, k=5, runs=2)
+        assert np.isfinite(t) and t > 0

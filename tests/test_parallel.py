@@ -119,3 +119,22 @@ class TestTrainStep:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
         assert all(np.isfinite(losses))
+
+
+class TestDataParallelHelper:
+    def test_data_parallel_wraps_and_matches(self):
+        import numpy as np
+
+        from mlx_audio_primitives_tpu import melspectrogram
+        from mlx_audio_primitives_tpu.parallel import data_parallel, make_mesh
+
+        mesh = make_mesh(n_data=8, n_time=1)
+        fn = data_parallel(
+            lambda y: melspectrogram(y, n_fft=256, hop_length=64, n_mels=16),
+            mesh,
+        )
+        y = np.random.default_rng(0).standard_normal((8, 2048)).astype(np.float32)
+        out = fn(y)
+        ref = melspectrogram(y, n_fft=256, hop_length=64, n_mels=16)
+        assert len(out.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
