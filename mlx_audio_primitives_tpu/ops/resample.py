@@ -158,18 +158,77 @@ def _polyphase_kernel(up: int, down: int) -> np.ndarray:
     return K.T.copy()
 
 
-@partial(jax.jit, static_argnames=("up", "down", "n_out", "m0", "Lpmax", "W"))
+#: upfirdn-style signal-extension modes handled by `_extend` (scipy
+#: `_upfirdn_modes` minus the stat modes, which use background subtraction).
+_EXTENSION_MODES = (
+    "constant", "edge", "wrap", "symmetric", "reflect",
+    "smooth", "antisymmetric", "antireflect", "line",
+)
+#: Stat padtypes: subtract the statistic, resample with zero extension, add
+#: it back (exactly scipy resample_poly's structure).
+_STAT_FUNCS = {
+    "mean": jnp.mean, "median": jnp.median,
+    "maximum": jnp.max, "minimum": jnp.min,
+}
+
+
+def _extend(y: jax.Array, left: int, right: int, mode: str, cval) -> jax.Array:
+    """Extend ``(B, n)`` beyond both edges with upfirdn's boundary semantics.
+
+    Matches scipy's `_upfirdn_apply` extension modes (resample_poly's
+    `padtype`). 'line' continues the global trend through the first and last
+    samples; 'smooth' continues the edge slope; 'anti*' are the negated
+    mirror modes.
+    """
+    n = y.shape[-1]
+    pads = ((0, 0), (left, right))
+    if mode == "constant":
+        return jnp.pad(y, pads, constant_values=0.0 if cval is None else cval)
+    if mode in ("edge", "wrap", "symmetric", "reflect"):
+        return jnp.pad(y, pads, mode=mode)
+    if mode in ("smooth", "line"):
+        if mode == "line":
+            sl = sr = (y[:, -1:] - y[:, :1]) / max(n - 1, 1)
+        else:
+            sl = y[:, 1:2] - y[:, :1]
+            sr = y[:, -1:] - y[:, -2:-1]
+        kl = jnp.arange(left, 0, -1, dtype=y.dtype)
+        kr = jnp.arange(1, right + 1, dtype=y.dtype)
+        return jnp.concatenate(
+            [y[:, :1] - kl * sl, y, y[:, -1:] + kr * sr], axis=-1
+        )
+    if mode in ("antisymmetric", "antireflect"):
+        # One mirror period only: beyond that the sign alternates again.
+        if left >= n or right >= n:
+            raise ValueError(
+                f"padtype='{mode}' needs the signal longer than the filter "
+                f"half-length ({max(left, right)}); got {n} samples"
+            )
+        base = "symmetric" if mode == "antisymmetric" else "reflect"
+        ext = jnp.pad(y, pads, mode=base)
+        if mode == "antisymmetric":
+            lpad, rpad = -ext[:, :left], -ext[:, left + n :]
+        else:
+            lpad = 2.0 * y[:, :1] - ext[:, :left]
+            rpad = 2.0 * y[:, -1:] - ext[:, left + n :]
+        return jnp.concatenate([lpad, y, rpad], axis=-1)
+    raise ValueError(f"Unknown padtype '{mode}'")
+
+
+@partial(jax.jit, static_argnames=("up", "down", "n_out", "m0", "Lpmax", "W",
+                                   "padtype", "cval"))
 def _polyphase_core(
     y: jax.Array, Kt: jax.Array, *, up: int, down: int, n_out: int,
-    m0: int, Lpmax: int, W: int,
+    m0: int, Lpmax: int, W: int, padtype: str = "constant",
+    cval: float | None = None,
 ) -> jax.Array:
-    """Polyphase resample = frame(hop=down) + one MXU GEMM."""
+    """Polyphase resample = extend + frame(hop=down) + one MXU GEMM."""
     B, n = y.shape
     S = -(-(m0 + n_out) // up)
     left = Lpmax - 1
     need = (S - 1) * down + W
     right = max(0, need - left - n)
-    yp = jnp.pad(y, ((0, 0), (left, right)))
+    yp = _extend(y, left, right, padtype, cval)
     frames = frame_signal_batched(yp, W, down)
     if frames.shape[1] > S:
         frames = frames[:, :S, :]
@@ -184,19 +243,28 @@ def resample_poly(
     down: int,
     axis: int = -1,
     padtype: str = "constant",
+    cval: float | None = None,
 ) -> jax.Array:
     """Polyphase resampling (scipy.signal.resample_poly semantics), on device.
 
-    Reference parity: `mlx_audio_primitives/resample.py:212-308`; unlike the
-    reference this owns the polyphase pipeline instead of calling scipy.
-    Currently supports ``padtype='constant'`` (scipy's default).
+    Reference parity: `mlx_audio_primitives/resample.py:212-308` (which
+    forwards ``padtype`` to scipy at `resample.py:281`); unlike the reference
+    this owns the polyphase pipeline. All scipy padtypes are supported:
+    signal-extension modes ('constant', 'edge', 'wrap', 'symmetric',
+    'reflect', 'smooth', 'antisymmetric', 'antireflect', 'line') extend the
+    signal on device before the GEMM; stat modes ('mean', 'median',
+    'maximum', 'minimum') subtract the statistic, resample with zero
+    extension, and add it back — scipy's exact structure.
     """
     validate_positive(up, "up")
     validate_positive(down, "down")
-    if padtype != "constant":
-        raise NotImplementedError(
-            f"padtype='{padtype}' not supported; only 'constant' (scipy default)"
+    if padtype not in _EXTENSION_MODES and padtype not in _STAT_FUNCS:
+        raise ValueError(
+            f"padtype='{padtype}' not supported; one of "
+            f"{sorted((*_EXTENSION_MODES, *_STAT_FUNCS))}"
         )
+    if cval is not None and padtype != "constant":
+        raise ValueError("cval has no effect when padtype is not 'constant'")
     y = jnp.asarray(y, dtype=REAL_DTYPE)
     g = math.gcd(up, down)
     up, down = up // g, down // g
@@ -215,9 +283,17 @@ def resample_poly(
 
     _, Lpmax, W, m0 = _polyphase_geometry(up, down)
     Kt = _polyphase_kernel(up, down)
+    bg = None
+    if padtype in _STAT_FUNCS:
+        bg = _STAT_FUNCS[padtype](y, axis=-1, keepdims=True)
+        y = y - bg
     out = _polyphase_core(
-        y, Kt, up=up, down=down, n_out=n_out, m0=m0, Lpmax=Lpmax, W=W
+        y, Kt, up=up, down=down, n_out=n_out, m0=m0, Lpmax=Lpmax, W=W,
+        padtype=padtype if padtype in _EXTENSION_MODES else "constant",
+        cval=cval,
     )
+    if bg is not None:
+        out = out + bg
 
     if input_is_1d:
         out = out[0]

@@ -105,5 +105,65 @@ class TestResamplePoly:
     def test_validation(self, random_signal):
         with pytest.raises(ValueError):
             resample_poly(random_signal, 0, 2)
-        with pytest.raises(NotImplementedError):
-            resample_poly(random_signal, 2, 1, padtype="mean")
+        with pytest.raises(ValueError):
+            resample_poly(random_signal, 2, 1, padtype="bogus")
+
+
+class TestResamplePolyPadtypes:
+    """All scipy resample_poly padtypes (the reference forwards padtype to
+    scipy at `resample.py:281`, so scipy's mode set is the parity surface)."""
+
+    PADTYPES = [
+        "constant", "edge", "wrap", "symmetric", "reflect", "smooth",
+        "antisymmetric", "antireflect", "line",
+        "mean", "median", "maximum", "minimum",
+    ]
+
+    @pytest.mark.parametrize("padtype", PADTYPES)
+    @pytest.mark.parametrize("up,down", [(3, 2), (160, 441)])
+    def test_matches_scipy(self, padtype, up, down):
+        rng = np.random.default_rng(7)
+        # DC offset + trend make the extension modes actually distinguishable
+        y = (rng.standard_normal(2205) + 0.5
+             + np.linspace(0, 1, 2205)).astype(np.float32)
+        ours = np.asarray(resample_poly(y, up, down, padtype=padtype))
+        ref = scipy.signal.resample_poly(
+            y.astype(np.float64), up, down, padtype=padtype
+        )
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_modes_differ_at_edges(self):
+        rng = np.random.default_rng(8)
+        y = (rng.standard_normal(1000) + 1.0).astype(np.float32)
+        const = np.asarray(resample_poly(y, 3, 2, padtype="constant"))
+        edge = np.asarray(resample_poly(y, 3, 2, padtype="edge"))
+        assert np.max(np.abs(const[:20] - edge[:20])) > 1e-3
+        np.testing.assert_allclose(const[100:-100], edge[100:-100], atol=1e-5)
+
+    def test_cval(self):
+        rng = np.random.default_rng(9)
+        y = rng.standard_normal(800).astype(np.float32)
+        ours = np.asarray(resample_poly(y, 5, 3, padtype="constant", cval=2.5))
+        ref = scipy.signal.resample_poly(
+            y.astype(np.float64), 5, 3, padtype="constant", cval=2.5
+        )
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_cval_with_other_padtype_raises(self, random_signal):
+        with pytest.raises(ValueError):
+            resample_poly(random_signal, 5, 3, padtype="edge", cval=1.0)
+
+    def test_anti_modes_short_signal_raises(self):
+        y = np.ones(10, dtype=np.float32)
+        with pytest.raises(ValueError):
+            resample_poly(y, 3, 2, padtype="antisymmetric")
+
+    def test_batched_padtype(self):
+        rng = np.random.default_rng(10)
+        y = rng.standard_normal((3, 1500)).astype(np.float32)
+        ours = np.asarray(resample_poly(y, 2, 3, padtype="line"))
+        ref = scipy.signal.resample_poly(
+            y.astype(np.float64), 2, 3, axis=-1, padtype="line"
+        )
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
