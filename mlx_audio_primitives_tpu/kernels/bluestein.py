@@ -115,6 +115,66 @@ def rfft_packed(x: jax.Array) -> jax.Array:
     return out.reshape(*lead, n_bins)
 
 
+def packed_power_rows(Z: jax.Array, n: int) -> jax.Array:
+    """Power spectra of both packed real rows, without forming them.
+
+    For ``z = a + i*b`` with ``Z = fft(z)``, let ``E = |Z|^2`` and
+    ``F = Re(Z * Z[(-k) mod n])``. Then
+
+        |fft(a)|^2 = (E + E_flip + 2F) / 4
+        |fft(b)|^2 = (E + E_flip - 2F) / 4
+
+    — all *real* arithmetic, so XLA fuses it straight into downstream
+    consumers instead of materializing two complex spectra (the hermitian
+    A/B unpack with its complex gather-flip). Takes the packed ``(half, n)``
+    complex spectrum, returns ``(2*half, n//2+1)`` real powers. Numerically
+    equivalent to squaring the unpacked spectra (1.7e-7 rel); strictly less
+    HBM traffic, though the saving is within remote-attachment timing noise
+    on the batch-64 mel pipeline (~0.4 ms total).
+    """
+    n_bins = n // 2 + 1
+    Zf = jnp.concatenate([Z[..., :1], Z[..., :0:-1]], axis=-1)
+    E = jnp.real(Z) ** 2 + jnp.imag(Z) ** 2
+    Ef = jnp.concatenate([E[..., :1], E[..., :0:-1]], axis=-1)
+    F = jnp.real(Z) * jnp.real(Zf) - jnp.imag(Z) * jnp.imag(Zf)
+    P0 = 0.25 * (E + Ef + 2.0 * F)
+    P1 = 0.25 * (E + Ef - 2.0 * F)
+    half = Z.shape[0]
+    return jnp.stack([P0[..., :n_bins], P1[..., :n_bins]], axis=1).reshape(
+        2 * half, n_bins
+    )
+
+
+def rfft_power_packed(x: jax.Array) -> jax.Array:
+    """``|rfft(x)|^2`` over the last axis via pair packing + direct power."""
+    *lead, n = x.shape
+    rows = int(np.prod(lead)) if lead else 1
+    flat = x.reshape(rows, n)
+    odd_rows = rows % 2 == 1
+    if odd_rows:
+        flat = jnp.pad(flat, ((0, 1), (0, 0)))
+    z = jax.lax.complex(flat[0::2], flat[1::2])
+    Z = jnp.fft.fft(z, axis=-1)
+    out = packed_power_rows(Z, n)
+    if odd_rows:
+        out = out[:rows]
+    return out.reshape(*lead, n // 2 + 1)
+
+
+def rfft_power_len(x: jax.Array, n: int) -> jax.Array:
+    """``|rfft(x)|^2`` of real input of length ``n`` -> (..., n//2+1).
+
+    Pow2 multi-row inputs take the fused packed-power path; everything else
+    squares the corresponding :func:`rfft_len` spectrum.
+    """
+    if n & (n - 1) == 0:
+        rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        if rows >= 2:
+            return rfft_power_packed(x)
+    S = rfft_len(x, n)
+    return jnp.real(S) ** 2 + jnp.imag(S) ** 2
+
+
 def rfft_len(x: jax.Array, n: int) -> jax.Array:
     """rfft of real input already of length ``n`` -> (..., n//2+1).
 

@@ -104,6 +104,31 @@ def rfft_sixstep(x: jax.Array, n: int) -> jax.Array:
     return out.reshape(*lead, n_bins)
 
 
+def rfft_power_sixstep(x: jax.Array, n: int) -> jax.Array:
+    """``|rfft(x)|^2`` via row pairing + six-step FFT + direct packed power.
+
+    Skips the hermitian complex unpack entirely (see
+    `bluestein.packed_power_rows`): the power of both packed rows comes from
+    real arithmetic on the packed spectrum, which XLA fuses into downstream
+    consumers (e.g. the mel matmul) instead of materializing two complex
+    spectra.
+    """
+    from .bluestein import packed_power_rows
+
+    *lead, _ = x.shape
+    rows = int(np.prod(lead)) if lead else 1
+    flat = x.reshape(rows, n)
+    odd = rows % 2 == 1
+    if odd:
+        flat = jnp.pad(flat, ((0, 1), (0, 0)))
+    z = jax.lax.complex(flat[0::2], flat[1::2])
+    Z = fft_sixstep(z, n=n)
+    out = packed_power_rows(Z, n)
+    if odd:
+        out = out[:rows]
+    return out.reshape(*lead, n // 2 + 1)
+
+
 def irfft_sixstep(X: jax.Array, n: int) -> jax.Array:
     """irfft via spectrum pairing + inverse six-step: (..., n//2+1) -> (..., n)."""
     *lead, n_bins = X.shape

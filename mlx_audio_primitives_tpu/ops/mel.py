@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .._config import FILTERBANK_CACHE_SIZE, MATMUL_PRECISION, REAL_DTYPE
-from ..kernels.bluestein import rfft_len
+from ..kernels.bluestein import rfft_power_len
 from ..kernels.dft import forward_basis
 from ..utils.cache import table_cache
 from ..utils.validation import validate_non_negative, validate_positive
@@ -168,13 +168,11 @@ def _melspec_core(
         ri = jnp.matmul(frames, basis, precision=MATMUL_PRECISION)
         pow2 = ri[..., :n_bins] ** 2 + ri[..., n_bins:] ** 2
     elif fft_mode == "sixstep":
-        from ..kernels.sixstep import rfft_sixstep
+        from ..kernels.sixstep import rfft_power_sixstep
 
-        S = rfft_sixstep(frames, n_fft)
-        pow2 = jnp.real(S) ** 2 + jnp.imag(S) ** 2
+        pow2 = rfft_power_sixstep(frames, n_fft)
     else:
-        S = rfft_len(frames, n_fft)
-        pow2 = jnp.real(S) ** 2 + jnp.imag(S) ** 2
+        pow2 = rfft_power_len(frames, n_fft)
     if power == 2.0:
         P = pow2
     elif power == 1.0:

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .._config import REAL_DTYPE
-from ..kernels.bluestein import _next_pow2, rfft_len
+from ..kernels.bluestein import _next_pow2, rfft_power_len
 from ..utils.validation import validate_positive
 from ._frames import frame_signal_batched
 
@@ -38,8 +38,7 @@ def _autocorrelation_core(
         y = y - jnp.mean(y, axis=-1, keepdims=True)
     n_fft = _next_pow2(2 * n - 1)
     y = jnp.pad(y, ((0, 0), (0, n_fft - y.shape[-1])))
-    Y = rfft_len(y, n_fft)
-    power = jnp.real(Y) ** 2 + jnp.imag(Y) ** 2
+    power = rfft_power_len(y, n_fft)
     r = jnp.fft.irfft(power, n=n_fft, axis=-1)[:, :max_lag]
     if normalize:
         r = r / jnp.maximum(r[:, :1], 1e-10)
@@ -82,8 +81,7 @@ def _framewise_acf(
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     n_fft = _next_pow2(2 * frame_length - 1)
     frames = jnp.pad(frames, ((0, 0), (0, 0), (0, n_fft - frame_length)))
-    Y = rfft_len(frames, n_fft)
-    power = jnp.real(Y) ** 2 + jnp.imag(Y) ** 2
+    power = rfft_power_len(frames, n_fft)
     r = jnp.fft.irfft(power, n=n_fft, axis=-1)
     r0 = r[..., :1]
     valid = r0[..., 0] > 1e-10

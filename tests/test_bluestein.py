@@ -142,6 +142,52 @@ class TestPackedTransforms:
         np.testing.assert_allclose(back, x, atol=1e-5)
 
 
+class TestPackedPower:
+    """Direct |rfft|^2 without the hermitian complex unpack
+    (`bluestein.packed_power_rows`); feeds the fused mel pipeline."""
+
+    @pytest.mark.parametrize("rows", [2, 5, 8])
+    def test_rfft_power_packed_matches_numpy(self, rows):
+        from mlx_audio_primitives_tpu.kernels.bluestein import rfft_power_packed
+
+        rng = np.random.default_rng(21)
+        x = rng.standard_normal((rows, 512)).astype(np.float32)
+        ours = np.asarray(rfft_power_packed(jnp.asarray(x)))
+        ref = np.abs(np.fft.rfft(x.astype(np.float64), axis=-1)) ** 2
+        np.testing.assert_allclose(ours, ref, atol=1e-2, rtol=1e-4)
+
+    @pytest.mark.parametrize("n", [400, 512, 1000])  # pow2 and not
+    def test_rfft_power_len_dispatch(self, n):
+        from mlx_audio_primitives_tpu.kernels.bluestein import rfft_power_len
+
+        rng = np.random.default_rng(22)
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        ours = np.asarray(rfft_power_len(jnp.asarray(x), n))
+        ref = np.abs(np.fft.rfft(x.astype(np.float64), axis=-1)) ** 2
+        np.testing.assert_allclose(ours, ref, atol=1e-2, rtol=1e-4)
+
+    def test_rfft_power_len_single_row(self):
+        from mlx_audio_primitives_tpu.kernels.bluestein import rfft_power_len
+
+        rng = np.random.default_rng(23)
+        x = rng.standard_normal(1024).astype(np.float32)
+        ours = np.asarray(rfft_power_len(jnp.asarray(x), 1024))
+        ref = np.abs(np.fft.rfft(x.astype(np.float64))) ** 2
+        np.testing.assert_allclose(ours, ref, atol=1e-2, rtol=1e-4)
+
+    @pytest.mark.parametrize("rows", [3, 6])
+    def test_rfft_power_sixstep_matches_numpy(self, rows):
+        from mlx_audio_primitives_tpu.kernels.sixstep import rfft_power_sixstep
+
+        rng = np.random.default_rng(24)
+        x = rng.standard_normal((rows, 2048)).astype(np.float32)
+        ours = np.asarray(rfft_power_sixstep(jnp.asarray(x), 2048))
+        ref = np.abs(np.fft.rfft(x.astype(np.float64), axis=-1)) ** 2
+        # sixstep runs at Precision.HIGH: wider band than the jnp.fft path
+        scale = ref.max()
+        assert np.max(np.abs(ours - ref)) / scale < 5e-4
+
+
 class TestSixStep:
     @pytest.mark.parametrize("n", [256, 1024, 2048, 4096, 16384])
     def test_fft_matches_numpy(self, n):
@@ -246,13 +292,13 @@ class TestDispatchPolicy:
         from mlx_audio_primitives_tpu import melspectrogram
 
         called = {}
-        orig = ss.rfft_sixstep
+        orig = ss.rfft_power_sixstep
 
         def spy(x, n):
             called["six"] = True
             return orig(x, n)
 
-        monkeypatch.setattr(ss, "rfft_sixstep", spy)
+        monkeypatch.setattr(ss, "rfft_power_sixstep", spy)
         jax.clear_caches()
         y = np.zeros((8, 22050), np.float32)
         melspectrogram(y, n_fft=2048, hop_length=512, n_mels=32)  # 8*44 rows
@@ -270,7 +316,7 @@ class TestDispatchPolicy:
             called["six"] = True
             raise AssertionError("sixstep selected for a small workload")
 
-        monkeypatch.setattr(ss, "rfft_sixstep", spy)
+        monkeypatch.setattr(ss, "rfft_power_sixstep", spy)
         jax.clear_caches()
         y = np.zeros(22050, np.float32)  # 44 rows < 256
         melspectrogram(y, n_fft=2048, hop_length=512, n_mels=32)
