@@ -189,6 +189,8 @@ def _extend(y: jax.Array, left: int, right: int, mode: str, cval) -> jax.Array:
     if mode in ("smooth", "line"):
         if mode == "line":
             sl = sr = (y[:, -1:] - y[:, :1]) / max(n - 1, 1)
+        elif n == 1:
+            sl = sr = jnp.zeros_like(y[:, :1])  # one sample: slope is 0
         else:
             sl = y[:, 1:2] - y[:, :1]
             sr = y[:, -1:] - y[:, -2:-1]

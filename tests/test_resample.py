@@ -154,6 +154,19 @@ class TestResamplePolyPadtypes:
         with pytest.raises(ValueError):
             resample_poly(random_signal, 5, 3, padtype="edge", cval=1.0)
 
+    def test_length_one_signal_all_modes(self):
+        """scipy SIGFPEs on reflect with a 1-sample signal; we must not.
+        smooth degenerates to edge (zero slope)."""
+        y = np.array([2.0], np.float32)
+        for pt in ("constant", "edge", "wrap", "symmetric", "reflect",
+                   "smooth", "line", "mean", "median", "maximum", "minimum"):
+            out = np.asarray(resample_poly(y, 3, 2, padtype=pt))
+            assert out.shape == (2,) and np.all(np.isfinite(out))
+        ref_edge = np.asarray(resample_poly(y, 3, 2, padtype="edge"))
+        np.testing.assert_allclose(
+            np.asarray(resample_poly(y, 3, 2, padtype="smooth")), ref_edge
+        )
+
     def test_anti_modes_short_signal_raises(self):
         y = np.ones(10, dtype=np.float32)
         with pytest.raises(ValueError):
