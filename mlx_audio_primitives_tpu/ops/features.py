@@ -31,7 +31,7 @@ from .._config import REAL_DTYPE
 from ..kernels.precise_math import exp10, log10
 from ..utils.validation import validate_positive, validate_range
 from ._frames import frame_signal_batched
-from .stft import magnitude, stft
+from .stft import magnitude, magnitude_spectrogram, stft
 
 ArrayLike = Any
 
@@ -48,16 +48,15 @@ def _compute_spectrogram(
         return jnp.asarray(S, dtype=REAL_DTYPE)
     if y is None:
         raise ValueError("Either y (audio) or S (spectrogram) must be provided")
-    S = magnitude(
-        stft(
-            y,
-            n_fft=n_fft,
-            hop_length=hop_length,
-            win_length=win_length,
-            window=window,
-            center=center,
-            pad_mode=pad_mode,
-        )
+    # Fused magnitude path: |stft| without the complex intermediate.
+    S = magnitude_spectrogram(
+        y,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        win_length=win_length,
+        window=window,
+        center=center,
+        pad_mode=pad_mode,
     )
     if power != 1.0:
         S = jnp.power(S, power)

@@ -33,7 +33,7 @@ from .._config import (
     REAL_DTYPE,
     WINDOW_SUM_EPSILON,
 )
-from ..kernels.bluestein import irfft_len, rfft_len
+from ..kernels.bluestein import irfft_len, rfft_len, rfft_power_len
 from ..kernels.dft import forward_basis, inverse_basis, irdft_matmul, rdft_matmul
 from ..utils import dispatch
 from ..utils.cache import table_cache
@@ -153,6 +153,84 @@ def _stft_core(
 
         return rfft_sixstep(frames, n_fft)
     return rfft_len(frames, n_fft)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "center", "pad_mode"),
+)
+def _magnitude_core(
+    y: jax.Array,
+    win: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+) -> jax.Array:
+    """(B, L) -> (B, F, n_bins) real magnitudes, fully fused.
+
+    ``sqrt(rfft_power_len(.))`` never materializes a complex spectrum (see
+    `kernels/bluestein.py::packed_power_rows`), unlike ``|_stft_core(.)|``.
+    """
+    if center:
+        pad = n_fft // 2
+        y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+    frames = frame_signal_batched(y, n_fft, hop_length) * win
+    return jnp.sqrt(rfft_power_len(frames, n_fft))
+
+
+def magnitude_spectrogram(
+    y: ArrayLike,
+    n_fft: int = 2048,
+    hop_length: int | None = None,
+    win_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> jax.Array:
+    """``|stft(y)|`` without the complex intermediate (internal fast path).
+
+    Same signature subset and semantics as ``magnitude(stft(y, ...))``
+    (reference composes them, `stft.py:136-222` + `:347-362`); used by the
+    spectral-feature S-or-y protocol.
+    """
+    if hop_length is None:
+        hop_length = n_fft // 4
+    if win_length is None:
+        win_length = n_fft
+    if hop_length <= 0:
+        raise ValueError(f"hop_length must be positive, got {hop_length}")
+    if win_length <= 0:
+        raise ValueError(f"win_length must be positive, got {win_length}")
+    if win_length > n_fft:
+        raise ValueError(f"win_length ({win_length}) must be <= n_fft ({n_fft})")
+    if hop_length > n_fft:
+        raise ValueError(
+            f"hop_length ({hop_length}) should typically be <= n_fft ({n_fft})"
+        )
+    if pad_mode not in _PAD_MODES:
+        raise ValueError(
+            f"Unknown pad_mode: '{pad_mode}'. Supported: {', '.join(_PAD_MODES)}"
+        )
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    if y.ndim not in (1, 2):
+        raise ValueError(f"y must be 1D or 2D, got {y.ndim}D")
+    input_is_1d = y.ndim == 1
+    if input_is_1d:
+        y = y[None, :]
+    if not center and y.shape[1] < n_fft:
+        raise ValueError(
+            f"signal length ({y.shape[1]}) must be >= n_fft ({n_fft}) "
+            "when center=False"
+        )
+    win = _get_padded_window(window, win_length, n_fft)
+    out = _magnitude_core(
+        y, win, n_fft=n_fft, hop_length=hop_length, center=center,
+        pad_mode=pad_mode,
+    )
+    out = jnp.swapaxes(out, 1, 2)
+    return out[0] if input_is_1d else out
 
 
 def stft(

@@ -208,3 +208,30 @@ class TestSmallHopISTFT:
         S = stft(y, n_fft=256, hop_length=2)
         rec = _np(istft(S, hop_length=2, n_fft=256, length=len(y)))
         assert np.abs(rec - y).max() <= 1e-5
+
+
+class TestMagnitudeSpectrogram:
+    """Fused |stft| path (no complex intermediate) vs magnitude(stft(.))."""
+
+    @pytest.mark.parametrize("n_fft,hop", [(512, 128), (400, 160)])
+    def test_matches_composed(self, n_fft, hop):
+        from mlx_audio_primitives_tpu.ops.stft import magnitude_spectrogram
+
+        rng = np.random.default_rng(31)
+        y = rng.standard_normal((3, 4000)).astype(np.float32)
+        fused = np.asarray(magnitude_spectrogram(y, n_fft=n_fft, hop_length=hop))
+        composed = np.asarray(magnitude(stft(y, n_fft=n_fft, hop_length=hop)))
+        assert fused.shape == composed.shape
+        np.testing.assert_allclose(fused, composed, atol=1e-4)
+
+    def test_1d_and_validation(self):
+        from mlx_audio_primitives_tpu.ops.stft import magnitude_spectrogram
+
+        rng = np.random.default_rng(32)
+        y = rng.standard_normal(4000).astype(np.float32)
+        out = np.asarray(magnitude_spectrogram(y, n_fft=512, hop_length=128))
+        assert out.shape == (257, 1 + 4000 // 128)
+        with pytest.raises(ValueError):
+            magnitude_spectrogram(y, n_fft=512, hop_length=0)
+        with pytest.raises(ValueError):
+            magnitude_spectrogram(y, n_fft=512, hop_length=128, pad_mode="bogus")
