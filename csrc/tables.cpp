@@ -74,8 +74,8 @@ int symmetric_window(int32_t kind, int64_t n, double beta, double* out) {
     case 1:  // hamming
       general_cosine(n, hamming, 2, false, out);
       return 0;
-    case 2:  // blackman (clamped: f64 endpoints can be ~-1e-17)
-      general_cosine(n, blackman, 3, true, out);
+    case 2:  // blackman: scipy keeps the ~-1e-17 f64 endpoints, so do we
+      general_cosine(n, blackman, 3, false, out);
       return 0;
     case 3: {  // bartlett
       if (n == 1) {

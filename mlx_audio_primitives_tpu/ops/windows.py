@@ -42,12 +42,14 @@ _SUPPORTED = sorted(
 )
 
 
-def _general_cosine_np(n: int, coeffs: tuple[float, ...], clamp: bool) -> np.ndarray:
+def _general_cosine_np(n: int, coeffs: tuple[float, ...]) -> np.ndarray:
     """Symmetric generalized-cosine window in float64.
 
     Uses scipy's ``fac = linspace(-pi, pi, n)`` formulation, which is exactly
     symmetric by construction (the reference achieves the same symmetry with
-    an explicit float64 cos-sum, `windows.py:44-58`).
+    an explicit float64 cos-sum, `windows.py:44-58`). Blackman endpoints come
+    out ~-1.4e-17 instead of exact 0; scipy keeps them, and byte-exact scipy
+    parity (NUMERICAL_ACCURACY.md) requires we keep them too — no clamping.
     """
     if n == 1:
         return np.ones(1, dtype=np.float64)
@@ -55,10 +57,6 @@ def _general_cosine_np(n: int, coeffs: tuple[float, ...], clamp: bool) -> np.nda
     w = np.zeros(n, dtype=np.float64)
     for k, a in enumerate(coeffs):
         w += a * np.cos(k * fac)
-    if clamp:
-        # Blackman endpoints are theoretically 0 but float64 can give ~1e-17
-        # negatives (reference: `windows.py:82-90`).
-        w = np.maximum(w, 0.0)
     return w
 
 
@@ -68,7 +66,7 @@ def _symmetric_window_np(name: str, n: int, beta: float | None) -> np.ndarray:
     if n == 1:
         return np.ones(1, dtype=np.float64)
     if name in _COSINE_COEFFS:
-        return _general_cosine_np(n, _COSINE_COEFFS[name], clamp=(name == "blackman"))
+        return _general_cosine_np(n, _COSINE_COEFFS[name])
     if name == "bartlett":
         k = np.arange(n, dtype=np.float64)
         return 1.0 - np.abs(2.0 * k / (n - 1) - 1.0)

@@ -16,7 +16,8 @@ SIZES = [16, 255, 256, 1024, 2048, 4096]
 def test_window_matches_scipy(name, n, fftbins):
     ours = np.asarray(get_window(name, n, fftbins=fftbins))
     ref = scipy.signal.get_window(name, n, fftbins=fftbins).astype(np.float32)
-    np.testing.assert_allclose(ours, ref, atol=1e-7, rtol=0)
+    # byte-exact: the reference's headline bar (NUMERICAL_ACCURACY.md)
+    np.testing.assert_array_equal(ours, ref)
 
 
 @pytest.mark.parametrize("alias,canon", [
@@ -62,7 +63,9 @@ def test_periodic_is_symmetric_nplus1_truncated():
 def test_window_non_negative_and_peak():
     for name in WINDOW_NAMES:
         w = np.asarray(get_window(name, 1024))
-        assert (w >= 0).all()
+        # scipy's blackman endpoints are ~-1.4e-17 (kept for byte-exact
+        # parity); anything beyond f64 rounding noise is a real bug.
+        assert (w >= -1e-16).all()
         assert w.max() <= 1.0 + 1e-6
 
 
