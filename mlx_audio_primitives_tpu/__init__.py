@@ -70,7 +70,7 @@ from .ops import (
     stft,
     zero_crossing_rate,
 )
-from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel)
+from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel/MFCC)
 from .utils.dispatch import HAS_PALLAS_TPU as _HAS_PALLAS_TPU  # noqa: F401
 
 __all__ = [

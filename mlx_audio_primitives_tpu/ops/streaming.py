@@ -12,10 +12,12 @@ shape:
 
 * STFT state = the last ``n_fft - hop`` input samples (the frame overlap);
 * ISTFT state = the last ``n_fft - hop`` unnormalized overlap-add samples
-  (the tail that future frames still add into). Emitted samples are
-  normalized by the steady-state periodic window envelope, so a streamed
-  reconstruction equals the offline ``istft`` away from the very first and
-  last ``n_fft - hop`` samples (standard streaming-OLA semantics).
+  (the tail that future frames still add into) PLUS the same positions of
+  the running squared-window envelope. Carrying the *true* envelope (not
+  its steady-state period) makes every emitted sample normalized by exactly
+  the same window sum the offline ``istft`` uses, so
+  ``concat(pushes..., flush()) == istft(S, center=False)`` over the FULL
+  signal, first/last ``n_fft - hop`` samples included.
 
 Functional cores (``*_init`` / ``*_push``) are pure and jitted; the
 ``Streaming*`` classes wrap them with tiny Python state for convenience.
@@ -47,14 +49,6 @@ def _valid_hop(hop_length: int | None, n_fft: int) -> int:
             f"hop_length must be in (0, n_fft]; got {hop} with n_fft={n_fft}"
         )
     return hop
-
-
-def _steady_envelope(win: jax.Array, hop: int) -> jax.Array:
-    """Steady-state periodic squared-window envelope, one hop period."""
-    n_fft = win.shape[0]
-    C = -(-n_fft // hop)
-    sq = jnp.pad(win * win, (0, C * hop - n_fft)).reshape(C, hop)
-    return jnp.maximum(jnp.sum(sq, axis=0), WINDOW_SUM_EPSILON)
 
 
 # ---------------------------------------------------------------------------
@@ -90,32 +84,61 @@ def streaming_stft_push(
     return ext[:, ext.shape[1] - tail :], spec
 
 
-def streaming_istft_init(batch: int, n_fft: int, hop_length: int) -> jax.Array:
-    return jnp.zeros((batch, n_fft - hop_length), REAL_DTYPE)
+def streaming_istft_init(
+    batch: int, n_fft: int, hop_length: int
+) -> tuple[jax.Array, jax.Array]:
+    """Initial carry: (OLA sample tail, squared-window envelope tail)."""
+    tail = n_fft - hop_length
+    return (
+        jnp.zeros((batch, tail), REAL_DTYPE),
+        jnp.zeros((1, tail), REAL_DTYPE),
+    )
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length"))
 def streaming_istft_push(
-    carry: jax.Array,
+    carry: tuple[jax.Array, jax.Array],
     spec: jax.Array,  # (B, F, n_bins)
     win: jax.Array,
     *,
     n_fft: int,
     hop_length: int,
-) -> tuple[jax.Array, jax.Array]:
-    """Push ``(B, F, n_bins)`` frames -> (new_carry, (B, F*hop) samples)."""
+) -> tuple[tuple[jax.Array, jax.Array], jax.Array]:
+    """Push ``(B, F, n_bins)`` frames -> (new_carry, (B, F*hop) samples).
+
+    The envelope is overlap-added alongside the samples so emitted positions
+    are normalized by the exact window sum the offline ``istft`` would use
+    (``stft.py:_istft_envelope_table`` semantics). The envelope OLA runs on a
+    batch of 1, so its cost is negligible next to the (B, ...) sample OLA.
+    """
+    sample_tail, env_tail = carry
     B, F, _ = spec.shape
     frames = irfft_len(spec, n_fft).astype(REAL_DTYPE) * win
-    local = overlap_add(frames, hop_length, n_fft + (F - 1) * hop_length)
+    out_len = n_fft + (F - 1) * hop_length
+    local = overlap_add(frames, hop_length, out_len)
+    sq = jnp.broadcast_to(win * win, (1, F, n_fft))
+    local_env = overlap_add(sq, hop_length, out_len)
     emit_len = F * hop_length
     tail_len = n_fft - hop_length
-    combined = local.at[:, :tail_len].add(carry)
-    emitted = combined[:, :emit_len]
+    combined = local.at[:, :tail_len].add(sample_tail)
+    combined_env = local_env.at[:, :tail_len].add(env_tail)
     # local has length emit_len + tail_len by construction
-    new_carry = combined[:, emit_len:]
-    env = _steady_envelope(win, hop_length)
-    emitted = emitted / jnp.tile(env, emit_len // hop_length)
-    return new_carry, emitted
+    emitted = combined[:, :emit_len] / jnp.maximum(
+        combined_env[:, :emit_len], WINDOW_SUM_EPSILON
+    )
+    return (combined[:, emit_len:], combined_env[:, emit_len:]), emitted
+
+
+@partial(jax.jit, static_argnames=())
+def streaming_istft_flush(
+    carry: tuple[jax.Array, jax.Array],
+) -> jax.Array:
+    """Emit the final ``n_fft - hop`` samples after the last push.
+
+    These positions still had future frames pending during pushes; at end of
+    stream their envelope is final, matching the offline ``istft`` tail."""
+    sample_tail, env_tail = carry
+    return sample_tail / jnp.maximum(env_tail, WINDOW_SUM_EPSILON)
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +189,11 @@ class StreamingISTFT:
     """Chunked ISTFT: push frame blocks, receive hop-aligned samples.
 
     Emitted samples lag the pushed frames by ``n_fft - hop`` samples of
-    look-ahead (the overlap still being accumulated).
+    look-ahead (the overlap still being accumulated); call :meth:`flush`
+    after the last push to receive them. The concatenation of all pushes
+    plus the flush equals the offline ``istft(S, center=False)`` exactly
+    (up to f32 rounding), including the first and last ``n_fft - hop``
+    samples — the true window envelope is carried through the stream.
     """
 
     def __init__(
@@ -188,6 +215,12 @@ class StreamingISTFT:
             self.carry, spec, self.win,
             n_fft=self.n_fft, hop_length=self.hop_length,
         )
+        return out
+
+    def flush(self) -> jax.Array:
+        """Final ``(B, n_fft - hop)`` samples; resets the stream state."""
+        out = streaming_istft_flush(self.carry)
+        self.reset()
         return out
 
     def reset(self) -> None:
@@ -219,6 +252,62 @@ class StreamingLogMel:
 
     def push(self, chunk: ArrayLike) -> jax.Array:
         return _logmel_post(self.stft.push(chunk), self.fb_t)
+
+    def reset(self) -> None:
+        self.stft.reset()
+
+
+@jax.jit
+def _mfcc_post(
+    spec: jax.Array, fb_t: jax.Array, dct_t: jax.Array, lift: jax.Array
+) -> jax.Array:
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    mel = jnp.matmul(power, fb_t, precision=MATMUL_PRECISION)
+    logmel = power_to_db(mel, top_db=None)
+    # (B, F, n_mels) @ (n_mels, n_mfcc) -> (B, F, n_mfcc)
+    return jnp.matmul(logmel, dct_t, precision=MATMUL_PRECISION) * lift
+
+
+class StreamingMFCC:
+    """Chunked MFCC frontend: StreamingSTFT + mel + dB + DCT-II (+ lifter).
+
+    Causality note: the offline ``mfcc`` clamps dB at 80 below the GLOBAL
+    spectrogram max (librosa's ``top_db=80``), which a stream cannot know;
+    this class therefore uses ``top_db=None``. Streamed output equals
+    ``mfcc(S=power_to_db(melspectrogram(...), top_db=None))`` frame-for-frame
+    (past the silence-primed startup, see :class:`StreamingSTFT`).
+    """
+
+    def __init__(
+        self,
+        sr: int = 22050,
+        n_fft: int = 2048,
+        hop_length: int | None = None,
+        n_mfcc: int = 20,
+        n_mels: int = 128,
+        window: str | ArrayLike = "hann",
+        lifter: int = 0,
+        batch: int = 1,
+    ):
+        from .mfcc import _dct_basis_t
+
+        self.stft = StreamingSTFT(n_fft, hop_length, window, batch)
+        self.fb_t = mel_filterbank(sr, n_fft, n_mels=n_mels).T
+        self.dct_t = _dct_basis_t(n_mfcc, n_mels, "ortho")
+        if lifter < 0:
+            raise ValueError(f"lifter must be non-negative, got {lifter}")
+        if lifter > 0:
+            import numpy as np
+
+            idx = np.arange(n_mfcc, dtype=np.float64)
+            lift = 1.0 + (lifter / 2.0) * np.sin(np.pi * (idx + 1) / lifter)
+            self.lift = jnp.asarray(lift.astype(np.float32))
+        else:
+            self.lift = jnp.ones((n_mfcc,), REAL_DTYPE)
+
+    def push(self, chunk: ArrayLike) -> jax.Array:
+        """Push ``(B, k*hop)`` samples -> ``(B, k, n_mfcc)`` coefficients."""
+        return _mfcc_post(self.stft.push(chunk), self.fb_t, self.dct_t, self.lift)
 
     def reset(self) -> None:
         self.stft.reset()

@@ -7,10 +7,11 @@ center=False transform of the signal pre-padded with ``n_fft - hop`` zeros.
 import numpy as np
 import pytest
 
-from mlx_audio_primitives_tpu import melspectrogram, power_to_db, stft
+from mlx_audio_primitives_tpu import istft, melspectrogram, mfcc, power_to_db, stft
 from mlx_audio_primitives_tpu.ops.streaming import (
     StreamingISTFT,
     StreamingLogMel,
+    StreamingMFCC,
     StreamingSTFT,
 )
 
@@ -91,6 +92,105 @@ class TestStreamingISTFT:
             for i in range(0, len(signal), cs)
         ]
         np.testing.assert_allclose(np.concatenate(parts), one, atol=1e-4)
+
+
+class TestStreamingISTFTExact:
+    """Streamed ISTFT == offline istft over the FULL signal (incl. edges).
+
+    The stream carries the true squared-window envelope, so the first and
+    last ``n_fft - hop`` samples are normalized identically to offline."""
+
+    @pytest.mark.parametrize("block_frames", [1, 5, 16])
+    def test_full_signal_equals_offline(self, signal, block_frames):
+        import scipy.signal
+
+        S = np.asarray(stft(signal, n_fft=N_FFT, hop_length=HOP, center=False))
+        frames = S.T  # (F, bins)
+        offline = np.asarray(istft(S, hop_length=HOP, center=False))
+
+        inv = StreamingISTFT(n_fft=N_FFT, hop_length=HOP)
+        parts = []
+        for i in range(0, len(frames), block_frames):
+            parts.append(np.asarray(inv.push(frames[None, i : i + block_frames]))[0])
+        parts.append(np.asarray(inv.flush())[0])
+        streamed = np.concatenate(parts)
+
+        assert streamed.shape == offline.shape
+        # True f64 window-sum envelope: at the outermost samples it decays
+        # to ~1e-9, where BOTH offline and streamed outputs are f32 rounding
+        # noise amplified by 1/env — so assert the envelope-weighted error
+        # (i.e. the unnormalized OLA agreement) everywhere, and tight
+        # per-sample equality wherever the reconstruction is well-posed.
+        w = scipy.signal.get_window("hann", N_FFT, fftbins=True)
+        env = np.zeros(len(offline))
+        for f in range(len(frames)):
+            e = min(f * HOP + N_FFT, len(offline))
+            env[f * HOP : e] += (w * w)[: e - f * HOP]
+        d = np.abs(streamed - offline)
+        assert (d * np.maximum(env, 1e-8)).max() < 5e-6
+        assert d[env > 1e-5].max() < 5e-5
+        np.testing.assert_allclose(streamed, offline, atol=2e-3)
+
+    def test_flush_resets(self, signal):
+        S = np.asarray(stft(signal, n_fft=N_FFT, hop_length=HOP, center=False)).T
+        inv = StreamingISTFT(n_fft=N_FFT, hop_length=HOP)
+        a_push = np.asarray(inv.push(S[None, :8]))
+        a_flush = np.asarray(inv.flush())
+        b_push = np.asarray(inv.push(S[None, :8]))
+        b_flush = np.asarray(inv.flush())
+        np.testing.assert_array_equal(a_push, b_push)
+        np.testing.assert_array_equal(a_flush, b_flush)
+
+    def test_hop_equals_nfft_flush_empty(self):
+        inv = StreamingISTFT(n_fft=256, hop_length=256, window="boxcar")
+        rng = np.random.default_rng(3)
+        y = rng.standard_normal(4 * 256).astype(np.float32)
+        S = np.asarray(stft(y, n_fft=256, hop_length=256, window="boxcar",
+                            center=False)).T
+        out = np.asarray(inv.push(S[None]))[0]
+        tail = np.asarray(inv.flush())
+        assert tail.shape == (1, 0)
+        np.testing.assert_allclose(out, y, atol=1e-4)
+
+
+class TestStreamingMFCC:
+    def test_matches_offline(self, signal):
+        n_mfcc, n_mels = 13, 40
+        m = StreamingMFCC(sr=22050, n_fft=N_FFT, hop_length=HOP,
+                          n_mfcc=n_mfcc, n_mels=n_mels)
+        cs = 8 * HOP
+        got = []
+        for i in range(0, len(signal), cs):
+            got.append(np.asarray(m.push(signal[i : i + cs]))[0])
+        streamed = np.concatenate(got, axis=0)  # (F, n_mfcc)
+
+        ypad = np.pad(signal, (PAD, 0))
+        mel = melspectrogram(ypad, sr=22050, n_fft=N_FFT, hop_length=HOP,
+                             n_mels=n_mels, center=False)
+        # top_db=None: the stream cannot know the global max (class docstring)
+        offline = np.asarray(
+            mfcc(S=power_to_db(mel, top_db=None), n_mfcc=n_mfcc)
+        ).T
+        n = min(len(streamed), len(offline))
+        np.testing.assert_allclose(streamed[:n], offline[:n], atol=1e-2)
+
+    def test_lifter_matches_offline(self, signal):
+        n_mfcc, n_mels, lifter = 13, 40, 22
+        m = StreamingMFCC(sr=22050, n_fft=N_FFT, hop_length=HOP,
+                          n_mfcc=n_mfcc, n_mels=n_mels, lifter=lifter)
+        streamed = np.asarray(m.push(signal))[0]
+        ypad = np.pad(signal, (PAD, 0))
+        mel = melspectrogram(ypad, sr=22050, n_fft=N_FFT, hop_length=HOP,
+                             n_mels=n_mels, center=False)
+        offline = np.asarray(
+            mfcc(S=power_to_db(mel, top_db=None), n_mfcc=n_mfcc, lifter=lifter)
+        ).T
+        n = min(len(streamed), len(offline))
+        np.testing.assert_allclose(streamed[:n], offline[:n], atol=1e-2)
+
+    def test_lifter_negative_raises(self):
+        with pytest.raises(ValueError):
+            StreamingMFCC(lifter=-1)
 
 
 class TestStreamingLogMel:
