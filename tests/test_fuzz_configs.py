@@ -16,35 +16,73 @@ from oracles import stft_np
 
 RNG = np.random.default_rng(20260816)
 
-WINDOWS = ["hann", "hamming", "blackman"]
+# string windows plus ('kaiser', beta) tuples — scipy.get_window handles both
+WINDOWS = ["hann", "hamming", "blackman", ("kaiser", 8.6), ("kaiser", 14.0)]
 PAD_MODES = ["constant", "reflect", "edge"]
+
+# n_fft pool spans every rfft_len dispatch branch (kernels/bluestein.py:178-191):
+# pow2 (packed / plain rfft), odd + prime <= 4096 (DFT-GEMM), and
+# non-pow2 > 4096 (Bluestein chirp-Z). Big sizes are rare to bound runtime.
+_NFFT_POOL = [63, 64, 97, 128, 251, 256, 320, 512, 509, 997, 1000, 1024, 2048]
+_NFFT_BIG = [4410, 5000, 4441]  # non-pow2 > _DFT_MATMUL_MAX -> Bluestein
 
 
 def _sample_config(rng):
-    n_fft = int(rng.choice([64, 128, 256, 320, 512, 1000, 1024, 2048]))
+    if rng.random() < 0.06:
+        n_fft = int(rng.choice(_NFFT_BIG))
+    else:
+        n_fft = int(rng.choice(_NFFT_POOL))
     # hop in [n_fft//8, n_fft], not necessarily a divisor
     hop = int(rng.integers(max(1, n_fft // 8), n_fft + 1))
-    win_length = int(rng.integers(n_fft // 2, n_fft + 1))
+    # win_length down to n_fft//4 so hop > win_length configs occur
+    win_length = int(rng.integers(n_fft // 4, n_fft + 1))
     # include signals SHORTER than n_fft (center=True handles them; the
     # reflect-pad skip below is live for those)
     length = int(rng.integers(max(n_fft // 3, 8), 6 * n_fft))
+    window = WINDOWS[int(rng.integers(len(WINDOWS)))]
     return {
         "n_fft": n_fft,
         "hop_length": hop,
         "win_length": win_length,
-        "window": str(rng.choice(WINDOWS)),
+        "window": window,
         "center": bool(rng.choice([True, False])),
         "pad_mode": str(rng.choice(PAD_MODES)),
         "length": length,
-        "batch": int(rng.choice([1, 3])),
+        "batch": int(rng.choice([1, 3, 5, 8])),
     }
 
 
-CONFIGS = [_sample_config(RNG) for _ in range(30)]
+# directed configs: one per dispatch branch, immune to sampling luck
+_DIRECTED = [
+    # pow2, multi-row -> pair-packed complex FFT
+    dict(n_fft=1024, hop_length=256, win_length=1024, window="hann",
+         center=True, pad_mode="constant", length=4096, batch=2),
+    # pow2, single row (1 frame, batch 1) -> plain jnp.fft.rfft
+    dict(n_fft=512, hop_length=512, win_length=512, window="hann",
+         center=False, pad_mode="constant", length=512, batch=1),
+    # odd prime <= 4096 -> DFT-GEMM
+    dict(n_fft=997, hop_length=250, win_length=997, window="hamming",
+         center=True, pad_mode="reflect", length=3000, batch=1),
+    # non-pow2 > 4096 -> Bluestein chirp-Z
+    dict(n_fft=4410, hop_length=1103, win_length=4410, window="hann",
+         center=True, pad_mode="constant", length=9000, batch=1),
+    # prime > 4096 -> Bluestein, worst-case size
+    dict(n_fft=4441, hop_length=1111, win_length=4441, window="blackman",
+         center=True, pad_mode="edge", length=9000, batch=1),
+    # hop > win_length (gapped analysis) + kaiser tuple window
+    dict(n_fft=1024, hop_length=900, win_length=512, window=("kaiser", 8.6),
+         center=True, pad_mode="constant", length=5000, batch=5),
+]
+
+CONFIGS = _DIRECTED + [_sample_config(RNG) for _ in range(144)]
+
+
+def _win_id(w):
+    return f"k{w[1]:g}" if isinstance(w, tuple) else w[:3]
 
 
 @pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: (
-    f"n{c['n_fft']}-h{c['hop_length']}-w{c['win_length']}-{c['window'][:3]}-"
+    f"n{c['n_fft']}-h{c['hop_length']}-w{c['win_length']}-{_win_id(c['window'])}-"
     f"{'c' if c['center'] else 'nc'}-{c['pad_mode'][:3]}-L{c['length']}-b{c['batch']}"
 ))
 def test_stft_matches_oracle_and_roundtrips(cfg):
