@@ -20,10 +20,20 @@ Design (all inside ``shard_map`` over a ``(data, time)`` mesh):
   squared-window envelope follows the same halo algebra, then normalization
   is purely local.
 
-Semantics: equivalent to the single-device ops with ``center=False`` on a
-signal zero-padded to ``T * L_s`` samples, computing the full ``T * F_s``
-frame grid (trailing frames read zero-padding). Wrappers that need librosa's
-``center=True`` pad globally before sharding.
+Two semantic modes:
+
+* ``center=False`` (raw grid): equivalent to the single-device ops with
+  ``center=False`` on a signal zero-padded to ``T * L_s`` samples, computing
+  the full ``T * F_s`` frame grid (trailing frames read zero-padding).
+  Requires ``t_size | L`` and ``hop | L_s``.
+* ``center=True`` (librosa drop-in): the wrapper pads globally
+  (``n_fft//2`` each side with ``pad_mode``, like `ops/stft.py`), extends to
+  a shardable length with zeros that no *kept* frame ever reads, computes
+  the full grid, and trims to librosa's ``1 + L//hop`` frames — bitwise the
+  same frames as the single-device op, for ANY signal length. The inverse
+  overlap-adds raw (un-normalized) shards and divides by the exact global
+  envelope outside the ``shard_map``, so reconstruction equals single-device
+  ``istft`` everywhere including the edges.
 """
 
 from __future__ import annotations
@@ -44,6 +54,10 @@ from ..ops.stft import _get_padded_window
 from .mesh import DATA_AXIS, TIME_AXIS
 
 ArrayLike = Any
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def _right_halo(y_local: jax.Array, halo: int, t_size: int) -> jax.Array:
@@ -83,27 +97,71 @@ def _check_shardable(L: int, n_fft: int, hop_length: int, t_size: int) -> int:
     return L_s
 
 
+def _centered_layout(L: int, n_fft: int, hop_length: int, t_size: int):
+    """Frame/padding geometry for the librosa ``center=True`` drop-in mode.
+
+    Returns ``(pad, F, F_pad, L_total)`` where ``F`` is librosa's frame count
+    ``1 + (L + 2*pad - n_fft)//hop`` and ``L_total = F_pad * hop`` extends the
+    padded signal so (a) each shard owns ``L_total/t_size`` samples (a
+    multiple of hop), and (b) every *kept* frame reads only real (librosa-
+    padded) samples: max read index ``(F-1)*hop + n_fft - 1 <= L + 2*pad - 1
+    <= L_total - 1``, so the trailing zero extension and the last shard's
+    zero halo are touched by discarded frames only.
+    """
+    pad = n_fft // 2
+    F = 1 + (L + 2 * pad - n_fft) // hop_length
+    F_min = max(F, -(-(L + 2 * pad) // hop_length))
+    F_pad = _ceil_to(F_min, t_size)
+    L_total = F_pad * hop_length
+    L_s = L_total // t_size
+    if n_fft - hop_length > L_s:
+        raise ValueError(
+            f"halo (n_fft-hop = {n_fft - hop_length}) exceeds shard length {L_s}; "
+            "use fewer time shards or a longer signal"
+        )
+    return pad, F, F_pad, L_total
+
+
+def _pad_centered(y: jax.Array, pad: int, L_total: int, pad_mode: str) -> jax.Array:
+    """librosa center pad (``pad_mode``) + zero-extend to ``L_total`` samples."""
+    L = y.shape[1]
+    yp = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+    return jnp.pad(yp, ((0, 0), (0, L_total - (L + 2 * pad))))
+
+
 def stft_time_sharded(
     y: ArrayLike,
     mesh: Mesh,
     n_fft: int = 2048,
     hop_length: int | None = None,
+    win_length: int | None = None,
     window: str | ArrayLike = "hann",
+    center: bool = False,
+    pad_mode: str = "constant",
     fft_mode: str = "matmul",
 ) -> jax.Array:
     """STFT of ``(batch, samples)`` sharded (data, time) -> complex
     ``(batch, n_frames, n_bins)`` sharded (data, time, -).
 
-    ``n_frames = samples/hop`` (full frame grid; see module docstring).
+    ``center=False``: ``n_frames = samples/hop`` (full frame grid; see module
+    docstring). ``center=True``: librosa drop-in — any signal length,
+    ``n_frames = 1 + samples//hop``, frames identical to ``ops.stft.stft``.
     """
     if hop_length is None:
         hop_length = n_fft // 4
+    if win_length is None:
+        win_length = n_fft
     y = jnp.asarray(y, dtype=REAL_DTYPE)
     B, L = y.shape
     t_size = mesh.shape[TIME_AXIS]
-    _check_shardable(L, n_fft, hop_length, t_size)
+    if center:
+        pad, F, F_pad, L_total = _centered_layout(L, n_fft, hop_length, t_size)
+        y = _pad_centered(y, pad, L_total, pad_mode)
+    else:
+        F = None
+        _check_shardable(L, n_fft, hop_length, t_size)
     halo = n_fft - hop_length
-    win = _get_padded_window(window, n_fft, n_fft)
+    win = _get_padded_window(window, win_length, n_fft)
     use_matmul = fft_mode == "matmul"
     basis = (
         forward_basis(n_fft)
@@ -122,12 +180,13 @@ def stft_time_sharded(
         return jnp.fft.rfft(frame_signal_batched(ext, n_fft, hop_length) * win_,
                             axis=-1)
 
-    return shard_map(
+    out = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(DATA_AXIS, TIME_AXIS), P(), P()),
         out_specs=P(DATA_AXIS, TIME_AXIS, None),
     )(y, win, basis)
+    return out if F is None else out[:, :F]
 
 
 def istft_time_sharded(
@@ -135,28 +194,50 @@ def istft_time_sharded(
     mesh: Mesh,
     n_fft: int,
     hop_length: int | None = None,
+    win_length: int | None = None,
     window: str | ArrayLike = "hann",
+    center: bool = False,
+    length: int | None = None,
     fft_mode: str = "matmul",
 ) -> jax.Array:
-    """Inverse of :func:`stft_time_sharded`: frames ``(B, F, bins)`` sharded
-    (data, time, -) -> signal ``(B, F*hop)`` sharded (data, time)."""
+    """Inverse of :func:`stft_time_sharded`.
+
+    ``center=False``: frames ``(B, F, bins)`` sharded (data, time, -) ->
+    signal ``(B, F*hop)`` sharded (data, time); per-shard local envelope
+    normalization. ``center=True``: librosa drop-in — overlap-adds raw shards
+    and normalizes by the exact global envelope, then trims the center pad,
+    equal to single-device ``istft`` everywhere (edges included); ``length``
+    crops/zero-pads like the single-device op.
+    """
     if hop_length is None:
         hop_length = n_fft // 4
+    if win_length is None:
+        win_length = n_fft
     S = jnp.asarray(S)
     t_size = mesh.shape[TIME_AXIS]
     B, F, n_bins = S.shape
-    if F % t_size != 0:
-        raise ValueError(f"frame count {F} must divide over {t_size} time shards")
-    F_s = F // t_size
-    L_s = F_s * hop_length
     halo = n_fft - hop_length
+    C = -(-n_fft // hop_length)
+    if center:
+        # pad zero frames so every real frame's spill stays inside the
+        # sharded domain: F*hop + halo <= F_pad*hop  <=>  F_pad >= F + C - 1
+        F_pad = _ceil_to(F + C - 1, t_size)
+        S = jnp.pad(S, ((0, 0), (0, F_pad - F), (0, 0)))
+        F_work = F_pad
+    else:
+        if F % t_size != 0:
+            raise ValueError(f"frame count {F} must divide over {t_size} time shards")
+        F_work = F
+    F_s = F_work // t_size
+    L_s = F_s * hop_length
     if halo > L_s:
         raise ValueError("halo exceeds shard length; use fewer time shards")
-    win = _get_padded_window(window, n_fft, n_fft)
+    win = _get_padded_window(window, win_length, n_fft)
     use_matmul = fft_mode == "matmul"
     basis = (
         inverse_basis(n_fft) if use_matmul else jnp.zeros((0,), dtype=REAL_DTYPE)
     )
+    normalize_local = not center
 
     def body(S_local, win_, basis_):
         if use_matmul:
@@ -166,27 +247,44 @@ def istft_time_sharded(
             frames = jnp.fft.irfft(S_local, n=n_fft, axis=-1)
         fw = frames.astype(REAL_DTYPE) * win_
         local = overlap_add(fw, hop_length, L_s + halo)  # tail spills right
-        env = window_envelope(win_, F_s, hop_length, L_s + halo)
 
         # carry my tail to the right neighbor (first shard receives zeros)
         perm = [(k, (k + 1) % t_size) for k in range(t_size)]
         t_idx = lax.axis_index(TIME_AXIS)
         tail = lax.ppermute(local[:, L_s:], TIME_AXIS, perm=perm)
         tail = jnp.where(t_idx == 0, jnp.zeros_like(tail), tail)
+        y_local = local[:, :L_s].at[:, :halo].add(tail)
+        if not normalize_local:
+            return y_local
+
+        env = window_envelope(win_, F_s, hop_length, L_s + halo)
         # env is identical on every shard (same window, same F_s), so the
         # neighbor's env-tail equals our own — only a first-shard mask needed.
         env_head_add = jnp.where(t_idx == 0, jnp.zeros_like(env[L_s:]), env[L_s:])
-
-        y_local = local[:, :L_s].at[:, :halo].add(tail)
         env_local = env[:L_s].at[:halo].add(env_head_add)
         return y_local / jnp.maximum(env_local, WINDOW_SUM_EPSILON)
 
-    return shard_map(
+    raw = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(DATA_AXIS, TIME_AXIS, None), P(), P()),
         out_specs=P(DATA_AXIS, TIME_AXIS),
     )(S, win, basis)
+    if not center:
+        return raw
+
+    # global normalization + librosa center trim (outside the shard_map:
+    # elementwise, XLA shards it with no extra collectives)
+    total = n_fft + (F - 1) * hop_length
+    env = window_envelope(win, F, hop_length, total)
+    y_full = raw[:, :total] / jnp.maximum(env, WINDOW_SUM_EPSILON)
+    pad = n_fft // 2
+    out_len = total - 2 * pad if length is None else length
+    avail = total - pad  # samples available after the left trim
+    out = y_full[:, pad : pad + min(out_len, avail)]
+    if out_len > avail:
+        out = jnp.pad(out, ((0, 0), (0, out_len - avail)))
+    return out
 
 
 def logmel_time_sharded(
@@ -195,37 +293,62 @@ def logmel_time_sharded(
     sr: int = 22050,
     n_fft: int = 2048,
     hop_length: int | None = None,
+    win_length: int | None = None,
     n_mels: int = 128,
     window: str | ArrayLike = "hann",
+    center: bool = False,
+    pad_mode: str = "constant",
     fft_mode: str = "matmul",
 ) -> jax.Array:
     """Fused log-mel frontend, dp x sp sharded: ``(B, L)`` (data, time) ->
     ``(B, F, n_mels)`` (data, time, -). Power mel in dB without top_db clip
     (the global max would need a collective; the training frontend does not
-    clip)."""
+    clip). ``center=True`` gives librosa frame semantics (any length)."""
     if hop_length is None:
         hop_length = n_fft // 4
+    if win_length is None:
+        win_length = n_fft
     y = jnp.asarray(y, dtype=REAL_DTYPE)
     B, L = y.shape
     t_size = mesh.shape[TIME_AXIS]
-    _check_shardable(L, n_fft, hop_length, t_size)
+    if center:
+        pad, F, F_pad, L_total = _centered_layout(L, n_fft, hop_length, t_size)
+        y = _pad_centered(y, pad, L_total, pad_mode)
+    else:
+        F = None
+        _check_shardable(L, n_fft, hop_length, t_size)
     halo = n_fft - hop_length
-    win = _get_padded_window(window, n_fft, n_fft)
-    basis = forward_basis(n_fft)
+    win = _get_padded_window(window, win_length, n_fft)
+    use_matmul = fft_mode == "matmul"
+    basis = (
+        forward_basis(n_fft)
+        if use_matmul
+        else jnp.zeros((0,), dtype=REAL_DTYPE)
+    )
     fb_t = mel_filterbank(sr, n_fft, n_mels=n_mels).T
     n_bins = n_fft // 2 + 1
 
-    def body(y_local, win_, basis_, fb_):
-        ri = _local_ri(y_local, win_, basis_, halo, t_size, n_fft, hop_length)
-        pow2 = ri[..., :n_bins] ** 2 + ri[..., n_bins:] ** 2
-        mel = jnp.matmul(pow2, fb_, precision=MATMUL_PRECISION)
-        from ..ops.convert import power_to_db
+    from ..ops.convert import power_to_db
 
+    def body(y_local, win_, basis_, fb_):
+        if use_matmul:
+            ri = _local_ri(y_local, win_, basis_, halo, t_size, n_fft, hop_length)
+            pow2 = ri[..., :n_bins] ** 2 + ri[..., n_bins:] ** 2
+        else:
+            ext = jnp.concatenate(
+                [y_local, _right_halo(y_local, halo, t_size)], axis=1
+            )
+            spec = jnp.fft.rfft(
+                frame_signal_batched(ext, n_fft, hop_length) * win_, axis=-1
+            )
+            pow2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        mel = jnp.matmul(pow2, fb_, precision=MATMUL_PRECISION)
         return power_to_db(mel, top_db=None)
 
-    return shard_map(
+    out = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(DATA_AXIS, TIME_AXIS), P(), P(), P()),
         out_specs=P(DATA_AXIS, TIME_AXIS, None),
     )(y, win, basis, fb_t)
+    return out if F is None else out[:, :F]

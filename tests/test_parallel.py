@@ -100,6 +100,74 @@ class TestTimeSharding:
             stft_time_sharded(signal[:, :1000], mesh24, n_fft=N_FFT)  # not divisible
 
 
+class TestCenteredTimeSharding:
+    """center=True drop-in equality vs the single-device ops (full array,
+    librosa defaults, arbitrary length)."""
+
+    # 10007 is prime: no shard-divisibility structure at all
+    LENGTHS = [10007, 4 * 8 * N_FFT]
+
+    @pytest.mark.parametrize("L", LENGTHS)
+    @pytest.mark.parametrize("fft_mode", ["matmul", "fft"])
+    def test_stft_equals_single_device(self, mesh24, L, fft_mode):
+        rng = np.random.default_rng(7)
+        y = rng.standard_normal((4, L)).astype(np.float32)
+        out = np.asarray(
+            stft_time_sharded(y, mesh24, n_fft=N_FFT, hop_length=HOP,
+                              center=True, fft_mode=fft_mode)
+        )
+        ref = np.asarray(
+            stft(y, n_fft=N_FFT, hop_length=HOP, center=True)
+        ).swapaxes(1, 2)
+        assert out.shape == ref.shape == (4, 1 + L // HOP, N_FFT // 2 + 1)
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    def test_stft_win_length_and_pad_mode(self, mesh24):
+        rng = np.random.default_rng(8)
+        y = rng.standard_normal((2, 6000)).astype(np.float32)
+        kw = dict(n_fft=N_FFT, hop_length=HOP, win_length=160,
+                  window="hamming", center=True, pad_mode="reflect")
+        out = np.asarray(stft_time_sharded(y, mesh24, **kw))
+        ref = np.asarray(stft(y, **kw)).swapaxes(1, 2)
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    @pytest.mark.parametrize("fft_mode", ["matmul", "fft"])
+    def test_istft_equals_single_device(self, mesh24, fft_mode):
+        from mlx_audio_primitives_tpu import istft
+
+        rng = np.random.default_rng(9)
+        L = 10007
+        y = rng.standard_normal((2, L)).astype(np.float32)
+        S = stft(y, n_fft=N_FFT, hop_length=HOP, center=True)
+        rec = np.asarray(
+            istft_time_sharded(
+                jnp.swapaxes(jnp.asarray(S), 1, 2), mesh24, n_fft=N_FFT,
+                hop_length=HOP, center=True, length=L, fft_mode=fft_mode,
+            )
+        )
+        ref = np.asarray(
+            istft(S, n_fft=N_FFT, hop_length=HOP, center=True, length=L)
+        )
+        assert rec.shape == ref.shape == (2, L)
+        # full-array equality vs the single-device op, edges included
+        np.testing.assert_allclose(rec, ref, atol=1e-4)
+        # and a true round-trip back to the input
+        np.testing.assert_allclose(rec, y, atol=1e-3)
+
+    def test_logmel_equals_single_device(self, mesh24):
+        rng = np.random.default_rng(10)
+        y = rng.standard_normal((2, 9001)).astype(np.float32)
+        out = np.asarray(
+            logmel_time_sharded(y, mesh24, n_fft=N_FFT, hop_length=HOP,
+                                n_mels=32, center=True)
+        )
+        mel = melspectrogram(y, n_fft=N_FFT, hop_length=HOP, n_mels=32,
+                             center=True)
+        ref = np.asarray(power_to_db(mel, top_db=None)).swapaxes(1, 2)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
 class TestTrainStep:
     def test_loss_decreases(self, mesh24, signal):
         n_mels, n_classes = 32, 5
