@@ -13,6 +13,14 @@ program's DMA window is in-bounds and 8-aligned; each program stages
 ``RB + C - 1`` frames in VMEM, forms its RB output rows with C static
 shifted adds (VPU), divides by the squared-window envelope rows, and writes
 a disjoint output block — races are impossible by construction.
+
+Arbitrary hop (reference parity: `overlap_add.metal:16-55` handles any hop):
+when the chunk offset ``c*hop`` is not 128-lane aligned, the chunk is
+extracted with a static lane *rotation* (``pltpu.roll``) to offset 0
+followed by a width-``hop`` slice — Mosaic supports arbitrary static
+rotations and offset-0 sub-lane slices, where it rejects unaligned slice
+offsets. The staged frame width is padded to a 128 multiple (a VMEM-only
+cost); aligned hops keep the direct-slice path.
 """
 
 from __future__ import annotations
@@ -29,7 +37,17 @@ from ..utils.dispatch import pallas_interpret_mode
 from .block_policy import LANE, SUBLANE, cdiv, round_up
 
 
-def _ola_kernel_factory(CB, RB, C, HOP, FBk):
+def _ola_kernel_factory(CB, RB, C, HOP, FBk, NFP):
+    def chunk(fw_scr, c):
+        # out_rows[r] = sum_c fw[r - c, c*hop:(c+1)*hop]; with the C-1 zero-
+        # frame prepad, frame (r-c) sits at scratch row (r_local + C-1-c).
+        rows = fw_scr[:, C - 1 - c : C - 1 - c + RB, :]
+        off = c * HOP
+        if off % LANE == 0:
+            return rows[:, :, off : off + HOP]
+        # rotate chunk start to lane 0, then a width-HOP offset-0 slice
+        return pltpu.roll(rows, NFP - off, 2)[:, :, :HOP]
+
     def kernel(fw_hbm, env_ref, out_ref, fw_scr, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -40,11 +58,9 @@ def _ola_kernel_factory(CB, RB, C, HOP, FBk):
         cp.start()
         cp.wait()
 
-        # out_rows[r] = sum_c fw[r - c, c*hop:(c+1)*hop]; with the C-1 zero-
-        # frame prepad, frame (r-c) sits at scratch row (r_local + C-1-c).
-        acc = fw_scr[:, C - 1 : C - 1 + RB, pl.ds(0, HOP)]
+        acc = chunk(fw_scr, 0)
         for c in range(1, C):
-            acc = acc + fw_scr[:, C - 1 - c : C - 1 - c + RB, pl.ds(c * HOP, HOP)]
+            acc = acc + chunk(fw_scr, c)
         out_ref[:] = acc / env_ref[:]
 
     return kernel
@@ -62,14 +78,18 @@ def overlap_add_pallas(
 
     ``env`` must already be clamped to the NOLA epsilon (the caller computes
     it once per (window, F, hop) — it is loop-invariant for Griffin-Lim).
-    Requires ``hop_length % 128 == 0``; other hops use the XLA chunk path.
+    Any ``hop_length >= 1`` is supported (unaligned hops take the in-kernel
+    lane-rotation path; see module docstring).
     """
-    if hop_length % LANE != 0:
-        raise ValueError("pallas OLA requires hop_length % 128 == 0")
+    if hop_length < 1:
+        raise ValueError("hop_length must be positive")
     B, F, n_fft = fw.shape
     C = cdiv(n_fft, hop_length)
-    if C * hop_length != n_fft:
-        fw = jnp.pad(fw, ((0, 0), (0, 0), (0, C * hop_length - n_fft)))
+    # staged frame width: chunked extent, padded to a full lane multiple so
+    # the VMEM scratch tiles cleanly (Mosaic rejects ragged minormost dims)
+    NFP = round_up(C * hop_length, LANE)
+    if NFP != n_fft:
+        fw = jnp.pad(fw, ((0, 0), (0, 0), (0, NFP - n_fft)))
 
     RT = cdiv(output_length, hop_length)  # output rows needed
     RB = min(round_up(RT, SUBLANE), 64)
@@ -93,7 +113,7 @@ def overlap_add_pallas(
     CB = 8 if B % 8 == 0 else (4 if B % 4 == 0 else (2 if B % 2 == 0 else 1))
 
     out = pl.pallas_call(
-        _ola_kernel_factory(CB, RB, C, hop_length, FBk),
+        _ola_kernel_factory(CB, RB, C, hop_length, FBk, NFP),
         out_shape=jax.ShapeDtypeStruct((B, RT_pad, hop_length), jnp.float32),
         grid=(B // CB, RT_pad // RB),
         in_specs=[
@@ -105,7 +125,7 @@ def overlap_add_pallas(
             (CB, RB, hop_length), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((CB, FBk, C * hop_length), jnp.float32),
+            pltpu.VMEM((CB, FBk, NFP), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

@@ -363,11 +363,12 @@ def istft(
     librosa-compatible semantics including ``length`` crop/pad and center-pad
     trimming (reference: `mlx_audio_primitives/stft.py:225-344`).
 
-    ``use_pallas=True`` selects the fused overlap-add+normalize kernel
+    ``use_pallas`` selects between the fused overlap-add+normalize kernel
     (`kernels/overlap_add.py`, the analog of the reference's fused Metal
-    kernel); default uses the XLA chunk overlap-add, which measures ~2x
-    faster on current TPUs — the same graceful-dispatch contract as the
-    reference's ``use_cpp``.
+    kernel) and the XLA chunk overlap-add — the same graceful-dispatch
+    contract as the reference's ``use_cpp``. Default (``None``) picks the
+    measured winner: the fused kernel on TPU (5-30% faster end-to-end,
+    any hop), the XLA path elsewhere.
     """
     S = jnp.asarray(stft_matrix)
     if S.ndim not in (2, 3):
@@ -395,9 +396,10 @@ def istft(
         padded_length = n_fft + (n_frames - 1) * hop_length
 
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
-    # Pallas OLA is explicit opt-in: the XLA chunk OLA measures ~2x faster
-    # on v5e (0.04 vs 0.09 ms for a 1 s clip, slope-amortized).
-    pallas_ok = dispatch.resolve_use_pallas(use_pallas) and hop_length % 128 == 0
+    # Pallas OLA is the TPU default: it beats the XLA chunk OLA end-to-end
+    # across n_fft x hop x batch on v5e (5-30% faster istft, slope-amortized
+    # over hop in {64,160,256,441,512}, batch in {1,8,64}).
+    pallas_ok = dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
     wkey = _window_key(window)
     env = (
         _istft_envelope_table(wkey, win_length, n_fft, n_frames, hop_length,

@@ -44,15 +44,21 @@ HAS_PALLAS_TPU: bool = is_tpu() and _pallas_available()
 HAS_PALLAS: bool = _pallas_available()
 
 
-def resolve_use_pallas(flag: bool | None) -> bool:
+def resolve_use_pallas(flag: bool | None, default_on_tpu: bool = False) -> bool:
     """Resolve a per-op ``use_pallas`` kwarg against availability.
 
-    Pallas kernels are explicit opt-in (the XLA paths benchmark as fast or
-    faster on current TPUs): ``None``/``False`` select the pure-XLA path;
-    ``True`` selects the kernel when Pallas is available (interpret mode
-    off-TPU), honoring the MLX_AUDIO_TPU_DISABLE_PALLAS kill switch.
+    ``True`` selects the kernel whenever Pallas is available (interpret mode
+    off-TPU); ``False`` always selects the pure-XLA path. ``None`` defers to
+    the per-op measured-winner policy: ops whose kernel benchmarks faster
+    than their XLA path on real TPUs pass ``default_on_tpu=True`` and get the
+    kernel automatically on TPU (never in CPU interpret mode, which exists
+    for testing only). Honors the MLX_AUDIO_TPU_DISABLE_PALLAS kill switch.
     """
-    return flag is True and HAS_PALLAS
+    if flag is True:
+        return HAS_PALLAS
+    if flag is None and default_on_tpu:
+        return HAS_PALLAS_TPU
+    return False
 
 
 def pallas_interpret_mode() -> bool:

@@ -36,11 +36,28 @@ class TestOverlapAddPallas:
         ref = np.asarray(overlap_add(fw, hop, out_len)) / np.asarray(env)
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
-    def test_unaligned_hop_rejected(self):
+    @pytest.mark.parametrize("n_fft,hop", [(512, 100), (1024, 160),
+                                           (2048, 441), (512, 64),
+                                           (1000, 250)])
+    def test_arbitrary_hop(self, n_fft, hop):
+        # unaligned hops take the in-kernel lane-rotation path
+        rng = np.random.default_rng(1)
+        F = 30
+        fw = jnp.asarray(rng.standard_normal((2, F, n_fft)).astype(np.float32))
+        win = _get_padded_window("hann", n_fft, n_fft)
+        out_len = n_fft + (F - 1) * hop
+        env = envelope_for_ola(win, F, hop, out_len)
+        ours = np.asarray(
+            overlap_add_pallas(fw, env, hop_length=hop, output_length=out_len)
+        )
+        ref = np.asarray(overlap_add(fw, hop, out_len)) / np.asarray(env)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_bad_hop_rejected(self):
         fw = jnp.zeros((1, 4, 512), jnp.float32)
         env = jnp.ones((1000,), jnp.float32)
         with pytest.raises(ValueError):
-            overlap_add_pallas(fw, env, hop_length=100, output_length=1000)
+            overlap_add_pallas(fw, env, hop_length=0, output_length=1000)
 
     def test_istft_use_pallas_roundtrip(self, random_signal):
         S = stft(random_signal, n_fft=2048, hop_length=512)
