@@ -9,8 +9,8 @@ import pytest
 
 from mlx_audio_primitives_tpu import istft, melspectrogram, stft
 from mlx_audio_primitives_tpu.kernels.mel_fused import (
-    mel_pallas_tables,
     melspectrogram_pallas,
+    radix_supported,
 )
 from mlx_audio_primitives_tpu.kernels.overlap_add import (
     envelope_for_ola,
@@ -34,7 +34,9 @@ class TestOverlapAddPallas:
             overlap_add_pallas(fw, env, hop_length=hop, output_length=out_len)
         )
         ref = np.asarray(overlap_add(fw, hop, out_len)) / np.asarray(env)
-        np.testing.assert_allclose(ours, ref, atol=1e-5)
+        # rtol, not atol: random (non-STFT) frames divided by the ~1e-8
+        # envelope edges reach ~1e8, where TPU summation order costs ~1e-7 rel
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
     @pytest.mark.parametrize("n_fft,hop", [(512, 100), (1024, 160),
                                            (2048, 441), (512, 64),
@@ -51,7 +53,7 @@ class TestOverlapAddPallas:
             overlap_add_pallas(fw, env, hop_length=hop, output_length=out_len)
         )
         ref = np.asarray(overlap_add(fw, hop, out_len)) / np.asarray(env)
-        np.testing.assert_allclose(ours, ref, atol=1e-5)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
     def test_bad_hop_rejected(self):
         fw = jnp.zeros((1, 4, 512), jnp.float32)
@@ -90,18 +92,47 @@ class TestFusedMelPallas:
     def test_kernel_direct(self, batch_signals):
         n_fft, hop, n_mels = 1024, 256, 40
         fb = mel_filterbank(22050, n_fft, n_mels=n_mels)
-        basis2 = mel_pallas_tables(n_fft, "hann", n_fft // 2 + 1)
+        win = _get_padded_window("hann", n_fft, n_fft)
         out = np.asarray(
             melspectrogram_pallas(
-                jnp.asarray(batch_signals), fb.T, basis2,
-                n_fft=n_fft, hop_length=hop, center=True,
-                pad_mode="constant", power=2.0,
+                jnp.asarray(batch_signals), win, fb.T,
+                n_fft=n_fft, hop_length=hop, center=True, pad_mode="constant",
             )
         )
         ref = np.asarray(
             melspectrogram(batch_signals, n_fft=n_fft, hop_length=hop,
-                           n_mels=n_mels)
+                           n_mels=n_mels, use_pallas=False)
         )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4 * ref.max())
+
+    @pytest.mark.parametrize("n_fft,hop", [(2048, 512), (1024, 256),
+                                           (512, 512), (1024, 512),
+                                           (1024, 1024), (512, 128),
+                                           (2048, 256), (4096, 1024)])
+    def test_radix_combinations(self, n_fft, hop):
+        # every (C, R2) radix pairing vs the XLA pipeline
+        assert radix_supported(n_fft, hop)
+        rng = np.random.default_rng(3)
+        y = rng.standard_normal((2, 4 * n_fft)).astype(np.float32)
+        win = _get_padded_window("hann", n_fft, n_fft)
+        fb = mel_filterbank(22050, n_fft, n_mels=64)
+        out = np.asarray(
+            melspectrogram_pallas(jnp.asarray(y), win, fb.T, n_fft=n_fft,
+                                  hop_length=hop, center=True,
+                                  pad_mode="constant")
+        )
+        ref = np.asarray(
+            melspectrogram(y, n_fft=n_fft, hop_length=hop, n_mels=64,
+                           use_pallas=False, fft_mode="fft")
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4 * ref.max())
+
+    def test_array_window_and_win_length(self, batch_signals):
+        # the radix kernel takes any window table, incl. padded win_length
+        kw = dict(n_fft=1024, hop_length=256, n_mels=48, win_length=768,
+                  window="hamming")
+        out = np.asarray(melspectrogram(batch_signals, use_pallas=True, **kw))
+        ref = np.asarray(melspectrogram(batch_signals, use_pallas=False, **kw))
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4 * ref.max())
 
     def test_fallback_on_odd_power(self, batch_signals):
@@ -110,12 +141,12 @@ class TestFusedMelPallas:
         ref = melspectrogram(batch_signals, n_mels=32, power=1.0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
-    def test_kernel_rejects_bad_power(self, batch_signals):
+    def test_kernel_rejects_unsupported_shape(self, batch_signals):
         fb = mel_filterbank(22050, 1024, n_mels=40)
-        basis2 = mel_pallas_tables(1024, "hann", 513)
+        win = _get_padded_window("hann", 1024, 1024)
+        assert not radix_supported(1024, 100)
         with pytest.raises(ValueError):
             melspectrogram_pallas(
-                jnp.asarray(batch_signals), fb.T, basis2,
-                n_fft=1024, hop_length=256, center=True,
-                pad_mode="constant", power=1.0,
+                jnp.asarray(batch_signals), win, fb.T,
+                n_fft=1024, hop_length=100, center=True, pad_mode="constant",
             )
