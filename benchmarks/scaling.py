@@ -1,8 +1,13 @@
-"""Scaling sweeps over signal length / batch size / n_mels.
+"""Scaling sweeps (analog of reference `benchmarks/bench_scaling.py`).
 
-Analog of reference `benchmarks/bench_scaling.py:26-155` (lengths up to
-176400, batches up to 32 — extended here since a TPU chip is happy far
-beyond that).
+The reference sweeps lengths [8000..176400] x batches [1..32] x n_mels
+(`bench_scaling.py:26-27`); this keeps that grid and extends the upper ends
+(a TPU chip is happy far beyond an M-series GPU). Four sweeps:
+
+* ``scaling_grid``     — melspectrogram over the full length x batch grid
+* ``scaling_lengths``  — stft + istft over lengths at batch 1
+* ``scaling_mels``     — melspectrogram over n_mels at the headline config
+* ``scaling_iters``    — griffinlim over n_iter (loop-carried op scaling)
 """
 
 from __future__ import annotations
@@ -16,21 +21,60 @@ from .schemas import BenchmarkResult
 from .utils import time_jax_amortized
 
 LENGTHS = [8000, 22050, 44100, 88200, 176400, 705600]
-BATCHES = [1, 8, 32, 64, 256]
+BATCHES = [1, 8, 32, 64]
+GRID_LENGTHS = [8000, 22050, 44100, 176400]
+GRID_BATCHES = [1, 8, 32]
 N_MELS = [40, 80, 128, 256]
+N_ITERS = [8, 32, 64]
+
+
+def _signal(batch: int, n: int) -> jax.Array:
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((batch, n)).astype(np.float32)
+    return jax.device_put(jnp.asarray(y[0] if batch == 1 else y))
+
+
+def scaling_grid() -> list[BenchmarkResult]:
+    """melspectrogram over the reference's length x batch grid."""
+    from mlx_audio_primitives_tpu import melspectrogram
+
+    out = []
+    for n in GRID_LENGTHS:
+        for b in GRID_BATCHES:
+            y = _signal(b, n)
+            t = time_jax_amortized(
+                lambda x: melspectrogram(x, n_fft=2048, hop_length=512,
+                                         n_mels=128), y
+            )
+            frames = b * (1 + n // 512)
+            out.append(
+                BenchmarkResult(
+                    name=f"melspectrogram len={n} batch={b}",
+                    time_ms=t * 1e3,
+                    extra={"frames_per_sec": frames / t},
+                )
+            )
+    return out
 
 
 def scaling_lengths() -> list[BenchmarkResult]:
-    from mlx_audio_primitives_tpu import stft
+    from mlx_audio_primitives_tpu import istft, stft
 
-    rng = np.random.default_rng(0)
     out = []
     for n in LENGTHS:
-        y = jax.device_put(jnp.asarray(rng.standard_normal(n).astype(np.float32)))
+        y = _signal(1, n)
         t = time_jax_amortized(lambda x: stft(x, n_fft=2048, hop_length=512), y)
         out.append(
             BenchmarkResult(
                 name=f"stft length={n}", time_ms=t * 1e3,
+                extra={"samples_per_sec": n / t},
+            )
+        )
+        S = stft(y, n_fft=2048, hop_length=512)
+        t = time_jax_amortized(lambda s: istft(s, hop_length=512), S)
+        out.append(
+            BenchmarkResult(
+                name=f"istft length={n}", time_ms=t * 1e3,
                 extra={"samples_per_sec": n / t},
             )
         )
@@ -40,12 +84,9 @@ def scaling_lengths() -> list[BenchmarkResult]:
 def scaling_batches() -> list[BenchmarkResult]:
     from mlx_audio_primitives_tpu import melspectrogram
 
-    rng = np.random.default_rng(0)
     out = []
     for b in BATCHES:
-        y = jax.device_put(
-            jnp.asarray(rng.standard_normal((b, 22050)).astype(np.float32))
-        )
+        y = _signal(b, 22050)
         t = time_jax_amortized(lambda x: melspectrogram(x, n_mels=128), y)
         frames = b * (1 + 22050 // 512)
         out.append(
@@ -60,10 +101,7 @@ def scaling_batches() -> list[BenchmarkResult]:
 def scaling_mels() -> list[BenchmarkResult]:
     from mlx_audio_primitives_tpu import melspectrogram
 
-    rng = np.random.default_rng(0)
-    y = jax.device_put(
-        jnp.asarray(rng.standard_normal((32, 22050)).astype(np.float32))
-    )
+    y = _signal(32, 22050)
     out = []
     for m in N_MELS:
         t = time_jax_amortized(lambda x, mm=m: melspectrogram(x, n_mels=mm), y)
@@ -71,5 +109,32 @@ def scaling_mels() -> list[BenchmarkResult]:
     return out
 
 
+def scaling_iters() -> list[BenchmarkResult]:
+    """griffinlim n_iter scaling — the loop-carried op; should be ~linear in
+    n_iter since the whole loop is one fori_loop jit."""
+    from mlx_audio_primitives_tpu import griffinlim, stft
+
+    y = _signal(1, 22050)
+    S = jnp.abs(stft(y, n_fft=1024, hop_length=256))
+    out = []
+    for it in N_ITERS:
+        t = time_jax_amortized(
+            lambda s, n=it: griffinlim(s, n_iter=n, hop_length=256), S, k=5
+        )
+        out.append(
+            BenchmarkResult(
+                name=f"griffinlim n_iter={it}", time_ms=t * 1e3,
+                extra={"ms_per_iter": t * 1e3 / it},
+            )
+        )
+    return out
+
+
 def run_scaling() -> list[BenchmarkResult]:
-    return scaling_lengths() + scaling_batches() + scaling_mels()
+    return (
+        scaling_grid()
+        + scaling_lengths()
+        + scaling_batches()
+        + scaling_mels()
+        + scaling_iters()
+    )

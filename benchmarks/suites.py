@@ -360,6 +360,14 @@ def bench_headline() -> list[BenchmarkResult]:
     return out
 
 
+def bench_fallback() -> list[BenchmarkResult]:
+    """Forced-fallback comparisons across every dispatch branch
+    (see `benchmarks/fallback.py`)."""
+    from .fallback import run_fallback
+
+    return run_fallback()
+
+
 ALL_SUITES = {
     "headline": bench_headline,
     "stft": bench_stft,
@@ -372,4 +380,5 @@ ALL_SUITES = {
     "griffinlim": bench_griffinlim,
     "features": bench_features,
     "pallas": bench_pallas,
+    "fallback": bench_fallback,
 }

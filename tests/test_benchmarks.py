@@ -154,3 +154,45 @@ class TestAmortizedTimer:
         x = jnp.ones((8, 256), jnp.float32)
         t = time_jax_amortized(lambda a: jnp.fft.rfft(a, axis=-1), x, k=5, runs=2)
         assert np.isfinite(t) and t > 0
+
+
+class TestDeepSuites:
+    def test_every_registered_cache_has_a_canonical_case(self):
+        # the per-table suite must never silently skip a cache: force-import
+        # all lazily-registered caches (same imports the suite itself makes)
+        import mlx_audio_primitives_tpu.kernels.bluestein  # noqa: F401
+        import mlx_audio_primitives_tpu.kernels.dft  # noqa: F401
+        import mlx_audio_primitives_tpu.kernels.mel_fused  # noqa: F401
+        import mlx_audio_primitives_tpu.ops.resample  # noqa: F401
+        from mlx_audio_primitives_tpu.utils.cache import _CACHE_REGISTRY
+
+        from benchmarks.cache_analysis import _TABLE_CASES
+
+        registered = {c.name for c in _CACHE_REGISTRY}
+        missing = registered - set(_TABLE_CASES)
+        assert not missing, f"caches with no canonical bench case: {missing}"
+
+    def test_table_cases_args_are_valid(self):
+        # every canonical arg tuple must actually build its table
+        import jax
+
+        from benchmarks.cache_analysis import _TABLE_CASES, per_table_cold_warm
+
+        results = per_table_cold_warm()
+        assert len(results) >= len(_TABLE_CASES)
+        assert all(r.time_ms >= 0 for r in results), [
+            r.name for r in results if r.time_ms < 0
+        ]
+        jax.block_until_ready  # silence unused-import linting
+
+    def test_fallback_suite_registered(self):
+        from benchmarks.suites import ALL_SUITES
+
+        assert "fallback" in ALL_SUITES
+
+    def test_scaling_grid_shape(self):
+        from benchmarks.scaling import GRID_BATCHES, GRID_LENGTHS
+
+        # reference grid envelope: lengths 8000..176400 x batches 1..32
+        assert min(GRID_LENGTHS) <= 8000 and max(GRID_LENGTHS) >= 176400
+        assert min(GRID_BATCHES) == 1 and max(GRID_BATCHES) >= 32
