@@ -129,6 +129,7 @@ def make_sharded_train_step(
     n_mels: int = 128,
     n_classes: int = 10,
     lr: float = 1e-2,
+    fft_mode: str = "matmul",
 ):
     """SGD step of a log-mel + linear classifier, sharded dp x sp.
 
@@ -144,7 +145,8 @@ def make_sharded_train_step(
 
     def step(params, y, labels):
         feats = logmel_time_sharded(
-            y, mesh, sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels
+            y, mesh, sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
+            fft_mode=fft_mode,
         )  # (B, F, n_mels) sharded (data, time, -)
 
         def sharded_loss_and_grads(params, feats, labels):
