@@ -56,10 +56,12 @@ from .block_policy import LANE, SUBLANE, VMEM_BUDGET, round_up
 _MAX_RADIX = 8  # C, R2 <= 8 => n_fft <= 8192 with hop >= 128
 
 
-def radix_supported(n_fft: int, hop_length: int) -> bool:
+def radix_supported(n_fft: int, hop_length: int, n_mels: int = 128) -> bool:
     """Shapes the fused kernel handles: pow2 ``n_fft = C*hop``,
-    ``hop = R2*128``, radices ``C, R2 <= 8``."""
-    return (
+    ``hop = R2*128``, radices ``C, R2 <= 8``, and the block-invariant VMEM
+    residents plus the minimal (CB=1, FBb=8) working set must fit the
+    budget (large ``n_mels`` grows the folded filterbank)."""
+    if not (
         n_fft >= LANE
         and n_fft & (n_fft - 1) == 0
         and hop_length >= LANE
@@ -67,7 +69,22 @@ def radix_supported(n_fft: int, hop_length: int) -> bool:
         and n_fft % hop_length == 0
         and n_fft // hop_length <= _MAX_RADIX
         and hop_length // LANE <= _MAX_RADIX
+    ):
+        return False
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    NC = C // 2 + 1
+    tables = (
+        C * hop_length * 4
+        + NC * 2 * hop_length * 4
+        + R2 * 2 * LANE * LANE * 4
+        + NC * R2 * LANE * n_mels * 4
     )
+    min_rows = round_up(8 + C - 1, SUBLANE)
+    min_block = 8 * ((C + 2 * NC + 4) * hop_length * 4 + n_mels * 4) + (
+        min_rows * hop_length * 4
+    )
+    return tables + min_block <= VMEM_BUDGET
 
 
 def _omega(num: np.ndarray, den: int) -> tuple[np.ndarray, np.ndarray]:
@@ -237,17 +254,26 @@ def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk):
     return kernel
 
 
-def _pick_blocks(B: int, F_pad_hint: int, C: int, R2: int, NC: int, hop: int,
+def _pick_blocks(B: int, C: int, R2: int, NC: int, hop: int,
                  n_mels: int) -> tuple[int, int]:
     """(CB, FBb) under the VMEM budget: the live set is dominated by the
-    windowed chunks + H classes (~(C + 2*NC + 2) arrays of (CB, FBb, hop))."""
-    per_cf = (C + 2 * NC + 4) * hop * 4 + n_mels * 4
+    windowed chunks + H classes (~(C + 2*NC + 2) arrays of (CB, FBb, hop)),
+    on top of the block-invariant VMEM residents (window chunks, twiddles,
+    base matrices, folded filterbank)."""
+    tables = (
+        C * hop * 4  # window chunks
+        + NC * 2 * hop * 4  # stage-1 twiddles
+        + R2 * 2 * LANE * LANE * 4  # folded base matrices
+        + NC * R2 * LANE * n_mels * 4  # folded filterbank
+    )
+    budget = VMEM_BUDGET - tables
+    per_cf = (C + 2 * NC + 4) * hop * 4 + n_mels * 4  # incl. the output block
     for FBb in (64, 48, 32, 24, 16, 8):
         for CB in (8, 4, 2, 1):
             if B % CB:
                 continue
             rows = round_up(FBb + C - 1, SUBLANE)
-            if CB * (FBb * per_cf + rows * hop * 4) <= VMEM_BUDGET:
+            if CB * (FBb * per_cf + rows * hop * 4) <= budget:
                 return CB, FBb
     return 1, 8
 
@@ -267,10 +293,11 @@ def melspectrogram_pallas(
     Requires :func:`radix_supported`; any window array and any filterbank
     (the folding is an on-device gather).
     """
-    if not radix_supported(n_fft, hop_length):
+    if not radix_supported(n_fft, hop_length, fb_t.shape[1]):
         raise ValueError(
             f"fused mel kernel requires pow2 n_fft = C*hop, hop = R2*128, "
-            f"C,R2 <= {_MAX_RADIX}; got n_fft={n_fft}, hop={hop_length}"
+            f"C,R2 <= {_MAX_RADIX}, tables within the VMEM budget; got "
+            f"n_fft={n_fft}, hop={hop_length}, n_mels={fb_t.shape[1]}"
         )
     # device-cached tables fetched outside the jit so they stay resident in
     # HBM as arguments instead of baking into the executable as literals
@@ -309,7 +336,7 @@ def _mel_radix_core(
 
     pad = n_fft // 2 if center else 0
     F = 1 + (L + 2 * pad - n_fft) // hop_length
-    CB, FBb = _pick_blocks(B, F, C, R2, NC, hop_length, n_mels)
+    CB, FBb = _pick_blocks(B, C, R2, NC, hop_length, n_mels)
     FBb = min(FBb, round_up(F, SUBLANE))
     F_pad = round_up(F, FBb)
     FBk = round_up(FBb + C - 1, SUBLANE)

@@ -34,7 +34,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .._config import WINDOW_SUM_EPSILON
 from ..utils.dispatch import pallas_interpret_mode
-from .block_policy import LANE, SUBLANE, cdiv, round_up
+from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, round_up
+
+# Bound on C = ceil(n_fft/hop): each chunk is a statically-unrolled shifted
+# add (and a lane rotation for unaligned hops), so tiny hops would explode
+# both compile time and the staged-frame VMEM footprint. 64 matches the XLA
+# chunk path's unroll bound (`ops/_frames.py::_MAX_UNROLLED_CHUNKS`).
+_MAX_CHUNKS = 64
+
+
+def ola_supported(n_fft: int, hop_length: int) -> bool:
+    """Shapes the fused OLA kernel handles without blowing VMEM/compile time.
+
+    Any hop is *algorithmically* supported (lane rotation); this gate bounds
+    the resource envelope: C <= 64 chunks, and the minimal block config
+    (CB=1, RB=8) must fit the VMEM budget.
+    """
+    if hop_length < 1:
+        return False
+    C = cdiv(n_fft, hop_length)
+    if C > _MAX_CHUNKS:
+        return False
+    NFP = round_up(C * hop_length, LANE)
+    FBk = round_up(SUBLANE + C - 1, SUBLANE)
+    scratch = FBk * NFP * 4
+    io = 2 * SUBLANE * hop_length * 4
+    return scratch + io <= VMEM_BUDGET
 
 
 def _ola_kernel_factory(CB, RB, C, HOP, FBk, NFP):
@@ -84,6 +109,12 @@ def overlap_add_pallas(
     if hop_length < 1:
         raise ValueError("hop_length must be positive")
     B, F, n_fft = fw.shape
+    if not ola_supported(n_fft, hop_length):
+        raise ValueError(
+            f"fused OLA kernel supports C = ceil(n_fft/hop) <= {_MAX_CHUNKS} "
+            f"within the VMEM budget; got n_fft={n_fft}, hop={hop_length} "
+            f"(C={cdiv(n_fft, hop_length)})"
+        )
     C = cdiv(n_fft, hop_length)
     # staged frame width: chunked extent, padded to a full lane multiple so
     # the VMEM scratch tiles cleanly (Mosaic rejects ragged minormost dims)
@@ -93,6 +124,12 @@ def overlap_add_pallas(
 
     RT = cdiv(output_length, hop_length)  # output rows needed
     RB = min(round_up(RT, SUBLANE), 64)
+    # shrink the row block until the staged frames + IO blocks fit VMEM
+    while RB > SUBLANE:
+        FBk = round_up(RB + C - 1, SUBLANE)
+        if FBk * NFP * 4 + 2 * RB * hop_length * 4 <= VMEM_BUDGET:
+            break
+        RB -= SUBLANE
     RT_pad = round_up(RT, RB)
     FBk = round_up(RB + C - 1, SUBLANE)
 
@@ -110,7 +147,14 @@ def overlap_add_pallas(
     env_rows = jnp.pad(env, (0, RT_pad * hop_length - env.shape[0]),
                        constant_values=1.0).reshape(RT_pad, hop_length)
 
-    CB = 8 if B % 8 == 0 else (4 if B % 4 == 0 else (2 if B % 2 == 0 else 1))
+    # largest clip block whose scratch + output block fits the VMEM budget
+    CB = 1
+    for cand in (8, 4, 2, 1):
+        if B % cand:
+            continue
+        if cand * (FBk * NFP + RB * hop_length) * 4 <= VMEM_BUDGET:
+            CB = cand
+            break
 
     out = pl.pallas_call(
         _ola_kernel_factory(CB, RB, C, hop_length, FBk, NFP),

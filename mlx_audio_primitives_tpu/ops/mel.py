@@ -246,13 +246,20 @@ def melspectrogram(
     from ..kernels.mel_fused import radix_supported
     from ..utils import dispatch as _dispatch
 
+    if fft_mode != "auto":
+        # validate eagerly (and on every platform): an explicit fft_mode
+        # must never be silently swallowed by the Pallas auto-dispatch below
+        _resolve_fft_mode(fft_mode, n_fft)
+
     # The fused radix kernel measures ~2x faster than the XLA six-step
     # pipeline at float32-exact accuracy (module docstring, v5e numbers), so
-    # it is the TPU auto default wherever its shape gates admit.
+    # it is the TPU auto default wherever its shape gates admit. An explicit
+    # fft_mode pins the XLA pipeline unless use_pallas=True overrides.
     pallas_ok = (
         _dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+        and (fft_mode == "auto" or use_pallas is True)
         and power == 2.0
-        and radix_supported(n_fft, hop_length)
+        and radix_supported(n_fft, hop_length, n_mels)
     )
     if pallas_ok:
         from ..kernels.mel_fused import melspectrogram_pallas

@@ -144,14 +144,22 @@ def mfcc(
     M = dct(jnp.swapaxes(S_db, 1, 2), type=dct_type, n=n_mfcc, norm=norm)
     M = jnp.swapaxes(M, 1, 2)
 
-    if lifter > 0:
-        idx = np.arange(n_mfcc, dtype=np.float64)
-        lift = 1.0 + (lifter / 2.0) * np.sin(np.pi * (idx + 1) / lifter)
-        M = M * jnp.asarray(lift.astype(np.float32))[:, None]
-    elif lifter < 0:
-        raise ValueError(f"lifter must be non-negative, got {lifter}")
+    if lifter != 0:
+        M = M * lifter_coeffs(n_mfcc, lifter)[:, None]
 
     return M[0] if not is_batched else M
+
+
+def lifter_coeffs(n_mfcc: int, lifter: int) -> jax.Array:
+    """Sinusoidal cepstral lifter ``1 + (L/2)sin(pi(n+1)/L)``, ones for L=0
+    (reference `mfcc.py:277-282`; shared with the streaming frontend)."""
+    if lifter < 0:
+        raise ValueError(f"lifter must be non-negative, got {lifter}")
+    if lifter == 0:
+        return jnp.ones((n_mfcc,), jnp.float32)
+    idx = np.arange(n_mfcc, dtype=np.float64)
+    lift = 1.0 + (lifter / 2.0) * np.sin(np.pi * (idx + 1) / lifter)
+    return jnp.asarray(lift.astype(np.float32))
 
 
 # ---------------------------------------------------------------------------

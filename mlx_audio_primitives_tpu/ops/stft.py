@@ -398,8 +398,15 @@ def istft(
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
     # Pallas OLA is the TPU default: it beats the XLA chunk OLA end-to-end
     # across n_fft x hop x batch on v5e (5-30% faster istft, slope-amortized
-    # over hop in {64,160,256,441,512}, batch in {1,8,64}).
-    pallas_ok = dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+    # over hop in {64,160,256,441,512}, batch in {1,8,64}). Shapes outside
+    # the kernel's resource envelope (tiny hops: C = ceil(n_fft/hop) > 64)
+    # silently use the XLA chunk path, same contract as the mel kernel gate.
+    from ..kernels.overlap_add import ola_supported
+
+    pallas_ok = (
+        dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+        and ola_supported(n_fft, hop_length)
+    )
     wkey = _window_key(window)
     env = (
         _istft_envelope_table(wkey, win_length, n_fft, n_frames, hop_length,

@@ -261,9 +261,7 @@ class StreamingLogMel:
 def _mfcc_post(
     spec: jax.Array, fb_t: jax.Array, dct_t: jax.Array, lift: jax.Array
 ) -> jax.Array:
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-    mel = jnp.matmul(power, fb_t, precision=MATMUL_PRECISION)
-    logmel = power_to_db(mel, top_db=None)
+    logmel = _logmel_post(spec, fb_t)
     # (B, F, n_mels) @ (n_mels, n_mfcc) -> (B, F, n_mfcc)
     return jnp.matmul(logmel, dct_t, precision=MATMUL_PRECISION) * lift
 
@@ -289,21 +287,12 @@ class StreamingMFCC:
         lifter: int = 0,
         batch: int = 1,
     ):
-        from .mfcc import _dct_basis_t
+        from .mfcc import _dct_basis_t, lifter_coeffs
 
         self.stft = StreamingSTFT(n_fft, hop_length, window, batch)
         self.fb_t = mel_filterbank(sr, n_fft, n_mels=n_mels).T
         self.dct_t = _dct_basis_t(n_mfcc, n_mels, "ortho")
-        if lifter < 0:
-            raise ValueError(f"lifter must be non-negative, got {lifter}")
-        if lifter > 0:
-            import numpy as np
-
-            idx = np.arange(n_mfcc, dtype=np.float64)
-            lift = 1.0 + (lifter / 2.0) * np.sin(np.pi * (idx + 1) / lifter)
-            self.lift = jnp.asarray(lift.astype(np.float32))
-        else:
-            self.lift = jnp.ones((n_mfcc,), REAL_DTYPE)
+        self.lift = lifter_coeffs(n_mfcc, lifter)
 
     def push(self, chunk: ArrayLike) -> jax.Array:
         """Push ``(B, k*hop)`` samples -> ``(B, k, n_mfcc)`` coefficients."""

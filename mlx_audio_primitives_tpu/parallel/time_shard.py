@@ -47,17 +47,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from .._config import MATMUL_PRECISION, REAL_DTYPE, WINDOW_SUM_EPSILON
+from ..kernels.block_policy import round_up
 from ..kernels.dft import forward_basis, inverse_basis
-from ..ops._frames import frame_signal_batched, overlap_add, window_envelope
+from ..ops._frames import cdiv, frame_signal_batched, overlap_add, window_envelope
 from ..ops.mel import mel_filterbank
 from ..ops.stft import _get_padded_window
 from .mesh import DATA_AXIS, TIME_AXIS
 
 ArrayLike = Any
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _right_halo(y_local: jax.Array, halo: int, t_size: int) -> jax.Array:
@@ -110,8 +107,8 @@ def _centered_layout(L: int, n_fft: int, hop_length: int, t_size: int):
     """
     pad = n_fft // 2
     F = 1 + (L + 2 * pad - n_fft) // hop_length
-    F_min = max(F, -(-(L + 2 * pad) // hop_length))
-    F_pad = _ceil_to(F_min, t_size)
+    F_min = max(F, cdiv(L + 2 * pad, hop_length))
+    F_pad = round_up(F_min, t_size)
     L_total = F_pad * hop_length
     L_s = L_total // t_size
     if n_fft - hop_length > L_s:
@@ -217,11 +214,11 @@ def istft_time_sharded(
     t_size = mesh.shape[TIME_AXIS]
     B, F, n_bins = S.shape
     halo = n_fft - hop_length
-    C = -(-n_fft // hop_length)
+    C = cdiv(n_fft, hop_length)
     if center:
         # pad zero frames so every real frame's spill stays inside the
         # sharded domain: F*hop + halo <= F_pad*hop  <=>  F_pad >= F + C - 1
-        F_pad = _ceil_to(F + C - 1, t_size)
+        F_pad = round_up(F + C - 1, t_size)
         S = jnp.pad(S, ((0, 0), (0, F_pad - F), (0, 0)))
         F_work = F_pad
     else:
@@ -271,7 +268,14 @@ def istft_time_sharded(
         out_specs=P(DATA_AXIS, TIME_AXIS),
     )(S, win, basis)
     if not center:
-        return raw
+        if length is None:
+            return raw
+        # same crop/pad contract as the single-device op (reference
+        # `stft.py:314-338`): crop to `length`, zero-pad if longer
+        out = raw[:, : min(length, raw.shape[1])]
+        if length > raw.shape[1]:
+            out = jnp.pad(out, ((0, 0), (0, length - raw.shape[1])))
+        return out
 
     # global normalization + librosa center trim (outside the shard_map:
     # elementwise, XLA shards it with no extra collectives)

@@ -61,6 +61,25 @@ class TestOverlapAddPallas:
         with pytest.raises(ValueError):
             overlap_add_pallas(fw, env, hop_length=0, output_length=1000)
 
+    def test_tiny_hop_outside_resource_envelope(self):
+        # C = ceil(n_fft/hop) > 64 would blow VMEM/compile time: the kernel
+        # rejects it and the istft dispatch silently takes the XLA path
+        from mlx_audio_primitives_tpu.kernels.overlap_add import ola_supported
+
+        assert not ola_supported(2048, 2)
+        assert ola_supported(2048, 512) and ola_supported(2048, 441)
+        fw = jnp.zeros((1, 4, 2048), jnp.float32)
+        env = jnp.ones((1000,), jnp.float32)
+        with pytest.raises(ValueError):
+            overlap_add_pallas(fw, env, hop_length=2, output_length=1000)
+
+    def test_istft_tiny_hop_falls_back(self, random_signal):
+        y = random_signal[:4096]
+        S = stft(y, n_fft=512, hop_length=4)
+        a = np.asarray(istft(S, hop_length=4, use_pallas=True, length=len(y)))
+        b = np.asarray(istft(S, hop_length=4, use_pallas=False, length=len(y)))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
     def test_istft_use_pallas_roundtrip(self, random_signal):
         S = stft(random_signal, n_fft=2048, hop_length=512)
         y = np.asarray(
@@ -134,6 +153,21 @@ class TestFusedMelPallas:
         out = np.asarray(melspectrogram(batch_signals, use_pallas=True, **kw))
         ref = np.asarray(melspectrogram(batch_signals, use_pallas=False, **kw))
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4 * ref.max())
+
+    def test_explicit_fft_mode_pins_xla_path(self, batch_signals):
+        # regression: an explicit fft_mode used to be silently swallowed by
+        # the pallas auto default; it must route to the requested XLA branch
+        kw = dict(n_fft=2048, hop_length=512, n_mels=64)
+        pinned = np.asarray(melspectrogram(batch_signals, fft_mode="fft", **kw))
+        xla = np.asarray(
+            melspectrogram(batch_signals, fft_mode="fft", use_pallas=False, **kw)
+        )
+        assert np.abs(pinned - xla).max() == 0.0
+
+    def test_invalid_fft_mode_rejected_everywhere(self, batch_signals):
+        # must raise on every platform, even where pallas dispatch would win
+        with pytest.raises(ValueError):
+            melspectrogram(batch_signals, n_mels=32, fft_mode="bogus")
 
     def test_fallback_on_odd_power(self, batch_signals):
         # power != 2 silently uses the XLA path even with use_pallas=True

@@ -154,6 +154,23 @@ class TestCenteredTimeSharding:
         # and a true round-trip back to the input
         np.testing.assert_allclose(rec, y, atol=1e-3)
 
+    @pytest.mark.parametrize("length", [1000, 5000])
+    def test_istft_length_respected_uncentered(self, mesh24, length):
+        # regression: `length` used to be silently dropped when center=False
+        rng = np.random.default_rng(11)
+        L = 4096
+        y = rng.standard_normal((2, L)).astype(np.float32)
+        S = stft_time_sharded(y, mesh24, n_fft=N_FFT, hop_length=HOP,
+                              center=False)
+        rec = np.asarray(
+            istft_time_sharded(S, mesh24, n_fft=N_FFT, hop_length=HOP,
+                               center=False, length=length)
+        )
+        assert rec.shape == (2, length)
+        if length > L:
+            # the pad tail must be zeros
+            assert np.abs(rec[:, L:]).max() == 0.0
+
     def test_logmel_equals_single_device(self, mesh24):
         rng = np.random.default_rng(10)
         y = rng.standard_normal((2, 9001)).astype(np.float32)
