@@ -167,9 +167,12 @@ def fold_filterbank(fb_t: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
     return jnp.where(jnp.asarray(use)[..., None], folded, 0.0)
 
 
-def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk):
+def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, POW):
     """Kernel: DMA rows -> window chunks -> radix-C -> T twiddle ->
-    radix-R2 -> per-group complex 128-DFT GEMM -> |.|^2 -> mel GEMM."""
+    radix-R2 -> per-group complex 128-DFT GEMM -> |.|^POW -> mel GEMM.
+
+    ``POW`` in {1, 2}: the mirror-folded filterbank stays valid for both
+    since ``|X[N-k]| == |X[k]|`` (magnitudes, not components, are folded)."""
 
     def kernel(sig_hbm, w_ref, t_ref, b_ref, fb_ref, out_ref, sig_scr, sem):
         i = pl.program_id(0)
@@ -248,6 +251,8 @@ def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk):
                     xr = xr - dot(ei, bi, MATMUL_PRECISION)
                     xi = xi + dot(ei, br, MATMUL_PRECISION)
                 p = xr * xr + xi * xi
+                if POW == 1:
+                    p = jnp.sqrt(p)
                 acc = add(acc, dot(p, fb_ref[r * R2 + rp], MATMUL_PRECISION))
         out_ref[:] = acc
 
@@ -287,17 +292,22 @@ def melspectrogram_pallas(
     hop_length: int,
     center: bool,
     pad_mode: str,
+    power: float = 2.0,
 ) -> jax.Array:
-    """(B, L) -> (B, n_mels, F) power-2 mel spectrogram via the fused kernel.
+    """(B, L) -> (B, n_mels, F) mel spectrogram via the fused kernel.
 
-    Requires :func:`radix_supported`; any window array and any filterbank
-    (the folding is an on-device gather).
+    Requires :func:`radix_supported` and ``power`` in {1, 2}; any window
+    array and any filterbank (the folding is an on-device gather).
     """
     if not radix_supported(n_fft, hop_length, fb_t.shape[1]):
         raise ValueError(
             f"fused mel kernel requires pow2 n_fft = C*hop, hop = R2*128, "
             f"C,R2 <= {_MAX_RADIX}, tables within the VMEM budget; got "
             f"n_fft={n_fft}, hop={hop_length}, n_mels={fb_t.shape[1]}"
+        )
+    if power not in (1.0, 2.0):
+        raise ValueError(
+            f"fused mel kernel supports power in {{1, 2}}, got {power}"
         )
     # device-cached tables fetched outside the jit so they stay resident in
     # HBM as arguments instead of baking into the executable as literals
@@ -306,12 +316,13 @@ def melspectrogram_pallas(
     return _mel_radix_core(
         y, win, fb_t, T, Bt,
         n_fft=n_fft, hop_length=hop_length, center=center, pad_mode=pad_mode,
+        power=int(power),
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "center", "pad_mode"),
+    static_argnames=("n_fft", "hop_length", "center", "pad_mode", "power"),
 )
 def _mel_radix_core(
     y: jax.Array,
@@ -324,6 +335,7 @@ def _mel_radix_core(
     hop_length: int,
     center: bool,
     pad_mode: str,
+    power: int = 2,
 ) -> jax.Array:
     B, L = y.shape
     C = n_fft // hop_length
@@ -350,7 +362,7 @@ def _mel_radix_core(
     sig2d = yp.reshape(B, R, hop_length)
 
     out = pl.pallas_call(
-        _mel_radix_kernel_factory(CB, FBb, C, R2, NC, hop_length, FBk),
+        _mel_radix_kernel_factory(CB, FBb, C, R2, NC, hop_length, FBk, power),
         out_shape=jax.ShapeDtypeStruct((B, F_pad, n_mels), jnp.float32),
         grid=(B // CB, F_pad // FBb),
         in_specs=[

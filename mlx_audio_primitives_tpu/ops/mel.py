@@ -258,7 +258,7 @@ def melspectrogram(
     pallas_ok = (
         _dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
         and (fft_mode == "auto" or use_pallas is True)
-        and power == 2.0
+        and power in (1.0, 2.0)
         and radix_supported(n_fft, hop_length, n_mels)
     )
     if pallas_ok:
@@ -272,6 +272,7 @@ def melspectrogram(
             hop_length=hop_length,
             center=center,
             pad_mode=pad_mode,
+            power=float(power),
         )
         return out[0] if input_is_1d else out
 

@@ -169,10 +169,17 @@ class TestFusedMelPallas:
         with pytest.raises(ValueError):
             melspectrogram(batch_signals, n_mels=32, fft_mode="bogus")
 
+    def test_power_one_magnitude_mel(self, batch_signals):
+        # power=1 runs in-kernel (sqrt of the packed power before the mel GEMM)
+        kw = dict(n_fft=1024, hop_length=256, n_mels=48, power=1.0)
+        out = np.asarray(melspectrogram(batch_signals, use_pallas=True, **kw))
+        ref = np.asarray(melspectrogram(batch_signals, use_pallas=False, **kw))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4 * ref.max())
+
     def test_fallback_on_odd_power(self, batch_signals):
-        # power != 2 silently uses the XLA path even with use_pallas=True
-        out = melspectrogram(batch_signals, n_mels=32, power=1.0, use_pallas=True)
-        ref = melspectrogram(batch_signals, n_mels=32, power=1.0)
+        # power not in {1, 2} silently uses the XLA path even with use_pallas=True
+        out = melspectrogram(batch_signals, n_mels=32, power=1.5, use_pallas=True)
+        ref = melspectrogram(batch_signals, n_mels=32, power=1.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
     def test_kernel_rejects_unsupported_shape(self, batch_signals):
