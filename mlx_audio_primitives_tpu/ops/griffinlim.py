@@ -48,6 +48,7 @@ ArrayLike = Any
         "n_iter",
         "momentum",
         "fft_mode",
+        "use_pallas",
     ),
 )
 def _griffinlim_core(
@@ -65,6 +66,7 @@ def _griffinlim_core(
     n_iter: int,
     momentum: float,
     fft_mode: str,
+    use_pallas: bool,
 ) -> jax.Array:
     B, F, n_bins = S.shape
     pad = n_fft // 2
@@ -94,8 +96,17 @@ def _griffinlim_core(
             frames = irfft_sixstep(spec, n_fft)
         else:
             frames = irfft_len(spec, n_fft)
-        y = overlap_add(frames.astype(REAL_DTYPE) * win, hop_length, padded_length)
-        y = y / env
+        fw = frames.astype(REAL_DTYPE) * win
+        if use_pallas:
+            # fused OLA+normalize kernel inside the fori_loop body (the
+            # pallas_call traces into the loop like any other primitive)
+            from ..kernels.overlap_add import overlap_add_pallas
+
+            y = overlap_add_pallas(
+                fw, env, hop_length=hop_length, output_length=padded_length
+            )
+        else:
+            y = overlap_add(fw, hop_length, padded_length) / env
         if center:
             return jax.lax.slice_in_dim(y, pad, pad + L_sig, axis=1)
         if length is not None and length < y.shape[1]:
@@ -159,6 +170,7 @@ def griffinlim(
     init: str = "random",
     random_state: int | None = None,
     fft_mode: str = "auto",
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Griffin-Lim phase reconstruction from a magnitude spectrogram.
 
@@ -201,6 +213,13 @@ def griffinlim(
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
     fwd = forward_basis(n_fft) if fft_mode_r == "matmul" else None
     inv = inverse_basis(n_fft) if fft_mode_r == "matmul" else None
+    from ..kernels.overlap_add import ola_supported
+    from ..utils import dispatch as _dispatch
+
+    pallas_ok = (
+        _dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+        and ola_supported(n_fft, hop_length)
+    )
 
     y = _griffinlim_core(
         jnp.swapaxes(S, 1, 2),  # (B, F, n_bins)
@@ -216,6 +235,7 @@ def griffinlim(
         n_iter=n_iter,
         momentum=float(momentum),
         fft_mode=fft_mode_r,
+        use_pallas=pallas_ok,
     )
     return y[0] if not is_batched else y
 

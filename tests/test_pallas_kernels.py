@@ -191,3 +191,15 @@ class TestFusedMelPallas:
                 jnp.asarray(batch_signals), win, fb.T,
                 n_fft=1024, hop_length=100, center=True, pad_mode="constant",
             )
+
+
+class TestGriffinLimPallas:
+    def test_matches_xla_path(self, random_signal):
+        from mlx_audio_primitives_tpu import griffinlim, stft
+
+        S = np.abs(np.asarray(stft(random_signal[:8192], n_fft=1024,
+                                   hop_length=256)))
+        kw = dict(n_iter=3, hop_length=256, random_state=0)
+        a = np.asarray(griffinlim(S, use_pallas=True, **kw))
+        b = np.asarray(griffinlim(S, use_pallas=False, **kw))
+        np.testing.assert_allclose(a, b, atol=1e-4)
