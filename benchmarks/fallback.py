@@ -91,6 +91,21 @@ def fallback_stft() -> list[BenchmarkResult]:
     # odd n_fft exercises the Bluestein chirp-Z branch regardless of mode
     t = time_jax_amortized(lambda x: stft(x, n_fft=1000, hop_length=250), y)
     out.append(BenchmarkResult(name="stft n_fft=1000 (bluestein)", time_ms=t * 1e3))
+    # fused radix kernel vs the XLA FFT it replaced as TPU auto default
+    t_p = time_jax_amortized(
+        lambda x: stft(x, n_fft=2048, hop_length=512, use_pallas=True), y
+    )
+    t_x = time_jax_amortized(
+        lambda x: stft(x, n_fft=2048, hop_length=512, use_pallas=False), y
+    )
+    out.append(
+        BenchmarkResult(
+            name="stft n_fft=2048 pallas-vs-xla",
+            time_ms=t_p * 1e3,
+            baseline_name="xla fft",
+            baseline_time_ms=t_x * 1e3,
+        )
+    )
     return out
 
 

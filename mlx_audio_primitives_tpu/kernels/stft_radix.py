@@ -1,0 +1,278 @@
+"""Fused STFT Pallas kernel (radix-decimated real DFT, natural-order output).
+
+The same twice-decimated DFT machinery as the fused mel kernel
+(`kernels/mel_fused.py`, see its module docstring for the algorithm) but
+emitting the COMPLEX spectrum instead of mel energies: per group ``(r, r')``
+the kernel writes the real and imaginary 128-lane blocks of bins
+``k = r + C*r' + C*R2*j`` into a permuted layout; a single static XLA gather
+(with a sign mask for conjugate-mirror classes, ``X[N-k] = conj(X[k])``)
+restores librosa's natural bin order outside the kernel.
+
+This is the "fused Pallas STFT kernel" of SURVEY.md §7 step 6(a) (reference
+compiled-graph analog: `mlx_audio_primitives/stft.py:109-133`): pad, frame,
+window, and transform happen in ONE kernel and the frames tensor never
+exists in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .._config import MATMUL_PRECISION
+from ..utils.dispatch import pallas_interpret_mode
+from .block_policy import LANE, SUBLANE, VMEM_BUDGET, round_up
+from .mel_fused import (
+    _basis_table,
+    _coef,
+    _twiddle_table,
+)
+
+
+def stft_radix_supported(n_fft: int, hop_length: int) -> bool:
+    """Same radix shape gates as the mel kernel, with the spectrum output
+    block (2*G*128 lanes per frame) in the VMEM estimate instead of a mel
+    filterbank."""
+    from .mel_fused import _MAX_RADIX
+
+    if not (
+        n_fft >= LANE
+        and n_fft & (n_fft - 1) == 0
+        and hop_length >= LANE
+        and hop_length % LANE == 0
+        and n_fft % hop_length == 0
+        and n_fft // hop_length <= _MAX_RADIX
+        and hop_length // LANE <= _MAX_RADIX
+    ):
+        return False
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    NC = C // 2 + 1
+    G = NC * R2
+    tables = C * hop_length * 4 + NC * 2 * hop_length * 4 + R2 * 2 * LANE * LANE * 4
+    min_rows = round_up(8 + C - 1, SUBLANE)
+    min_block = 8 * (
+        (C + 2 * NC + 4) * hop_length * 4 + 2 * G * LANE * 4
+    ) + min_rows * hop_length * 4
+    return tables + min_block <= VMEM_BUDGET
+
+
+@lru_cache(maxsize=8)
+def _natural_maps(n_fft: int, hop: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host maps restoring natural bin order from the kernel's group layout.
+
+    Returns ``(pos, sgn)`` of shape (n_bins,): natural bin ``k`` lives at
+    flat position ``pos[k]`` of the ``(G*128,)`` group axis — read directly
+    when its class ``r = k mod C <= C/2``, else read from the conjugate
+    mirror ``n_fft - k`` with the imaginary part negated (``sgn[k] = -1``).
+    """
+    C = n_fft // hop
+    R2 = hop // LANE
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins)
+    r = k % C
+    direct = r <= C // 2
+    kk = np.where(direct, k, n_fft - k)
+    sgn = np.where(direct, 1.0, -1.0).astype(np.float32)
+    rr = kk % C
+    m = (kk - rr) // C
+    rp = m % R2
+    j = m // R2
+    pos = ((rr * R2 + rp) * LANE + j).astype(np.int32)
+    return pos, sgn
+
+
+def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk):
+    """Kernel: DMA rows -> window chunks -> radix-C -> T twiddle ->
+    radix-R2 -> per-group complex 128-DFT GEMM -> write (xr | xi) blocks."""
+    G = NC * R2
+
+    def kernel(sig_hbm, w_ref, t_ref, b_ref, out_ref, sig_scr, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            sig_hbm.at[pl.ds(i * CB, CB), pl.ds(j * FBb, FBk), :], sig_scr, sem
+        )
+        cp.start()
+        cp.wait()
+
+        xw = [sig_scr[:, c : c + FBb, :] * w_ref[c] for c in range(C)]
+
+        def add(a, b):
+            if a is None:
+                return b
+            return a if b is None else a + b
+
+        def scaled(x, s):
+            if s == 0 or x is None:
+                return None
+            if s == 1:
+                return x
+            return -x if s == -1 else x * s
+
+        H = []
+        for r in range(NC):
+            gr = gi = None
+            for c in range(C):
+                wr, wi = _coef(c * r, C)
+                gr = add(gr, scaled(xw[c], wr))
+                gi = add(gi, scaled(xw[c], wi))
+            if r == 0:
+                H.append((gr, gi))
+            elif gi is None:
+                H.append((gr * t_ref[r, 0], gr * t_ref[r, 1]))
+            else:
+                tc, ts = t_ref[r, 0], t_ref[r, 1]
+                H.append((gr * tc - gi * ts, gr * ts + gi * tc))
+
+        def dot(a, b, prec):
+            return jax.lax.dot_general(
+                a, b, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        reals, imags = [], []
+        for r in range(NC):
+            hr, hi = H[r]
+            hrc = [hr[:, :, c2 * LANE : (c2 + 1) * LANE] for c2 in range(R2)]
+            hic = (
+                None
+                if hi is None
+                else [hi[:, :, c2 * LANE : (c2 + 1) * LANE] for c2 in range(R2)]
+            )
+            for rp in range(R2):
+                er = ei = None
+                for c2 in range(R2):
+                    wr, wi = _coef(c2 * rp, R2)
+                    er = add(er, scaled(hrc[c2], wr))
+                    ei = add(ei, scaled(hrc[c2], wi))
+                    if hic is not None:
+                        er = add(er, scaled(hic[c2], -wi))
+                        ei = add(ei, scaled(hic[c2], wr))
+                br, bi = b_ref[rp, 0], b_ref[rp, 1]
+                xr = dot(er, br, MATMUL_PRECISION)
+                xi = dot(er, bi, MATMUL_PRECISION)
+                if ei is not None:
+                    xr = xr - dot(ei, bi, MATMUL_PRECISION)
+                    xi = xi + dot(ei, br, MATMUL_PRECISION)
+                reals.append(xr)
+                imags.append(xi)
+        # one full-block store, same pattern as the mel kernel
+        out_ref[:] = jnp.concatenate(reals + imags, axis=-1)
+
+    return kernel
+
+
+def _pick_blocks_stft(B: int, C: int, R2: int, NC: int, hop: int) -> tuple[int, int]:
+    G = NC * R2
+    tables = C * hop * 4 + NC * 2 * hop * 4 + R2 * 2 * LANE * LANE * 4
+    budget = VMEM_BUDGET - tables
+    per_cf = (C + 2 * NC + 4) * hop * 4 + 2 * G * LANE * 4
+    for FBb in (64, 48, 32, 24, 16, 8):
+        for CB in (8, 4, 2, 1):
+            if B % CB:
+                continue
+            rows = round_up(FBb + C - 1, SUBLANE)
+            if CB * (FBb * per_cf + rows * hop * 4) <= budget:
+                return CB, FBb
+    return 1, 8
+
+
+def stft_pallas(
+    y: jax.Array,  # (B, L)
+    win: jax.Array,  # (n_fft,) padded window
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+) -> jax.Array:
+    """(B, L) -> complex64 (B, n_bins, F) STFT via the fused radix kernel."""
+    if not stft_radix_supported(n_fft, hop_length):
+        raise ValueError(
+            f"fused STFT kernel requires pow2 n_fft = C*hop, hop = R2*128 "
+            f"within the VMEM budget; got n_fft={n_fft}, hop={hop_length}"
+        )
+    T = _twiddle_table(n_fft, hop_length)
+    Bt = _basis_table(hop_length)
+    return _stft_radix_core(
+        y, win, T, Bt,
+        n_fft=n_fft, hop_length=hop_length, center=center, pad_mode=pad_mode,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "center", "pad_mode"),
+)
+def _stft_radix_core(
+    y: jax.Array,
+    win: jax.Array,
+    T: jax.Array,
+    Bt: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+) -> jax.Array:
+    B, L = y.shape
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    NC = C // 2 + 1
+    G = NC * R2
+
+    wch = win.reshape(C, hop_length)
+    pad = n_fft // 2 if center else 0
+    F = 1 + (L + 2 * pad - n_fft) // hop_length
+    CB, FBb = _pick_blocks_stft(B, C, R2, NC, hop_length)
+    FBb = min(FBb, round_up(F, SUBLANE))
+    F_pad = round_up(F, FBb)
+    FBk = round_up(FBb + C - 1, SUBLANE)
+    R = F_pad + FBk
+
+    if center and pad_mode != "constant":
+        yp = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+        yp = jnp.pad(yp, ((0, 0), (0, R * hop_length - L - 2 * pad)))
+    else:
+        yp = jnp.pad(y, ((0, 0), (pad, R * hop_length - L - pad)))
+    sig2d = yp.reshape(B, R, hop_length)
+
+    out = pl.pallas_call(
+        _stft_radix_kernel_factory(CB, FBb, C, R2, NC, hop_length, FBk),
+        out_shape=jax.ShapeDtypeStruct((B, F_pad, 2 * G * LANE), jnp.float32),
+        grid=(B // CB, F_pad // FBb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((C, hop_length), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, 2, hop_length), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, 2, LANE, LANE), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (CB, FBb, 2 * G * LANE), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CB, FBk, hop_length), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=pallas_interpret_mode(),
+    )(sig2d, wch, T, Bt)
+
+    pos, sgn = _natural_maps(n_fft, hop_length)
+    pos_d = jnp.asarray(pos)
+    out = out[:, :F, :]
+    xr = out[:, :, pos_d]
+    xi = out[:, :, G * LANE + pos_d] * jnp.asarray(sgn)
+    return jnp.swapaxes(jax.lax.complex(xr, xi), 1, 2)

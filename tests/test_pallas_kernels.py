@@ -203,3 +203,55 @@ class TestGriffinLimPallas:
         a = np.asarray(griffinlim(S, use_pallas=True, **kw))
         b = np.asarray(griffinlim(S, use_pallas=False, **kw))
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+class TestFusedStftPallas:
+    # NOTE: comparisons run on device and fetch real scalars — complex64
+    # host transfer is unimplemented on the tunneled TPU attachment (see
+    # kernels/bluestein.py:48-50), and these tests also run there.
+
+    @staticmethod
+    def _rel(a, b):
+        return float(jnp.abs(a - b).max() / jnp.abs(b).max())
+
+    @pytest.mark.parametrize("n_fft,hop", [(2048, 512), (1024, 256),
+                                           (512, 128), (1024, 1024),
+                                           (2048, 256), (4096, 1024)])
+    def test_radix_combinations(self, n_fft, hop):
+        from mlx_audio_primitives_tpu.kernels.stft_radix import (
+            stft_pallas,
+            stft_radix_supported,
+        )
+
+        assert stft_radix_supported(n_fft, hop)
+        rng = np.random.default_rng(5)
+        y = rng.standard_normal((2, 4 * n_fft)).astype(np.float32)
+        win = _get_padded_window("hann", n_fft, n_fft)
+        out = stft_pallas(jnp.asarray(y), win, n_fft=n_fft, hop_length=hop,
+                          center=True, pad_mode="constant")
+        ref = stft(y, n_fft=n_fft, hop_length=hop, fft_mode="fft")
+        assert self._rel(out, ref) < 1e-5
+
+    def test_dispatch_and_fallbacks(self, random_signal):
+        # auto dispatch matches XLA; explicit fft_mode pins the XLA branch;
+        # unsupported hop falls back silently
+        a = stft(random_signal, n_fft=2048, hop_length=512, use_pallas=True)
+        b = stft(random_signal, n_fft=2048, hop_length=512, use_pallas=False)
+        assert self._rel(a, b) < 1e-5
+        c = stft(random_signal, n_fft=2048, hop_length=512, fft_mode="fft")
+        assert float(jnp.abs(c - b).max()) == 0.0
+        d = stft(random_signal, n_fft=2048, hop_length=441, use_pallas=True)
+        e = stft(random_signal, n_fft=2048, hop_length=441, use_pallas=False)
+        assert float(jnp.abs(d - e).max()) == 0.0
+
+    def test_roundtrip_through_istft(self, random_signal):
+        S = stft(random_signal, n_fft=1024, hop_length=256, use_pallas=True)
+        y = np.asarray(istft(S, hop_length=256, length=len(random_signal)))
+        assert np.abs(y - random_signal).max() <= 1e-5
+
+    def test_pad_modes_and_win_length(self, random_signal):
+        kw = dict(n_fft=1024, hop_length=256, win_length=600,
+                  window="hamming", pad_mode="reflect")
+        a = stft(random_signal, use_pallas=True, **kw)
+        b = stft(random_signal, use_pallas=False, **kw)
+        assert self._rel(a, b) < 1e-5
