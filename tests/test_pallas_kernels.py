@@ -255,3 +255,12 @@ class TestFusedStftPallas:
         a = stft(random_signal, use_pallas=True, **kw)
         b = stft(random_signal, use_pallas=False, **kw)
         assert self._rel(a, b) < 1e-5
+
+    def test_magnitude_spectrogram_radix_path(self, random_signal):
+        from mlx_audio_primitives_tpu.ops.stft import magnitude_spectrogram
+
+        a = np.asarray(magnitude_spectrogram(random_signal, n_fft=1024,
+                                             hop_length=256, use_pallas=True))
+        b = np.asarray(magnitude_spectrogram(random_signal, n_fft=1024,
+                                             hop_length=256, use_pallas=False))
+        np.testing.assert_allclose(a, b, atol=1e-5 * b.max())
