@@ -1,0 +1,311 @@
+"""Fully fused ISTFT Pallas kernel: spectrum -> normalized signal.
+
+One kernel runs the inverse radix-decimated DFT, the synthesis-window
+multiply, the output-centric overlap-add, and the squared-window envelope
+normalization — time-domain frames never exist in HBM. This completes the
+kernel trio (fused STFT `stft_radix.py`, fused mel `mel_fused.py`, fused OLA
+`overlap_add.py`); reference analog: the fused Metal overlap-add kernel plus
+the irfft it feeds (`csrc/metal/overlap_add.metal:16-55`, `stft.py:292-312`).
+
+Inverse decimation (exact mirror of the forward kernel; verified to 1e-13
+against numpy.fft on the host):
+
+* groups: natural bin ``k = r + C*r' + C*R2*j`` with class ``r <= C/2``;
+  bins beyond ``n_bins`` are conjugate mirrors ``conj(X[N-k])`` — a static
+  XLA gather builds the ``(B, F, 2*G*128)`` group layout from the natural
+  spectrum before the kernel (sign-mask on the imaginary plane).
+* stage A (MXU): per group a complex 128-point inverse GEMM
+  ``E = Xg @ IB``, ``IB[j, v] = e^{+2πi j v/128} / N`` (1/N folded in).
+* stage A2 (VPU): ``S_r[u] = Σ_r' W2_{r'}[u] * E_{r,r'}[u mod 128]`` with
+  ``W2_{r'}[u] = e^{+2πi r' u / hop}`` — the lane-tiled inverse butterfly.
+* stage B (VPU): chunk ``c`` of every frame is
+  ``x[c*hop + u] = Σ_r d_r * Re(ω_C^{-rc·(-1)} T_r[u] S_r[u])`` with
+  ``T_r[u] = e^{+2πi r u/N}``, ``d_r = 1`` for r in {0, C/2} else 2.
+* synthesis window chunk multiply, then the OLA shifted adds and the
+  envelope divide exactly as in `overlap_add.py`.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.cache import table_cache
+from ..utils.dispatch import pallas_interpret_mode
+from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, round_up
+from .mel_fused import _MAX_RADIX, _coef, _omega
+
+
+def istft_fused_supported(n_fft: int, hop_length: int) -> bool:
+    """Radix shape gates + the inverse working set under the VMEM budget."""
+    if not (
+        n_fft >= LANE
+        and n_fft & (n_fft - 1) == 0
+        and hop_length >= LANE
+        and hop_length % LANE == 0
+        and n_fft % hop_length == 0
+        and n_fft // hop_length <= _MAX_RADIX
+        and hop_length // LANE <= _MAX_RADIX
+    ):
+        return False
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    NC = C // 2 + 1
+    G = NC * R2
+    tables = (
+        C * hop_length * 4  # window chunks
+        + 2 * LANE * LANE * 4  # inverse base
+        + R2 * 2 * hop_length * 4  # stage-2 butterfly vectors
+        + NC * 2 * hop_length * 4  # inverse twiddles
+    )
+    min_rows = round_up(SUBLANE + C - 1, SUBLANE)
+    # live set per (clip, frame): group block + E + S + Z + chunk accumulators
+    min_block = (
+        min_rows * (2 * G * LANE + (4 + 2 * NC + C) * hop_length) * 4
+        + 2 * SUBLANE * hop_length * 4
+    )
+    return tables + min_block <= VMEM_BUDGET
+
+
+@table_cache("istft_inv_base", maxsize=8)
+def _inv_base_table(n_fft: int) -> np.ndarray:
+    """(2, 128, 128) inverse base ``IB[j,v] = e^{+2πi j v/128} / n_fft``."""
+    jj = np.arange(LANE)[:, None]
+    vv = np.arange(LANE)[None, :]
+    cr, ci = _omega(-jj * vv, LANE)  # e^{+2πi j v/128}
+    return np.stack([cr, ci]) / float(n_fft)
+
+
+@table_cache("istft_inv_stage2", maxsize=8)
+def _inv_stage2_table(hop: int) -> np.ndarray:
+    """(R2, 2, hop) butterfly vectors ``W2_{r'}[u] = e^{+2πi r' u/hop}``."""
+    R2 = hop // LANE
+    u = np.arange(hop)
+    W = np.zeros((R2, 2, hop), np.float64)
+    for rp in range(R2):
+        W[rp, 0], W[rp, 1] = _omega(-rp * u, hop)
+    return W
+
+
+@table_cache("istft_inv_twiddle", maxsize=8)
+def _inv_twiddle_table(n_fft: int, hop: int) -> np.ndarray:
+    """(NC, 2, hop) inverse twiddles ``T_r[u] = e^{+2πi r u/n_fft}``."""
+    C = n_fft // hop
+    NC = C // 2 + 1
+    u = np.arange(hop)
+    T = np.zeros((NC, 2, hop), np.float64)
+    for r in range(NC):
+        T[r, 0], T[r, 1] = _omega(-r * u, n_fft)
+    return T
+
+
+@lru_cache(maxsize=8)
+def _group_maps(n_fft: int, hop: int) -> tuple[np.ndarray, np.ndarray]:
+    """(G*128,) gather index + imag sign building the group layout from the
+    natural rDFT spectrum: value = X[k] direct, conj(X[N-k]) for mirrors."""
+    C = n_fft // hop
+    R2 = hop // LANE
+    NC = C // 2 + 1
+    n_bins = n_fft // 2 + 1
+    G = NC * R2
+    kmap = np.zeros(G * LANE, np.int32)
+    sgn = np.zeros(G * LANE, np.float32)
+    for r in range(NC):
+        for rp in range(R2):
+            g = r * R2 + rp
+            k = r + C * rp + C * R2 * np.arange(LANE)
+            direct = k < n_bins
+            kmap[g * LANE : (g + 1) * LANE] = np.where(direct, k, n_fft - k)
+            sgn[g * LANE : (g + 1) * LANE] = np.where(direct, 1.0, -1.0)
+    return kmap, sgn
+
+
+def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk):
+    G = NC * R2
+
+    def kernel(xg_hbm, w_ref, ib_ref, w2_ref, t_ref, env_ref, out_ref,
+               xg_scr, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            xg_hbm.at[pl.ds(i * CB, CB), pl.ds(j * RB, FBk), :], xg_scr, sem
+        )
+        cp.start()
+        cp.wait()
+
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        ibr, ibi = ib_ref[0], ib_ref[1]
+        # stage A: per-group complex inverse 128-GEMMs, then stage A2
+        # accumulate the R2 butterfly into S_r (complex, (CB, FBk, HOP))
+        Z = []  # per class r: T_r * S_r (complex)
+        for r in range(NC):
+            sr = si = None
+            for rp in range(R2):
+                g = r * R2 + rp
+                er = xg_scr[:, :, g * LANE : (g + 1) * LANE]
+                ei = xg_scr[:, :, (G + g) * LANE : (G + g + 1) * LANE]
+                Er = dot(er, ibr) - dot(ei, ibi)
+                Ei = dot(er, ibi) + dot(ei, ibr)
+                # tile to hop lanes: E depends on u mod 128 only
+                Ert = jnp.concatenate([Er] * R2, axis=-1)
+                Eit = jnp.concatenate([Ei] * R2, axis=-1)
+                wr, wi = w2_ref[rp, 0], w2_ref[rp, 1]
+                ar = Ert * wr - Eit * wi
+                ai = Ert * wi + Eit * wr
+                sr = ar if sr is None else sr + ar
+                si = ai if si is None else si + ai
+            tc, ts = t_ref[r, 0], t_ref[r, 1]
+            Z.append((sr * tc - si * ts, sr * ts + si * tc))
+
+        # stage B: chunk c across all frames, windowed
+        fc = []
+        for c in range(C):
+            acc = None
+            for r in range(NC):
+                zr, zi = Z[r]
+                wr, wi = _coef(-r * c, C)  # e^{+2πi r c/C}
+                d = 1.0 if (r == 0 or (C % 2 == 0 and r == C // 2)) else 2.0
+                term = zr * (d * wr) - zi * (d * wi) if wi != 0 else zr * (d * wr)
+                acc = term if acc is None else acc + term
+            fc.append(acc * w_ref[c])
+
+        # OLA shifted adds (frames prepadded C-1 like overlap_add.py)
+        out = None
+        for c in range(C):
+            rows = fc[c][:, C - 1 - c : C - 1 - c + RB, :]
+            out = rows if out is None else out + rows
+        out_ref[:] = out / env_ref[:]
+
+    return kernel
+
+
+def _pick_blocks_istft(B, C, R2, NC, hop) -> tuple[int, int]:
+    G = NC * R2
+    tables = (
+        C * hop * 4 + 2 * LANE * LANE * 4 + R2 * 2 * hop * 4
+        + NC * 2 * hop * 4
+    )
+    budget = VMEM_BUDGET - tables
+    per_cf = (2 * G * LANE + (4 + 2 * NC + C) * hop) * 4
+    for RB in (64, 48, 32, 24, 16, 8):
+        for CB in (8, 4, 2, 1):
+            if B % CB:
+                continue
+            rows = round_up(RB + C - 1, SUBLANE)
+            if CB * (rows * per_cf + 2 * RB * hop * 4) <= budget:
+                return CB, RB
+    return 1, 8
+
+
+def istft_pallas(
+    S: jax.Array,  # (B, F, n_bins) complex spectrum (frames-major)
+    win: jax.Array,  # (n_fft,) padded synthesis window
+    env: jax.Array,  # (padded_length,) clamped squared-window envelope
+    *,
+    n_fft: int,
+    hop_length: int,
+    padded_length: int,
+) -> jax.Array:
+    """(B, F, n_bins) -> (B, padded_length) normalized reconstruction,
+    one kernel (inverse transform + window + overlap-add + envelope)."""
+    if not istft_fused_supported(n_fft, hop_length):
+        raise ValueError(
+            f"fused ISTFT kernel requires pow2 n_fft = C*hop, hop = R2*128 "
+            f"within the VMEM budget; got n_fft={n_fft}, hop={hop_length}"
+        )
+    IB = _inv_base_table(n_fft)
+    W2 = _inv_stage2_table(hop_length)
+    T = _inv_twiddle_table(n_fft, hop_length)
+    return _istft_fused_core(
+        S, win, env, IB, W2, T,
+        n_fft=n_fft, hop_length=hop_length, padded_length=padded_length,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "padded_length"),
+)
+def _istft_fused_core(
+    S: jax.Array,
+    win: jax.Array,
+    env: jax.Array,
+    IB: jax.Array,
+    W2: jax.Array,
+    T: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    padded_length: int,
+) -> jax.Array:
+    B, F, _ = S.shape
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    NC = C // 2 + 1
+    G = NC * R2
+
+    kmap, sgn = _group_maps(n_fft, hop_length)
+    km = jnp.asarray(kmap)
+    xr = jnp.real(S)[:, :, km]
+    xi = jnp.imag(S)[:, :, km] * jnp.asarray(sgn)
+    xg = jnp.concatenate([xr, xi], axis=-1)  # (B, F, 2*G*128)
+
+    wch = win.reshape(C, hop_length)
+    RT = cdiv(padded_length, hop_length)
+    CB, RB = _pick_blocks_istft(B, C, R2, NC, hop_length)
+    RB = min(RB, round_up(RT, SUBLANE))
+    RT_pad = round_up(RT, RB)
+    FBk = round_up(RB + C - 1, SUBLANE)
+
+    # frames at/after the output span contribute nothing
+    if F > RT_pad:
+        xg = xg[:, :RT_pad, :]
+        F = RT_pad
+    NF = RT_pad + FBk
+    xg_p = jnp.pad(xg, ((0, 0), (C - 1, NF - F - (C - 1)), (0, 0)))
+
+    env_rows = jnp.pad(env, (0, RT_pad * hop_length - env.shape[0]),
+                       constant_values=1.0).reshape(RT_pad, hop_length)
+
+    out = pl.pallas_call(
+        _istft_kernel_factory(CB, RB, C, R2, NC, hop_length, FBk),
+        out_shape=jax.ShapeDtypeStruct((B, RT_pad, hop_length), jnp.float32),
+        grid=(B // CB, RT_pad // RB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((C, hop_length), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LANE, LANE), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, 2, hop_length), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, 2, hop_length), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, hop_length), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (CB, RB, hop_length), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CB, FBk, 2 * G * LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=pallas_interpret_mode(),
+    )(xg_p, wch, IB, W2, T, env_rows)
+    return out.reshape(B, RT_pad * hop_length)[:, :padded_length]

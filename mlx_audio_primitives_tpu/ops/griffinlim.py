@@ -87,26 +87,39 @@ def _griffinlim_core(
     env = window_envelope(win, F, hop_length, padded_length)
     env = jnp.maximum(env, WINDOW_SUM_EPSILON)
 
+    from ..kernels.istft_fused import istft_fused_supported
+
+    fused_ok = use_pallas and istft_fused_supported(n_fft, hop_length)
+
     def istft_step(spec: jax.Array) -> jax.Array:
-        if fft_mode == "matmul":
-            frames = irdft_matmul(spec, n_fft, inv_basis)
-        elif fft_mode == "sixstep":
-            from ..kernels.sixstep import irfft_sixstep
+        if fused_ok:
+            # fully-fused ISTFT kernel per iteration (inverse transform +
+            # window + OLA + normalize; pallas_call traces into the loop)
+            from ..kernels.istft_fused import istft_pallas
 
-            frames = irfft_sixstep(spec, n_fft)
-        else:
-            frames = irfft_len(spec, n_fft)
-        fw = frames.astype(REAL_DTYPE) * win
-        if use_pallas:
-            # fused OLA+normalize kernel inside the fori_loop body (the
-            # pallas_call traces into the loop like any other primitive)
-            from ..kernels.overlap_add import overlap_add_pallas
-
-            y = overlap_add_pallas(
-                fw, env, hop_length=hop_length, output_length=padded_length
+            y = istft_pallas(
+                spec, win, env, n_fft=n_fft, hop_length=hop_length,
+                padded_length=padded_length,
             )
         else:
-            y = overlap_add(fw, hop_length, padded_length) / env
+            if fft_mode == "matmul":
+                frames = irdft_matmul(spec, n_fft, inv_basis)
+            elif fft_mode == "sixstep":
+                from ..kernels.sixstep import irfft_sixstep
+
+                frames = irfft_sixstep(spec, n_fft)
+            else:
+                frames = irfft_len(spec, n_fft)
+            fw = frames.astype(REAL_DTYPE) * win
+            if use_pallas:
+                # fused OLA+normalize kernel inside the fori_loop body
+                from ..kernels.overlap_add import overlap_add_pallas
+
+                y = overlap_add_pallas(
+                    fw, env, hop_length=hop_length, output_length=padded_length
+                )
+            else:
+                y = overlap_add(fw, hop_length, padded_length) / env
         if center:
             return jax.lax.slice_in_dim(y, pad, pad + L_sig, axis=1)
         if length is not None and length < y.shape[1]:
@@ -116,6 +129,20 @@ def _griffinlim_core(
         return y
 
     def stft_step(y: jax.Array) -> jax.Array:
+        if fused_ok:
+            from ..kernels.stft_radix import stft_pallas, stft_radix_supported
+
+            if stft_radix_supported(n_fft, hop_length):
+                spec = jnp.swapaxes(
+                    stft_pallas(y, win, n_fft=n_fft, hop_length=hop_length,
+                                center=center, pad_mode=pad_mode), 1, 2
+                )
+                F2 = spec.shape[1]
+                if F2 > F:
+                    spec = spec[:, :F, :]
+                elif F2 < F:
+                    spec = jnp.pad(spec, ((0, 0), (0, F - F2), (0, 0)))
+                return spec
         if center:
             y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
         frames = frame_signal_batched(y, n_fft, hop_length) * win

@@ -345,7 +345,7 @@ def stft(
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "padded_length", "fft_mode", "use_pallas"),
+    static_argnames=("n_fft", "hop_length", "padded_length", "fft_mode", "pallas_mode"),
 )
 def _istft_core(
     S: jax.Array,
@@ -357,12 +357,28 @@ def _istft_core(
     hop_length: int,
     padded_length: int,
     fft_mode: str,
-    use_pallas: bool = False,
+    pallas_mode: str = "none",
 ) -> jax.Array:
     """(B, F, n_bins) complex -> (B, padded_length) normalized reconstruction.
 
     ``env`` is the precomputed clamped squared-window envelope (None only for
-    array windows, where it is derived in-graph)."""
+    array windows, where it is derived in-graph). ``pallas_mode``: 'fused'
+    (one kernel: inverse transform + window + OLA + normalize,
+    `kernels/istft_fused.py`), 'ola' (XLA inverse transform + fused OLA
+    kernel), or 'none' (pure XLA).
+    """
+    if env is None:
+        env = jnp.maximum(
+            window_envelope(win, S.shape[1], hop_length, padded_length),
+            WINDOW_SUM_EPSILON,
+        )
+    if pallas_mode == "fused":
+        from ..kernels.istft_fused import istft_pallas
+
+        return istft_pallas(
+            S, win, env, n_fft=n_fft, hop_length=hop_length,
+            padded_length=padded_length,
+        )
     if fft_mode == "matmul":
         frames = irdft_matmul(S, n_fft, basis)
     elif fft_mode == "sixstep":
@@ -373,12 +389,7 @@ def _istft_core(
         frames = irfft_len(S, n_fft)
     frames = frames.astype(REAL_DTYPE)
     fw = frames * win
-    if env is None:
-        env = jnp.maximum(
-            window_envelope(win, S.shape[1], hop_length, padded_length),
-            WINDOW_SUM_EPSILON,
-        )
-    if use_pallas:
+    if pallas_mode == "ola":
         from ..kernels.overlap_add import overlap_add_pallas
 
         return overlap_add_pallas(
@@ -437,17 +448,25 @@ def istft(
         padded_length = n_fft + (n_frames - 1) * hop_length
 
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
-    # Pallas OLA is the TPU default: it beats the XLA chunk OLA end-to-end
-    # across n_fft x hop x batch on v5e (5-30% faster istft, slope-amortized
-    # over hop in {64,160,256,441,512}, batch in {1,8,64}). Shapes outside
-    # the kernel's resource envelope (tiny hops: C = ceil(n_fft/hop) > 64)
-    # silently use the XLA chunk path, same contract as the mel kernel gate.
+    # Three-tier TPU default: (1) the fully-fused ISTFT kernel (inverse
+    # radix transform + window + OLA + normalize in ONE kernel,
+    # `kernels/istft_fused.py`) under the radix gates when no explicit
+    # fft_mode pins an XLA transform; (2) XLA inverse transform + the fused
+    # OLA kernel for other shapes within its envelope; (3) pure XLA.
+    from ..kernels.istft_fused import istft_fused_supported
     from ..kernels.overlap_add import ola_supported
 
-    pallas_ok = (
-        dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
-        and ola_supported(n_fft, hop_length)
-    )
+    want_pallas = dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+    if (
+        want_pallas
+        and (fft_mode == "auto" or use_pallas is True)
+        and istft_fused_supported(n_fft, hop_length)
+    ):
+        pallas_mode = "fused"
+    elif want_pallas and ola_supported(n_fft, hop_length):
+        pallas_mode = "ola"
+    else:
+        pallas_mode = "none"
     wkey = _window_key(window)
     env = (
         _istft_envelope_table(wkey, win_length, n_fft, n_frames, hop_length,
@@ -464,7 +483,7 @@ def istft(
         hop_length=hop_length,
         padded_length=padded_length,
         fft_mode=fft_mode_r,
-        use_pallas=pallas_ok,
+        pallas_mode=pallas_mode,
     )
 
     if center:

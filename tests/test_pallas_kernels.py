@@ -264,3 +264,56 @@ class TestFusedStftPallas:
         b = np.asarray(magnitude_spectrogram(random_signal, n_fft=1024,
                                              hop_length=256, use_pallas=False))
         np.testing.assert_allclose(a, b, atol=1e-5 * b.max())
+
+
+class TestFusedIstftPallas:
+    @pytest.mark.parametrize("n_fft,hop", [(2048, 512), (1024, 256),
+                                           (512, 128), (2048, 256),
+                                           (4096, 1024)])
+    def test_roundtrip_all_radix_pairs(self, n_fft, hop):
+        from mlx_audio_primitives_tpu.kernels.istft_fused import (
+            istft_fused_supported,
+        )
+
+        assert istft_fused_supported(n_fft, hop)
+        rng = np.random.default_rng(7)
+        y = rng.standard_normal(4 * n_fft).astype(np.float32)
+        S = stft(y, n_fft=n_fft, hop_length=hop)
+        rec = np.asarray(istft(S, hop_length=hop, length=len(y),
+                               use_pallas=True))
+        assert np.abs(rec - y).max() <= 1e-5
+        ref = np.asarray(istft(S, hop_length=hop, length=len(y),
+                               use_pallas=False))
+        np.testing.assert_allclose(rec, ref, atol=1e-5)
+
+    def test_hop_equals_nfft_boxcar(self):
+        # C=1 (single class) with a NOLA-satisfying window
+        rng = np.random.default_rng(8)
+        y = rng.standard_normal(4096).astype(np.float32)
+        S = stft(y, n_fft=1024, hop_length=1024, window="boxcar")
+        rec = np.asarray(istft(S, hop_length=1024, window="boxcar",
+                               length=len(y), use_pallas=True))
+        assert np.abs(rec - y).max() <= 1e-5
+
+    def test_batched_and_array_window(self, batch_signals):
+        win = np.hanning(1024).astype(np.float32)  # array window: env in-graph
+        S = stft(batch_signals, n_fft=1024, hop_length=256, window=win)
+        a = np.asarray(istft(S, hop_length=256, window=win, use_pallas=True))
+        b = np.asarray(istft(S, hop_length=256, window=win, use_pallas=False))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_unsupported_hop_uses_ola_tier(self, random_signal):
+        # hop not a 128 multiple: fused gate fails but the OLA kernel tier
+        # still applies; result must match pure XLA
+        S = stft(random_signal, n_fft=2048, hop_length=441)
+        a = np.asarray(istft(S, hop_length=441, use_pallas=True))
+        b = np.asarray(istft(S, hop_length=441, use_pallas=False))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_explicit_fft_mode_disables_fused_tier(self, random_signal):
+        # an explicit transform request must actually run that XLA transform
+        S = stft(random_signal, n_fft=1024, hop_length=256)
+        a = np.asarray(istft(S, hop_length=256, fft_mode="matmul"))
+        b = np.asarray(istft(S, hop_length=256, use_pallas=False,
+                             fft_mode="matmul"))
+        np.testing.assert_allclose(a, b, atol=1e-5)
