@@ -30,3 +30,22 @@ def clips_per_block(n_clips: int, bytes_per_clip: int, max_clips: int = 8) -> in
             return cb
     return 1
 
+
+
+#: radices C = n_fft/hop and R2 = hop/128 for the fused radix-DFT kernels
+MAX_RADIX = 8
+
+
+def radix_shape_ok(n_fft: int, hop_length: int) -> bool:
+    """Shared shape gate for the radix-decimated DFT kernels (fused mel /
+    STFT / ISTFT): pow2 ``n_fft = C*hop``, ``hop = R2*128``, radices
+    ``C, R2 <= MAX_RADIX``. Each kernel adds its own VMEM-budget check."""
+    return (
+        n_fft >= LANE
+        and n_fft & (n_fft - 1) == 0
+        and hop_length >= LANE
+        and hop_length % LANE == 0
+        and n_fft % hop_length == 0
+        and n_fft // hop_length <= MAX_RADIX
+        and hop_length // LANE <= MAX_RADIX
+    )

@@ -35,23 +35,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._config import MATMUL_PRECISION
 from ..utils.cache import table_cache
 from ..utils.dispatch import pallas_interpret_mode
-from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, round_up
-from .mel_fused import _MAX_RADIX, _coef, _omega
+from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, radix_shape_ok, round_up
+from .mel_fused import _coef, _omega
 
 
 def istft_fused_supported(n_fft: int, hop_length: int) -> bool:
     """Radix shape gates + the inverse working set under the VMEM budget."""
-    if not (
-        n_fft >= LANE
-        and n_fft & (n_fft - 1) == 0
-        and hop_length >= LANE
-        and hop_length % LANE == 0
-        and n_fft % hop_length == 0
-        and n_fft // hop_length <= _MAX_RADIX
-        and hop_length // LANE <= _MAX_RADIX
-    ):
+    if not radix_shape_ok(n_fft, hop_length):
         return False
     C = n_fft // hop_length
     R2 = hop_length // LANE
@@ -142,7 +135,7 @@ def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk):
             return jax.lax.dot_general(
                 a, b, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=MATMUL_PRECISION,
             )
 
         ibr, ibi = ib_ref[0], ib_ref[1]
@@ -255,12 +248,6 @@ def _istft_fused_core(
     NC = C // 2 + 1
     G = NC * R2
 
-    kmap, sgn = _group_maps(n_fft, hop_length)
-    km = jnp.asarray(kmap)
-    xr = jnp.real(S)[:, :, km]
-    xi = jnp.imag(S)[:, :, km] * jnp.asarray(sgn)
-    xg = jnp.concatenate([xr, xi], axis=-1)  # (B, F, 2*G*128)
-
     wch = win.reshape(C, hop_length)
     RT = cdiv(padded_length, hop_length)
     CB, RB = _pick_blocks_istft(B, C, R2, NC, hop_length)
@@ -268,10 +255,18 @@ def _istft_fused_core(
     RT_pad = round_up(RT, RB)
     FBk = round_up(RB + C - 1, SUBLANE)
 
-    # frames at/after the output span contribute nothing
+    # frames at/after the output span contribute nothing — trim BEFORE the
+    # group-layout gather so the 2x-expanded tensor never covers them
     if F > RT_pad:
-        xg = xg[:, :RT_pad, :]
+        S = S[:, :RT_pad, :]
         F = RT_pad
+
+    kmap, sgn = _group_maps(n_fft, hop_length)
+    km = jnp.asarray(kmap)
+    xr = jnp.real(S)[:, :, km]
+    xi = jnp.imag(S)[:, :, km] * jnp.asarray(sgn)
+    xg = jnp.concatenate([xr, xi], axis=-1)  # (B, F, 2*G*128)
+
     NF = RT_pad + FBk
     xg_p = jnp.pad(xg, ((0, 0), (C - 1, NF - F - (C - 1)), (0, 0)))
 

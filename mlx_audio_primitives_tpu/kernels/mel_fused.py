@@ -51,9 +51,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .._config import MATMUL_PRECISION
 from ..utils.cache import table_cache
 from ..utils.dispatch import pallas_interpret_mode
-from .block_policy import LANE, SUBLANE, VMEM_BUDGET, round_up
+from .block_policy import LANE, MAX_RADIX, SUBLANE, VMEM_BUDGET, radix_shape_ok, round_up
 
-_MAX_RADIX = 8  # C, R2 <= 8 => n_fft <= 8192 with hop >= 128
+_MAX_RADIX = MAX_RADIX  # C, R2 <= 8 => n_fft <= 8192 with hop >= 128
 
 
 def radix_supported(n_fft: int, hop_length: int, n_mels: int = 128) -> bool:
@@ -61,15 +61,7 @@ def radix_supported(n_fft: int, hop_length: int, n_mels: int = 128) -> bool:
     ``hop = R2*128``, radices ``C, R2 <= 8``, and the block-invariant VMEM
     residents plus the minimal (CB=1, FBb=8) working set must fit the
     budget (large ``n_mels`` grows the folded filterbank)."""
-    if not (
-        n_fft >= LANE
-        and n_fft & (n_fft - 1) == 0
-        and hop_length >= LANE
-        and hop_length % LANE == 0
-        and n_fft % hop_length == 0
-        and n_fft // hop_length <= _MAX_RADIX
-        and hop_length // LANE <= _MAX_RADIX
-    ):
+    if not radix_shape_ok(n_fft, hop_length):
         return False
     C = n_fft // hop_length
     R2 = hop_length // LANE

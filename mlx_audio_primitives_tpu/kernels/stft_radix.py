@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .._config import MATMUL_PRECISION
 from ..utils.dispatch import pallas_interpret_mode
-from .block_policy import LANE, SUBLANE, VMEM_BUDGET, round_up
+from .block_policy import LANE, SUBLANE, VMEM_BUDGET, radix_shape_ok, round_up
 from .mel_fused import (
     _basis_table,
     _coef,
@@ -38,17 +38,7 @@ def stft_radix_supported(n_fft: int, hop_length: int) -> bool:
     """Same radix shape gates as the mel kernel, with the spectrum output
     block (2*G*128 lanes per frame) in the VMEM estimate instead of a mel
     filterbank."""
-    from .mel_fused import _MAX_RADIX
-
-    if not (
-        n_fft >= LANE
-        and n_fft & (n_fft - 1) == 0
-        and hop_length >= LANE
-        and hop_length % LANE == 0
-        and n_fft % hop_length == 0
-        and n_fft // hop_length <= _MAX_RADIX
-        and hop_length // LANE <= _MAX_RADIX
-    ):
+    if not radix_shape_ok(n_fft, hop_length):
         return False
     C = n_fft // hop_length
     R2 = hop_length // LANE
@@ -197,6 +187,12 @@ def stft_pallas(
         raise ValueError(
             f"fused STFT kernel requires pow2 n_fft = C*hop, hop = R2*128 "
             f"within the VMEM budget; got n_fft={n_fft}, hop={hop_length}"
+        )
+    pad_total = n_fft if center else 0
+    if y.shape[1] + pad_total < n_fft:
+        raise ValueError(
+            f"signal length ({y.shape[1]}) must be >= n_fft ({n_fft}) "
+            "when center=False"
         )
     T = _twiddle_table(n_fft, hop_length)
     Bt = _basis_table(hop_length)

@@ -28,10 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .._config import REAL_DTYPE, WINDOW_SUM_EPSILON
-from ..kernels.bluestein import irfft_len, rfft_len
-from ..kernels.dft import forward_basis, inverse_basis, irdft_matmul, rdft_matmul
+from ..kernels.bluestein import rfft_len
+from ..kernels.dft import forward_basis, inverse_basis, rdft_matmul
 from ..utils.validation import validate_positive
-from ._frames import frame_signal_batched, overlap_add, window_envelope
+from ._frames import frame_signal_batched, window_envelope
 from .stft import _get_padded_window, _resolve_fft_mode, istft, magnitude, phase, stft
 
 ArrayLike = Any
@@ -48,7 +48,7 @@ ArrayLike = Any
         "n_iter",
         "momentum",
         "fft_mode",
-        "use_pallas",
+        "pallas_mode",
     ),
 )
 def _griffinlim_core(
@@ -66,7 +66,7 @@ def _griffinlim_core(
     n_iter: int,
     momentum: float,
     fft_mode: str,
-    use_pallas: bool,
+    pallas_mode: str,
 ) -> jax.Array:
     B, F, n_bins = S.shape
     pad = n_fft // 2
@@ -87,39 +87,17 @@ def _griffinlim_core(
     env = window_envelope(win, F, hop_length, padded_length)
     env = jnp.maximum(env, WINDOW_SUM_EPSILON)
 
-    from ..kernels.istft_fused import istft_fused_supported
-
-    fused_ok = use_pallas and istft_fused_supported(n_fft, hop_length)
+    from .stft import _istft_core
 
     def istft_step(spec: jax.Array) -> jax.Array:
-        if fused_ok:
-            # fully-fused ISTFT kernel per iteration (inverse transform +
-            # window + OLA + normalize; pallas_call traces into the loop)
-            from ..kernels.istft_fused import istft_pallas
-
-            y = istft_pallas(
-                spec, win, env, n_fft=n_fft, hop_length=hop_length,
-                padded_length=padded_length,
-            )
-        else:
-            if fft_mode == "matmul":
-                frames = irdft_matmul(spec, n_fft, inv_basis)
-            elif fft_mode == "sixstep":
-                from ..kernels.sixstep import irfft_sixstep
-
-                frames = irfft_sixstep(spec, n_fft)
-            else:
-                frames = irfft_len(spec, n_fft)
-            fw = frames.astype(REAL_DTYPE) * win
-            if use_pallas:
-                # fused OLA+normalize kernel inside the fori_loop body
-                from ..kernels.overlap_add import overlap_add_pallas
-
-                y = overlap_add_pallas(
-                    fw, env, hop_length=hop_length, output_length=padded_length
-                )
-            else:
-                y = overlap_add(fw, hop_length, padded_length) / env
+        # shared three-tier dispatch body with ops.stft.istft (fused kernel /
+        # XLA inverse + fused OLA kernel / pure XLA); pallas_call traces into
+        # the fori_loop body like any other primitive
+        y = _istft_core(
+            spec, win, inv_basis, env,
+            n_fft=n_fft, hop_length=hop_length, padded_length=padded_length,
+            fft_mode=fft_mode, pallas_mode=pallas_mode,
+        )
         if center:
             return jax.lax.slice_in_dim(y, pad, pad + L_sig, axis=1)
         if length is not None and length < y.shape[1]:
@@ -129,7 +107,7 @@ def _griffinlim_core(
         return y
 
     def stft_step(y: jax.Array) -> jax.Array:
-        if fused_ok:
+        if pallas_mode == "fused":
             from ..kernels.stft_radix import stft_pallas, stft_radix_supported
 
             if stft_radix_supported(n_fft, hop_length):
@@ -238,15 +216,28 @@ def griffinlim(
     # (tens of frames), where six-step's reshuffles outweigh its MXU gains
     # (measured 1.59 vs 1.08 ms for 32 iters on v5e).
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
-    fwd = forward_basis(n_fft) if fft_mode_r == "matmul" else None
-    inv = inverse_basis(n_fft) if fft_mode_r == "matmul" else None
+    from ..kernels.istft_fused import istft_fused_supported
     from ..kernels.overlap_add import ola_supported
+    from ..kernels.stft_radix import stft_radix_supported
     from ..utils import dispatch as _dispatch
 
-    pallas_ok = (
-        _dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
-        and ola_supported(n_fft, hop_length)
-    )
+    # same tier policy as stft()/istft(): an explicit fft_mode pins the XLA
+    # transforms (the OLA kernel tier still applies) unless use_pallas=True
+    want = _dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+    if (
+        want
+        and (fft_mode == "auto" or use_pallas is True)
+        and istft_fused_supported(n_fft, hop_length)
+        and stft_radix_supported(n_fft, hop_length)
+    ):
+        pallas_mode = "fused"
+    elif want and ola_supported(n_fft, hop_length):
+        pallas_mode = "ola"
+    else:
+        pallas_mode = "none"
+    need_basis = fft_mode_r == "matmul" and pallas_mode != "fused"
+    fwd = forward_basis(n_fft) if need_basis else None
+    inv = inverse_basis(n_fft) if need_basis else None
 
     y = _griffinlim_core(
         jnp.swapaxes(S, 1, 2),  # (B, F, n_bins)
@@ -262,7 +253,7 @@ def griffinlim(
         n_iter=n_iter,
         momentum=float(momentum),
         fft_mode=fft_mode_r,
-        use_pallas=pallas_ok,
+        pallas_mode=pallas_mode,
     )
     return y[0] if not is_batched else y
 

@@ -249,6 +249,15 @@ class TestFusedStftPallas:
         y = np.asarray(istft(S, hop_length=256, length=len(random_signal)))
         assert np.abs(y - random_signal).max() <= 1e-5
 
+    def test_short_signal_raises_valueerror(self):
+        # regression: used to hit an opaque ZeroDivisionError in block sizing
+        from mlx_audio_primitives_tpu.kernels.stft_radix import stft_pallas
+
+        win = _get_padded_window("hann", 1024, 1024)
+        with pytest.raises(ValueError, match="signal length"):
+            stft_pallas(jnp.zeros((1, 100), jnp.float32), win, n_fft=1024,
+                        hop_length=256, center=False, pad_mode="constant")
+
     def test_pad_modes_and_win_length(self, random_signal):
         kw = dict(n_fft=1024, hop_length=256, win_length=600,
                   window="hamming", pad_mode="reflect")
