@@ -54,6 +54,9 @@ _TABLE_CASES: dict[str, list[tuple[str, tuple]]] = {
     "bluestein": [("n=1000", (1000,))],
     "mel_radix_twiddle": [("2048/512", (2048, 512))],
     "mel_radix_basis": [("hop512", (512,))],
+    "istft_inv_base": [("2048", (2048,))],
+    "istft_inv_stage2": [("hop512", (512,))],
+    "istft_inv_twiddle": [("2048/512", (2048, 512))],
     "dft_basis_fwd": [("1024", (1024,))],
     "dft_basis_inv": [("1024", (1024,))],
 }
@@ -67,6 +70,7 @@ def per_table_cold_warm() -> list[BenchmarkResult]:
     # registry is complete before we iterate it
     import mlx_audio_primitives_tpu.kernels.bluestein  # noqa: F401
     import mlx_audio_primitives_tpu.kernels.dft  # noqa: F401
+    import mlx_audio_primitives_tpu.kernels.istft_fused  # noqa: F401
     import mlx_audio_primitives_tpu.kernels.mel_fused  # noqa: F401
     import mlx_audio_primitives_tpu.ops.resample  # noqa: F401
 

@@ -162,6 +162,7 @@ class TestDeepSuites:
         # all lazily-registered caches (same imports the suite itself makes)
         import mlx_audio_primitives_tpu.kernels.bluestein  # noqa: F401
         import mlx_audio_primitives_tpu.kernels.dft  # noqa: F401
+        import mlx_audio_primitives_tpu.kernels.istft_fused  # noqa: F401
         import mlx_audio_primitives_tpu.kernels.mel_fused  # noqa: F401
         import mlx_audio_primitives_tpu.ops.resample  # noqa: F401
         from mlx_audio_primitives_tpu.utils.cache import _CACHE_REGISTRY
