@@ -279,10 +279,45 @@ def bench_pallas() -> list[BenchmarkResult]:
     )
     out.append(
         BenchmarkResult(
-            name="istft pallas overlap-add",
+            name="istft fused kernel",
             time_ms=t_p * 1e3,
-            baseline_name="xla chunk overlap-add",
+            baseline_name="xla inverse+OLA",
             baseline_time_ms=t_x * 1e3,
+        )
+    )
+    t_sx = time_jax_amortized(
+        lambda x: stft(x, n_fft=2048, hop_length=512, use_pallas=False), yd
+    )
+    t_sp = time_jax_amortized(
+        lambda x: stft(x, n_fft=2048, hop_length=512, use_pallas=True), yd
+    )
+    out.append(
+        BenchmarkResult(
+            name="stft radix kernel batch=64",
+            time_ms=t_sp * 1e3,
+            baseline_name="xla packed fft",
+            baseline_time_ms=t_sx * 1e3,
+        )
+    )
+    from mlx_audio_primitives_tpu import griffinlim
+
+    Sm = jax.device_put(
+        jax.numpy.abs(stft(_signal(), n_fft=1024, hop_length=256))
+    )
+    t_gx = time_jax_amortized(
+        lambda s: griffinlim(s, n_iter=32, hop_length=256, random_state=0,
+                             use_pallas=False), Sm, k=5
+    )
+    t_gp = time_jax_amortized(
+        lambda s: griffinlim(s, n_iter=32, hop_length=256, random_state=0,
+                             use_pallas=True), Sm, k=5
+    )
+    out.append(
+        BenchmarkResult(
+            name="griffinlim 32it fused kernels in-loop",
+            time_ms=t_gp * 1e3,
+            baseline_name="xla loop",
+            baseline_time_ms=t_gx * 1e3,
         )
     )
     return out
