@@ -220,10 +220,43 @@ def istft_pallas(
     IB = _inv_base_table(n_fft)
     W2 = _inv_stage2_table(hop_length)
     T = _inv_twiddle_table(n_fft, hop_length)
-    return _istft_fused_core(
-        S, win, env, IB, W2, T,
-        n_fft=n_fft, hop_length=hop_length, padded_length=padded_length,
+    return _istft_vjp_fn(n_fft, hop_length, padded_length)(
+        S, win, env, IB, W2, T
     )
+
+
+@lru_cache(maxsize=32)
+def _istft_vjp_fn(n_fft: int, hop_length: int, padded_length: int):
+    """Kernel forward, XLA-composition backward (pallas_call has no autodiff
+    rule; the ISTFT is linear in S, so the VJP is one XLA inverse)."""
+    kern = partial(
+        _istft_fused_core, n_fft=n_fft, hop_length=hop_length,
+        padded_length=padded_length,
+    )
+
+    def xla_ref(S, win, env):
+        from ..ops._frames import overlap_add
+
+        frames = jnp.fft.irfft(S, n=n_fft, axis=-1).astype(jnp.float32)
+        y = overlap_add(frames * win, hop_length, padded_length)
+        return y / env
+
+    @jax.custom_vjp
+    def f(S, win, env, IB, W2, T):
+        return kern(S, win, env, IB, W2, T)
+
+    def fwd(S, win, env, IB, W2, T):
+        return kern(S, win, env, IB, W2, T), (S, win, env, IB, W2, T)
+
+    def bwd(res, ct):
+        S, win, env, IB, W2, T = res
+        _, vjp = jax.vjp(xla_ref, S, win, env)
+        dS, dw, de = vjp(ct)
+        return (dS, dw, de, jnp.zeros_like(IB), jnp.zeros_like(W2),
+                jnp.zeros_like(T))
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 @partial(

@@ -305,11 +305,52 @@ def melspectrogram_pallas(
     # HBM as arguments instead of baking into the executable as literals
     T = _twiddle_table(n_fft, hop_length)
     Bt = _basis_table(hop_length)
-    return _mel_radix_core(
-        y, win, fb_t, T, Bt,
-        n_fft=n_fft, hop_length=hop_length, center=center, pad_mode=pad_mode,
-        power=int(power),
+    return _mel_vjp_fn(n_fft, hop_length, center, pad_mode, int(power))(
+        y, win, fb_t, T, Bt
     )
+
+
+@lru_cache(maxsize=32)
+def _mel_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str,
+                power: int):
+    """Kernel forward with an XLA-path backward: pallas_call has no autodiff
+    rule, but the pipeline's math is plain XLA, so reverse-mode runs the
+    reference composition's VJP (one extra XLA forward per backward pass)."""
+    kern = partial(
+        _mel_radix_core, n_fft=n_fft, hop_length=hop_length, center=center,
+        pad_mode=pad_mode, power=power,
+    )
+
+    def xla_ref(y, win, fb_t):
+        from ..ops._frames import frame_signal_batched
+
+        if center:
+            pad = n_fft // 2
+            y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+        frames = frame_signal_batched(y, n_fft, hop_length) * win
+        spec = jnp.fft.rfft(frames, axis=-1)
+        p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        if power == 1:
+            p = jnp.sqrt(p)
+        return jnp.swapaxes(
+            jnp.matmul(p, fb_t, precision=MATMUL_PRECISION), 1, 2
+        )
+
+    @jax.custom_vjp
+    def f(y, win, fb_t, T, Bt):
+        return kern(y, win, fb_t, T, Bt)
+
+    def fwd(y, win, fb_t, T, Bt):
+        return kern(y, win, fb_t, T, Bt), (y, win, fb_t, T, Bt)
+
+    def bwd(res, ct):
+        y, win, fb_t, T, Bt = res
+        _, vjp = jax.vjp(xla_ref, y, win, fb_t)
+        dy, dw, df = vjp(ct)
+        return dy, dw, df, jnp.zeros_like(T), jnp.zeros_like(Bt)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 @partial(

@@ -196,10 +196,42 @@ def stft_pallas(
         )
     T = _twiddle_table(n_fft, hop_length)
     Bt = _basis_table(hop_length)
-    return _stft_radix_core(
-        y, win, T, Bt,
-        n_fft=n_fft, hop_length=hop_length, center=center, pad_mode=pad_mode,
+    return _stft_vjp_fn(n_fft, hop_length, center, pad_mode)(y, win, T, Bt)
+
+
+@lru_cache(maxsize=32)
+def _stft_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str):
+    """Kernel forward, XLA-composition backward (the STFT is linear, so the
+    VJP is one XLA transform; pallas_call itself has no autodiff rule)."""
+    kern = partial(
+        _stft_radix_core, n_fft=n_fft, hop_length=hop_length, center=center,
+        pad_mode=pad_mode,
     )
+
+    def xla_ref(y, win):
+        from ..ops._frames import frame_signal_batched
+
+        if center:
+            pad = n_fft // 2
+            y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+        frames = frame_signal_batched(y, n_fft, hop_length) * win
+        return jnp.swapaxes(jnp.fft.rfft(frames, axis=-1), 1, 2)
+
+    @jax.custom_vjp
+    def f(y, win, T, Bt):
+        return kern(y, win, T, Bt)
+
+    def fwd(y, win, T, Bt):
+        return kern(y, win, T, Bt), (y, win, T, Bt)
+
+    def bwd(res, ct):
+        y, win, T, Bt = res
+        _, vjp = jax.vjp(xla_ref, y, win)
+        dy, dw = vjp(ct)
+        return dy, dw, jnp.zeros_like(T), jnp.zeros_like(Bt)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 @partial(
