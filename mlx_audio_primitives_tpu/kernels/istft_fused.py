@@ -12,8 +12,11 @@ against numpy.fft on the host):
 
 * groups: natural bin ``k = r + C*r' + C*R2*j`` with class ``r <= C/2``;
   bins beyond ``n_bins`` are conjugate mirrors ``conj(X[N-k])`` — a static
-  XLA gather builds the ``(B, F, 2*G*128)`` group layout from the natural
-  spectrum before the kernel (sign-mask on the imaginary plane).
+  XLA gather (`stft_radix.py::group_spectrum`) builds the ``(B, F, 2*G*128)``
+  group layout from the natural spectrum before the kernel (sign-mask on the
+  imaginary plane). ``istft_pallas_grouped`` skips that gather entirely: its
+  input layout is exactly what ``stft_pallas_grouped`` emits, so spectral
+  round-trips (the Griffin-Lim loop) never leave group layout.
 * stage A (MXU): per group a complex 128-point inverse GEMM
   ``E = Xg @ IB``, ``IB[j, v] = e^{+2πi j v/128} / N`` (1/N folded in).
 * stage A2 (VPU): ``S_r[u] = Σ_r' W2_{r'}[u] * E_{r,r'}[u mod 128]`` with
@@ -40,6 +43,7 @@ from ..utils.cache import table_cache
 from ..utils.dispatch import pallas_interpret_mode
 from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, radix_shape_ok, round_up
 from .mel_fused import _coef, _omega
+from .stft_radix import _natural_maps, group_spectrum
 
 
 def istft_fused_supported(n_fft: int, hop_length: int) -> bool:
@@ -97,25 +101,6 @@ def _inv_twiddle_table(n_fft: int, hop: int) -> np.ndarray:
     return T
 
 
-@lru_cache(maxsize=8)
-def _group_maps(n_fft: int, hop: int) -> tuple[np.ndarray, np.ndarray]:
-    """(G*128,) gather index + imag sign building the group layout from the
-    natural rDFT spectrum: value = X[k] direct, conj(X[N-k]) for mirrors."""
-    C = n_fft // hop
-    R2 = hop // LANE
-    NC = C // 2 + 1
-    n_bins = n_fft // 2 + 1
-    G = NC * R2
-    kmap = np.zeros(G * LANE, np.int32)
-    sgn = np.zeros(G * LANE, np.float32)
-    for r in range(NC):
-        for rp in range(R2):
-            g = r * R2 + rp
-            k = r + C * rp + C * R2 * np.arange(LANE)
-            direct = k < n_bins
-            kmap[g * LANE : (g + 1) * LANE] = np.where(direct, k, n_fft - k)
-            sgn[g * LANE : (g + 1) * LANE] = np.where(direct, 1.0, -1.0)
-    return kmap, sgn
 
 
 def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk):
@@ -212,6 +197,32 @@ def istft_pallas(
 ) -> jax.Array:
     """(B, F, n_bins) -> (B, padded_length) normalized reconstruction,
     one kernel (inverse transform + window + overlap-add + envelope)."""
+    # frames at/after the output span contribute nothing — trim BEFORE the
+    # group-layout gather so the 2x-expanded tensor never covers them (the
+    # grouped core still trims exactly; its RT_pad never exceeds this bound)
+    RT_ub = round_up(cdiv(padded_length, hop_length), 64)
+    if S.shape[1] > RT_ub:
+        S = S[:, :RT_ub, :]
+    xg = group_spectrum(S, n_fft, hop_length)
+    return istft_pallas_grouped(
+        xg, win, env, n_fft=n_fft, hop_length=hop_length,
+        padded_length=padded_length,
+    )
+
+
+def istft_pallas_grouped(
+    xg: jax.Array,  # (B, F, 2*G*128) group-layout spectrum (reals | imags)
+    win: jax.Array,  # (n_fft,) padded synthesis window
+    env: jax.Array,  # (padded_length,) clamped squared-window envelope
+    *,
+    n_fft: int,
+    hop_length: int,
+    padded_length: int,
+) -> jax.Array:
+    """Fused ISTFT directly from the radix kernels' group layout
+    (`stft_radix.py::_group_maps`) — the exact layout
+    ``stft_pallas_grouped`` emits, so spectral round-trips (e.g. the
+    Griffin-Lim loop) skip both per-iteration layout gathers."""
     if not istft_fused_supported(n_fft, hop_length):
         raise ValueError(
             f"fused ISTFT kernel requires pow2 n_fft = C*hop, hop = R2*128 "
@@ -220,39 +231,52 @@ def istft_pallas(
     IB = _inv_base_table(n_fft)
     W2 = _inv_stage2_table(hop_length)
     T = _inv_twiddle_table(n_fft, hop_length)
-    return _istft_vjp_fn(n_fft, hop_length, padded_length)(
-        S, win, env, IB, W2, T
+    return _istft_grouped_vjp_fn(n_fft, hop_length, padded_length)(
+        xg, win, env, IB, W2, T
     )
 
 
 @lru_cache(maxsize=32)
-def _istft_vjp_fn(n_fft: int, hop_length: int, padded_length: int):
+def _istft_grouped_vjp_fn(n_fft: int, hop_length: int, padded_length: int):
     """Kernel forward, XLA-composition backward (pallas_call has no autodiff
-    rule; the ISTFT is linear in S, so the VJP is one XLA inverse)."""
+    rule; the ISTFT is linear in the spectrum, so the VJP is one XLA inverse).
+
+    The XLA reference consumes the group layout through the ``_natural_maps``
+    read (the exact inverse of the ``group_spectrum`` gather), so composing
+    this VJP with the differentiable gather in :func:`istft_pallas` yields
+    the exact natural-layout adjoint.
+    """
     kern = partial(
-        _istft_fused_core, n_fft=n_fft, hop_length=hop_length,
+        _istft_grouped_core, n_fft=n_fft, hop_length=hop_length,
         padded_length=padded_length,
     )
+    C = n_fft // hop_length
+    G = (C // 2 + 1) * (hop_length // LANE)
 
-    def xla_ref(S, win, env):
+    def xla_ref(xg, win, env):
         from ..ops._frames import overlap_add
 
+        pos, sgn = _natural_maps(n_fft, hop_length)
+        pos_d = jnp.asarray(pos)
+        S = jax.lax.complex(
+            xg[:, :, pos_d], xg[:, :, G * LANE + pos_d] * jnp.asarray(sgn)
+        )
         frames = jnp.fft.irfft(S, n=n_fft, axis=-1).astype(jnp.float32)
         y = overlap_add(frames * win, hop_length, padded_length)
         return y / env
 
     @jax.custom_vjp
-    def f(S, win, env, IB, W2, T):
-        return kern(S, win, env, IB, W2, T)
+    def f(xg, win, env, IB, W2, T):
+        return kern(xg, win, env, IB, W2, T)
 
-    def fwd(S, win, env, IB, W2, T):
-        return kern(S, win, env, IB, W2, T), (S, win, env, IB, W2, T)
+    def fwd(xg, win, env, IB, W2, T):
+        return kern(xg, win, env, IB, W2, T), (xg, win, env, IB, W2, T)
 
     def bwd(res, ct):
-        S, win, env, IB, W2, T = res
-        _, vjp = jax.vjp(xla_ref, S, win, env)
-        dS, dw, de = vjp(ct)
-        return (dS, dw, de, jnp.zeros_like(IB), jnp.zeros_like(W2),
+        xg, win, env, IB, W2, T = res
+        _, vjp = jax.vjp(xla_ref, xg, win, env)
+        dxg, dw, de = vjp(ct)
+        return (dxg, dw, de, jnp.zeros_like(IB), jnp.zeros_like(W2),
                 jnp.zeros_like(T))
 
     f.defvjp(fwd, bwd)
@@ -263,8 +287,8 @@ def _istft_vjp_fn(n_fft: int, hop_length: int, padded_length: int):
     jax.jit,
     static_argnames=("n_fft", "hop_length", "padded_length"),
 )
-def _istft_fused_core(
-    S: jax.Array,
+def _istft_grouped_core(
+    xg: jax.Array,  # (B, F, 2*G*128) group-layout spectrum
     win: jax.Array,
     env: jax.Array,
     IB: jax.Array,
@@ -275,7 +299,7 @@ def _istft_fused_core(
     hop_length: int,
     padded_length: int,
 ) -> jax.Array:
-    B, F, _ = S.shape
+    B, F, _ = xg.shape
     C = n_fft // hop_length
     R2 = hop_length // LANE
     NC = C // 2 + 1
@@ -288,19 +312,13 @@ def _istft_fused_core(
     RT_pad = round_up(RT, RB)
     FBk = round_up(RB + C - 1, SUBLANE)
 
-    # frames at/after the output span contribute nothing — trim BEFORE the
-    # group-layout gather so the 2x-expanded tensor never covers them
+    # frames at/after the output span contribute nothing
     if F > RT_pad:
-        S = S[:, :RT_pad, :]
+        xg = xg[:, :RT_pad, :]
         F = RT_pad
 
-    kmap, sgn = _group_maps(n_fft, hop_length)
-    km = jnp.asarray(kmap)
-    xr = jnp.real(S)[:, :, km]
-    xi = jnp.imag(S)[:, :, km] * jnp.asarray(sgn)
-    xg = jnp.concatenate([xr, xi], axis=-1)  # (B, F, 2*G*128)
-
     NF = RT_pad + FBk
+    # prepad C-1 zero frames; extend so every DMA window is in bounds
     xg_p = jnp.pad(xg, ((0, 0), (C - 1, NF - F - (C - 1)), (0, 0)))
 
     env_rows = jnp.pad(env, (0, RT_pad * hop_length - env.shape[0]),

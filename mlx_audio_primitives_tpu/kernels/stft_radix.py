@@ -77,6 +77,54 @@ def _natural_maps(n_fft: int, hop: int) -> tuple[np.ndarray, np.ndarray]:
     return pos, sgn
 
 
+@lru_cache(maxsize=8)
+def _group_maps(n_fft: int, hop: int) -> tuple[np.ndarray, np.ndarray]:
+    """The inverse of :func:`_natural_maps`: ``(G*128,)`` gather index + imag
+    sign building the group layout from the natural rDFT spectrum — flat
+    group position ``p = (r*R2 + r')*128 + j`` holds full-DFT bin
+    ``k = r + C*r' + C*R2*j``, read as ``X[k]`` when ``k < n_bins`` and as
+    ``conj(X[n_fft - k])`` for conjugate mirrors (``sgn = -1``)."""
+    C = n_fft // hop
+    R2 = hop // LANE
+    NC = C // 2 + 1
+    n_bins = n_fft // 2 + 1
+    G = NC * R2
+    kmap = np.zeros(G * LANE, np.int32)
+    sgn = np.zeros(G * LANE, np.float32)
+    for r in range(NC):
+        for rp in range(R2):
+            g = r * R2 + rp
+            k = r + C * rp + C * R2 * np.arange(LANE)
+            direct = k < n_bins
+            kmap[g * LANE : (g + 1) * LANE] = np.where(direct, k, n_fft - k)
+            sgn[g * LANE : (g + 1) * LANE] = np.where(direct, 1.0, -1.0)
+    return kmap, sgn
+
+
+def group_spectrum(S: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    """Natural frames-major complex spectrum ``(B, F, n_bins)`` -> the radix
+    kernels' group layout ``(B, F, 2*G*128)`` (reals | imags). Plain
+    differentiable XLA (a static gather + sign mask)."""
+    kmap, sgn = _group_maps(n_fft, hop_length)
+    km = jnp.asarray(kmap)
+    xr = jnp.real(S)[:, :, km]
+    xi = jnp.imag(S)[:, :, km] * jnp.asarray(sgn)
+    return jnp.concatenate([xr, xi], axis=-1)
+
+
+def naturalize_spectrum(xg: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    """Group layout ``(B, F, 2*G*128)`` -> natural complex ``(B, n_bins, F)``
+    (librosa convention). Plain differentiable XLA."""
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    G = (C // 2 + 1) * R2
+    pos, sgn = _natural_maps(n_fft, hop_length)
+    pos_d = jnp.asarray(pos)
+    xr = xg[:, :, pos_d]
+    xi = xg[:, :, G * LANE + pos_d] * jnp.asarray(sgn)
+    return jnp.swapaxes(jax.lax.complex(xr, xi), 1, 2)
+
+
 def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk):
     """Kernel: DMA rows -> window chunks -> radix-C -> T twiddle ->
     radix-R2 -> per-group complex 128-DFT GEMM -> write (xr | xi) blocks."""
@@ -183,6 +231,29 @@ def stft_pallas(
     pad_mode: str,
 ) -> jax.Array:
     """(B, L) -> complex64 (B, n_bins, F) STFT via the fused radix kernel."""
+    xg = stft_pallas_grouped(
+        y, win, n_fft=n_fft, hop_length=hop_length, center=center,
+        pad_mode=pad_mode,
+    )
+    return naturalize_spectrum(xg, n_fft, hop_length)
+
+
+def stft_pallas_grouped(
+    y: jax.Array,  # (B, L)
+    win: jax.Array,  # (n_fft,) padded window
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+) -> jax.Array:
+    """(B, L) -> float32 (B, F, 2*G*128) STFT in the kernel's native group
+    layout (see :func:`_group_maps`), skipping the naturalize gather.
+
+    The group layout is the exact input layout of the fused inverse kernel
+    (`istft_fused.py`), so spectral round-trips (e.g. the Griffin-Lim
+    iteration) can stay in it and avoid both per-iteration layout gathers.
+    """
     if not stft_radix_supported(n_fft, hop_length):
         raise ValueError(
             f"fused STFT kernel requires pow2 n_fft = C*hop, hop = R2*128 "
@@ -196,13 +267,21 @@ def stft_pallas(
         )
     T = _twiddle_table(n_fft, hop_length)
     Bt = _basis_table(hop_length)
-    return _stft_vjp_fn(n_fft, hop_length, center, pad_mode)(y, win, T, Bt)
+    return _stft_grouped_vjp_fn(n_fft, hop_length, center, pad_mode)(
+        y, win, T, Bt
+    )
 
 
 @lru_cache(maxsize=32)
-def _stft_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str):
+def _stft_grouped_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str):
     """Kernel forward, XLA-composition backward (the STFT is linear, so the
-    VJP is one XLA transform; pallas_call itself has no autodiff rule)."""
+    VJP is one XLA transform; pallas_call itself has no autodiff rule).
+
+    The XLA reference emits the same group layout (natural rfft + the
+    ``_group_maps`` gather), so the adjoint is exact for the grouped output;
+    composed with the differentiable :func:`naturalize_spectrum` gather it
+    also yields the exact natural-layout adjoint of :func:`stft_pallas`.
+    """
     kern = partial(
         _stft_radix_core, n_fft=n_fft, hop_length=hop_length, center=center,
         pad_mode=pad_mode,
@@ -215,7 +294,7 @@ def _stft_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str):
             pad = n_fft // 2
             y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
         frames = frame_signal_batched(y, n_fft, hop_length) * win
-        return jnp.swapaxes(jnp.fft.rfft(frames, axis=-1), 1, 2)
+        return group_spectrum(jnp.fft.rfft(frames, axis=-1), n_fft, hop_length)
 
     @jax.custom_vjp
     def f(y, win, T, Bt):
@@ -249,6 +328,7 @@ def _stft_radix_core(
     center: bool,
     pad_mode: str,
 ) -> jax.Array:
+    """Kernel driver: (B, L) -> group-layout float32 (B, F, 2*G*128)."""
     B, L = y.shape
     C = n_fft // hop_length
     R2 = hop_length // LANE
@@ -297,10 +377,4 @@ def _stft_radix_core(
         ),
         interpret=pallas_interpret_mode(),
     )(sig2d, wch, T, Bt)
-
-    pos, sgn = _natural_maps(n_fft, hop_length)
-    pos_d = jnp.asarray(pos)
-    out = out[:, :F, :]
-    xr = out[:, :, pos_d]
-    xi = out[:, :, G * LANE + pos_d] * jnp.asarray(sgn)
-    return jnp.swapaxes(jax.lax.complex(xr, xi), 1, 2)
+    return out[:, :F, :]

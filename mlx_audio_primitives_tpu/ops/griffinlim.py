@@ -87,6 +87,22 @@ def _griffinlim_core(
     env = window_envelope(win, F, hop_length, padded_length)
     env = jnp.maximum(env, WINDOW_SUM_EPSILON)
 
+    if pallas_mode == "fused":
+        # Group-layout loop: both fused kernels natively speak the radix
+        # group layout (`stft_radix.py::_group_maps`); staying in it skips
+        # the two per-iteration layout gathers (naturalize after the forward
+        # kernel, re-group before the inverse) that a natural-layout loop
+        # pays. Entry/exit conversions happen ONCE, and the magnitude
+        # projection is elementwise in any layout (mirror positions carry
+        # conjugate values, which projection onto a mirror-consistent
+        # magnitude preserves).
+        return _griffinlim_grouped_core(
+            S, angles0, win, env,
+            n_fft=n_fft, hop_length=hop_length, center=center,
+            pad_mode=pad_mode, length=length, n_iter=n_iter,
+            momentum=momentum, padded_length=padded_length, L_sig=L_sig,
+        )
+
     from .stft import _istft_core
 
     def istft_step(spec: jax.Array) -> jax.Array:
@@ -107,20 +123,6 @@ def _griffinlim_core(
         return y
 
     def stft_step(y: jax.Array) -> jax.Array:
-        if pallas_mode == "fused":
-            from ..kernels.stft_radix import stft_pallas, stft_radix_supported
-
-            if stft_radix_supported(n_fft, hop_length):
-                spec = jnp.swapaxes(
-                    stft_pallas(y, win, n_fft=n_fft, hop_length=hop_length,
-                                center=center, pad_mode=pad_mode), 1, 2
-                )
-                F2 = spec.shape[1]
-                if F2 > F:
-                    spec = spec[:, :F, :]
-                elif F2 < F:
-                    spec = jnp.pad(spec, ((0, 0), (0, F - F2), (0, 0)))
-                return spec
         if center:
             y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
         frames = frame_signal_batched(y, n_fft, hop_length) * win
@@ -159,6 +161,97 @@ def _griffinlim_core(
 
     rebuilt, _ = jax.lax.fori_loop(0, n_iter, body, (rebuilt, tprev))
     return istft_step(rebuilt)
+
+
+def _griffinlim_grouped_core(
+    S: jax.Array,  # (B, F, n_bins) magnitude
+    angles0: jax.Array,  # (B, F, n_bins) initial phase
+    win: jax.Array,
+    env: jax.Array,  # clamped squared-window envelope
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+    length: int | None,
+    n_iter: int,
+    momentum: float,
+    padded_length: int,
+    L_sig: int,
+) -> jax.Array:
+    """The Griffin-Lim loop entirely in the radix kernels' group layout.
+
+    Runs inside `_griffinlim_core`'s jit; both transforms per iteration are
+    single fused Pallas kernels with NO layout gathers in between — the
+    group-layout spectrum ``(B, F, 2*G*128)`` flows directly from
+    ``stft_pallas_grouped`` into ``istft_pallas_grouped``.
+    """
+    from ..kernels.istft_fused import istft_pallas_grouped
+    from ..kernels.stft_radix import _group_maps, stft_pallas_grouped
+
+    B, F, _n_bins = S.shape
+    pad = n_fft // 2
+    kmap, sgn = _group_maps(n_fft, hop_length)
+    km = jnp.asarray(kmap)
+    sg = jnp.asarray(sgn)
+    GL = km.shape[0]  # G*128
+
+    # grouped target magnitude: |X[N-k]| = |X[k]|, so the plain gather (no
+    # sign) is the magnitude at every group position
+    Sg = S[:, :, km]
+
+    def istft_g(xg: jax.Array) -> jax.Array:
+        y = istft_pallas_grouped(
+            xg, win, env, n_fft=n_fft, hop_length=hop_length,
+            padded_length=padded_length,
+        )
+        if center:
+            return jax.lax.slice_in_dim(y, pad, pad + L_sig, axis=1)
+        if length is not None and length < y.shape[1]:
+            return y[:, :length]
+        if length is not None and length > y.shape[1]:
+            return jnp.pad(y, ((0, 0), (0, length - y.shape[1])))
+        return y
+
+    def stft_g(y: jax.Array) -> jax.Array:
+        xg = stft_pallas_grouped(
+            y, win, n_fft=n_fft, hop_length=hop_length, center=center,
+            pad_mode=pad_mode,
+        )
+        # +/-1 frame fixup (static): crop or zero-pad the frame axis to F
+        F2 = xg.shape[1]
+        if F2 > F:
+            xg = xg[:, :F, :]
+        elif F2 < F:
+            xg = jnp.pad(xg, ((0, 0), (0, F - F2), (0, 0)))
+        return xg
+
+    def project_g(xg: jax.Array) -> jax.Array:
+        """S * xg/|xg| per group position, |xg|=0 -> real S (phase 0) — the
+        plane form of the natural-layout projection, no complex arithmetic."""
+        xr, xi = xg[:, :, :GL], xg[:, :, GL:]
+        mag = jnp.sqrt(xr * xr + xi * xi)
+        nz = mag > 0
+        safe = jnp.where(nz, mag, 1.0)
+        ur = jnp.where(nz, xr / safe, 1.0)
+        ui = jnp.where(nz, xi / safe, 0.0)
+        return jnp.concatenate([Sg * ur, Sg * ui], axis=-1)
+
+    # initial rebuilt = S * e^{i*angles}, built directly in group layout
+    # (mirror positions take the conjugate phase via the sign mask)
+    xr0 = (S * jnp.cos(angles0))[:, :, km]
+    xi0 = (S * jnp.sin(angles0))[:, :, km] * sg
+    xg0 = jnp.concatenate([xr0, xi0], axis=-1)
+
+    def body(_, carry):
+        xg, tprev = carry
+        new = project_g(stft_g(istft_g(xg)))
+        if momentum > 0:
+            return new + momentum * (new - tprev), new
+        return new, new
+
+    xg, _ = jax.lax.fori_loop(0, n_iter, body, (xg0, xg0))
+    return istft_g(xg)
 
 
 def griffinlim(
