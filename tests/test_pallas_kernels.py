@@ -204,6 +204,87 @@ class TestGriffinLimPallas:
         b = np.asarray(griffinlim(S, use_pallas=False, **kw))
         np.testing.assert_allclose(a, b, atol=1e-4)
 
+    def test_grouped_loop_momentum_zero_and_length(self, random_signal):
+        # exercises the grouped loop's momentum=0 branch and length crop/pad
+        from mlx_audio_primitives_tpu import griffinlim, stft
+
+        S = np.abs(np.asarray(stft(random_signal[:8192], n_fft=1024,
+                                   hop_length=256)))
+        kw = dict(n_iter=2, hop_length=256, momentum=0.0, length=7000,
+                  init="zeros")
+        a = np.asarray(griffinlim(S, use_pallas=True, **kw))
+        b = np.asarray(griffinlim(S, use_pallas=False, **kw))
+        assert a.shape == (7000,)
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+class TestGroupedLayout:
+    """The group-layout spectral domain shared by the fused STFT and ISTFT
+    kernels (`stft_radix.py::_group_maps`): conversions invert each other and
+    the grouped entry points match their natural-layout wrappers."""
+
+    def test_maps_are_inverse_on_consistent_spectra(self):
+        from mlx_audio_primitives_tpu.kernels.stft_radix import (
+            group_spectrum,
+            naturalize_spectrum,
+        )
+
+        rng = np.random.default_rng(11)
+        n_fft, hop = 1024, 256
+        y = rng.standard_normal((2, 10, n_fft)).astype(np.float32)
+        S = jnp.fft.rfft(jnp.asarray(y), axis=-1)  # (B, F, n_bins)
+        xg = group_spectrum(S, n_fft, hop)
+        back = naturalize_spectrum(xg, n_fft, hop)  # (B, n_bins, F)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(back, 1, 2)), np.asarray(S), atol=1e-6
+        )
+
+    def test_stft_grouped_matches_natural_wrapper(self, random_signal):
+        from mlx_audio_primitives_tpu.kernels.stft_radix import (
+            naturalize_spectrum,
+            stft_pallas,
+            stft_pallas_grouped,
+        )
+
+        n_fft, hop = 1024, 256
+        y = jnp.asarray(random_signal[:8192])[None]
+        win = _get_padded_window("hann", n_fft, n_fft)
+        kw = dict(n_fft=n_fft, hop_length=hop, center=True,
+                  pad_mode="constant")
+        xg = stft_pallas_grouped(y, win, **kw)
+        a = np.asarray(naturalize_spectrum(xg, n_fft, hop))
+        b = np.asarray(stft_pallas(y, win, **kw))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_grouped_roundtrip_reconstructs(self, random_signal):
+        # stft_pallas_grouped -> istft_pallas_grouped with NO layout
+        # conversion in between reconstructs the signal
+        from mlx_audio_primitives_tpu.kernels.istft_fused import (
+            istft_pallas_grouped,
+        )
+        from mlx_audio_primitives_tpu.kernels.stft_radix import (
+            stft_pallas_grouped,
+        )
+        from mlx_audio_primitives_tpu.ops._frames import window_envelope
+
+        n_fft, hop = 1024, 256
+        L = 8192
+        y = jnp.asarray(random_signal[:L])[None]
+        win = _get_padded_window("hann", n_fft, n_fft)
+        xg = stft_pallas_grouped(y, win, n_fft=n_fft, hop_length=hop,
+                                 center=True, pad_mode="constant")
+        F = xg.shape[1]
+        padded_length = L + n_fft
+        env = jnp.maximum(
+            window_envelope(win, F, hop, padded_length), 1e-8
+        )
+        rec = istft_pallas_grouped(
+            xg, win, env, n_fft=n_fft, hop_length=hop,
+            padded_length=padded_length,
+        )
+        rec = np.asarray(rec)[0, n_fft // 2 : n_fft // 2 + L]
+        assert np.abs(rec - random_signal[:L]).max() <= 1e-5
+
 
 class TestFusedStftPallas:
     # NOTE: comparisons run on device and fetch real scalars — complex64
