@@ -134,7 +134,9 @@ def main(argv: list[str] | None = None) -> int:
 
     results: list[BenchmarkResult] = []
     if args.suite is not None:
-        results.extend(run_all(args.suite))
+        # bare `--suite` (no names) means "all", like omitting the flag —
+        # an empty selection would otherwise silently run nothing
+        results.extend(run_all(args.suite or sorted(ALL_SUITES)))
     elif not (args.scaling or args.cache_analysis or args.memory):
         results.extend(run_all(sorted(ALL_SUITES)))
     if args.scaling:

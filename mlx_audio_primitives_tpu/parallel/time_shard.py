@@ -34,6 +34,11 @@ Two semantic modes:
   overlap-adds raw (un-normalized) shards and divides by the exact global
   envelope outside the ``shard_map``, so reconstruction equals single-device
   ``istft`` everywhere including the edges.
+
+Per-shard transform (``fft_mode``): 'matmul' (DFT-GEMM, default), 'fft'
+(XLA FFT), or 'pallas' — the fused radix kernels (`kernels/stft_radix.py`,
+`kernels/istft_fused.py`, `kernels/mel_fused.py`) dispatching INSIDE the
+shard_map body, one kernel per shard, with the halo exchange outside.
 """
 
 from __future__ import annotations
@@ -76,6 +81,21 @@ def _local_ri(y_local, win, basis, halo, t_size, n_fft, hop_length):
     ext = jnp.concatenate([y_local, _right_halo(y_local, halo, t_size)], axis=1)
     frames = frame_signal_batched(ext, n_fft, hop_length) * win
     return jnp.matmul(frames, basis, precision=MATMUL_PRECISION)
+
+
+def _resolve_sharded_mode(fft_mode: str, kernel_ok: bool) -> str:
+    """Per-shard transform selection: 'matmul' (DFT-GEMM, the default),
+    'fft' (XLA FFT), or 'pallas' (the fused radix kernels running INSIDE the
+    shard_map body — each shard dispatches one fused kernel over its local
+    samples). 'pallas' falls back to 'fft' where the radix gates fail, the
+    same graceful contract as the single-device dispatch."""
+    if fft_mode not in ("matmul", "fft", "pallas"):
+        raise ValueError(
+            f"fft_mode must be 'matmul', 'fft' or 'pallas', got {fft_mode}"
+        )
+    if fft_mode == "pallas" and not kernel_ok:
+        return "fft"
+    return fft_mode
 
 
 def _check_shardable(L: int, n_fft: int, hop_length: int, t_size: int) -> int:
@@ -159,21 +179,33 @@ def stft_time_sharded(
         _check_shardable(L, n_fft, hop_length, t_size)
     halo = n_fft - hop_length
     win = _get_padded_window(window, win_length, n_fft)
-    use_matmul = fft_mode == "matmul"
+    from ..kernels.stft_radix import stft_radix_supported
+
+    mode = _resolve_sharded_mode(
+        fft_mode, stft_radix_supported(n_fft, hop_length)
+    )
     basis = (
         forward_basis(n_fft)
-        if use_matmul
+        if mode == "matmul"
         else jnp.zeros((0,), dtype=REAL_DTYPE)  # unused placeholder
     )
     n_bins = n_fft // 2 + 1
 
     def body(y_local, win_, basis_):
-        if use_matmul:
+        if mode == "matmul":
             ri = _local_ri(y_local, win_, basis_, halo, t_size, n_fft, hop_length)
             return lax.complex(ri[..., :n_bins], ri[..., n_bins:])
         ext = jnp.concatenate(
             [y_local, _right_halo(y_local, halo, t_size)], axis=1
         )
+        if mode == "pallas":
+            # one fused radix kernel per shard over the halo-extended local
+            # samples; frame grid is exactly F_s = L_s/hop (center=False)
+            from ..kernels.stft_radix import stft_pallas
+
+            out = stft_pallas(ext, win_, n_fft=n_fft, hop_length=hop_length,
+                              center=False, pad_mode="constant")
+            return jnp.swapaxes(out, 1, 2)
         return jnp.fft.rfft(frame_signal_batched(ext, n_fft, hop_length) * win_,
                             axis=-1)
 
@@ -182,6 +214,8 @@ def stft_time_sharded(
         mesh=mesh,
         in_specs=(P(DATA_AXIS, TIME_AXIS), P(), P()),
         out_specs=P(DATA_AXIS, TIME_AXIS, None),
+        # pallas_call out_shapes carry no varying-mesh-axes metadata
+        check_vma=(mode != "pallas"),
     )(y, win, basis)
     return out if F is None else out[:, :F]
 
@@ -230,20 +264,40 @@ def istft_time_sharded(
     if halo > L_s:
         raise ValueError("halo exceeds shard length; use fewer time shards")
     win = _get_padded_window(window, win_length, n_fft)
-    use_matmul = fft_mode == "matmul"
+    from ..kernels.istft_fused import istft_fused_supported
+
+    mode = _resolve_sharded_mode(
+        fft_mode, istft_fused_supported(n_fft, hop_length)
+    )
     basis = (
-        inverse_basis(n_fft) if use_matmul else jnp.zeros((0,), dtype=REAL_DTYPE)
+        inverse_basis(n_fft)
+        if mode == "matmul"
+        else jnp.zeros((0,), dtype=REAL_DTYPE)
     )
     normalize_local = not center
 
     def body(S_local, win_, basis_):
-        if use_matmul:
-            stacked = jnp.concatenate([jnp.real(S_local), jnp.imag(S_local)], axis=-1)
-            frames = jnp.matmul(stacked, basis_, precision=MATMUL_PRECISION)
+        if mode == "pallas":
+            # one fully fused inverse kernel per shard (inverse transform +
+            # window + overlap-add); env=1 defers normalization to the
+            # existing halo-aware logic below
+            from ..kernels.istft_fused import istft_pallas
+
+            local = istft_pallas(
+                S_local, win_, jnp.ones((L_s + halo,), REAL_DTYPE),
+                n_fft=n_fft, hop_length=hop_length,
+                padded_length=L_s + halo,
+            )
         else:
-            frames = jnp.fft.irfft(S_local, n=n_fft, axis=-1)
-        fw = frames.astype(REAL_DTYPE) * win_
-        local = overlap_add(fw, hop_length, L_s + halo)  # tail spills right
+            if mode == "matmul":
+                stacked = jnp.concatenate(
+                    [jnp.real(S_local), jnp.imag(S_local)], axis=-1
+                )
+                frames = jnp.matmul(stacked, basis_, precision=MATMUL_PRECISION)
+            else:
+                frames = jnp.fft.irfft(S_local, n=n_fft, axis=-1)
+            fw = frames.astype(REAL_DTYPE) * win_
+            local = overlap_add(fw, hop_length, L_s + halo)  # tail spills right
 
         # carry my tail to the right neighbor (first shard receives zeros)
         perm = [(k, (k + 1) % t_size) for k in range(t_size)]
@@ -266,6 +320,7 @@ def istft_time_sharded(
         mesh=mesh,
         in_specs=(P(DATA_AXIS, TIME_AXIS, None), P(), P()),
         out_specs=P(DATA_AXIS, TIME_AXIS),
+        check_vma=(mode != "pallas"),
     )(S, win, basis)
     if not center:
         if length is None:
@@ -323,10 +378,14 @@ def logmel_time_sharded(
         _check_shardable(L, n_fft, hop_length, t_size)
     halo = n_fft - hop_length
     win = _get_padded_window(window, win_length, n_fft)
-    use_matmul = fft_mode == "matmul"
+    from ..kernels.mel_fused import radix_supported
+
+    mode = _resolve_sharded_mode(
+        fft_mode, radix_supported(n_fft, hop_length, n_mels)
+    )
     basis = (
         forward_basis(n_fft)
-        if use_matmul
+        if mode == "matmul"
         else jnp.zeros((0,), dtype=REAL_DTYPE)
     )
     fb_t = mel_filterbank(sr, n_fft, n_mels=n_mels).T
@@ -335,9 +394,24 @@ def logmel_time_sharded(
     from ..ops.convert import power_to_db
 
     def body(y_local, win_, basis_, fb_):
-        if use_matmul:
+        if mode == "matmul":
             ri = _local_ri(y_local, win_, basis_, halo, t_size, n_fft, hop_length)
             pow2 = ri[..., :n_bins] ** 2 + ri[..., n_bins:] ** 2
+            mel = jnp.matmul(pow2, fb_, precision=MATMUL_PRECISION)
+        elif mode == "pallas":
+            # the whole per-shard pipeline (frame, window, DFT, |.|^2, mel
+            # GEMM) is ONE fused kernel dispatch
+            from ..kernels.mel_fused import melspectrogram_pallas
+
+            ext = jnp.concatenate(
+                [y_local, _right_halo(y_local, halo, t_size)], axis=1
+            )
+            mel = jnp.swapaxes(
+                melspectrogram_pallas(
+                    ext, win_, fb_, n_fft=n_fft, hop_length=hop_length,
+                    center=False, pad_mode="constant",
+                ), 1, 2,
+            )
         else:
             ext = jnp.concatenate(
                 [y_local, _right_halo(y_local, halo, t_size)], axis=1
@@ -346,7 +420,7 @@ def logmel_time_sharded(
                 frame_signal_batched(ext, n_fft, hop_length) * win_, axis=-1
             )
             pow2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        mel = jnp.matmul(pow2, fb_, precision=MATMUL_PRECISION)
+            mel = jnp.matmul(pow2, fb_, precision=MATMUL_PRECISION)
         return power_to_db(mel, top_db=None)
 
     out = shard_map(
@@ -354,5 +428,6 @@ def logmel_time_sharded(
         mesh=mesh,
         in_specs=(P(DATA_AXIS, TIME_AXIS), P(), P(), P()),
         out_specs=P(DATA_AXIS, TIME_AXIS, None),
+        check_vma=(mode != "pallas"),
     )(y, win, basis, fb_t)
     return out if F is None else out[:, :F]

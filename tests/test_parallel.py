@@ -108,8 +108,10 @@ class TestCenteredTimeSharding:
     LENGTHS = [10007, 4 * 8 * N_FFT]
 
     @pytest.mark.parametrize("L", LENGTHS)
-    @pytest.mark.parametrize("fft_mode", ["matmul", "fft"])
+    @pytest.mark.parametrize("fft_mode", ["matmul", "fft", "pallas"])
     def test_stft_equals_single_device(self, mesh24, L, fft_mode):
+        # at N_FFT=256/HOP=64 the radix gates fail, so fft_mode="pallas"
+        # exercises the graceful fallback to the XLA FFT branch
         rng = np.random.default_rng(7)
         y = rng.standard_normal((4, L)).astype(np.float32)
         out = np.asarray(
@@ -131,7 +133,7 @@ class TestCenteredTimeSharding:
         ref = np.asarray(stft(y, **kw)).swapaxes(1, 2)
         np.testing.assert_allclose(out, ref, atol=2e-4)
 
-    @pytest.mark.parametrize("fft_mode", ["matmul", "fft"])
+    @pytest.mark.parametrize("fft_mode", ["matmul", "fft", "pallas"])
     def test_istft_equals_single_device(self, mesh24, fft_mode):
         from mlx_audio_primitives_tpu import istft
 
@@ -183,6 +185,59 @@ class TestCenteredTimeSharding:
         ref = np.asarray(power_to_db(mel, top_db=None)).swapaxes(1, 2)
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+class TestShardedPallasKernels:
+    """fft_mode='pallas': the fused radix kernels dispatch INSIDE the
+    shard_map bodies (one kernel per shard, interpret mode on CPU). Uses a
+    radix-supported shape (1024/256) so the kernels genuinely engage."""
+
+    NF, H = 1024, 256
+
+    def test_stft_pallas_sharded_equals_single_device(self, mesh24):
+        rng = np.random.default_rng(21)
+        y = rng.standard_normal((2, 9001)).astype(np.float32)
+        out = np.asarray(
+            stft_time_sharded(y, mesh24, n_fft=self.NF, hop_length=self.H,
+                              center=True, fft_mode="pallas")
+        )
+        ref = np.asarray(
+            stft(y, n_fft=self.NF, hop_length=self.H, center=True)
+        ).swapaxes(1, 2)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    def test_istft_pallas_sharded_roundtrip(self, mesh24):
+        rng = np.random.default_rng(22)
+        L = 9001
+        y = rng.standard_normal((2, L)).astype(np.float32)
+        S = stft(y, n_fft=self.NF, hop_length=self.H, center=True)
+        rec = np.asarray(
+            istft_time_sharded(
+                jnp.swapaxes(jnp.asarray(S), 1, 2), mesh24, n_fft=self.NF,
+                hop_length=self.H, center=True, length=L, fft_mode="pallas",
+            )
+        )
+        np.testing.assert_allclose(rec, y, atol=1e-3)
+
+    def test_logmel_pallas_sharded_matches_fft_mode(self, mesh24):
+        rng = np.random.default_rng(23)
+        y = rng.standard_normal((2, 9001)).astype(np.float32)
+        a = np.asarray(
+            logmel_time_sharded(y, mesh24, n_fft=self.NF, hop_length=self.H,
+                                n_mels=32, center=True, fft_mode="pallas")
+        )
+        b = np.asarray(
+            logmel_time_sharded(y, mesh24, n_fft=self.NF, hop_length=self.H,
+                                n_mels=32, center=True, fft_mode="fft")
+        )
+        np.testing.assert_allclose(a, b, atol=1e-4 * max(1.0, np.abs(b).max()))
+
+    def test_invalid_fft_mode_rejected(self, mesh24):
+        y = np.zeros((2, 4096), np.float32)
+        with pytest.raises(ValueError, match="fft_mode"):
+            stft_time_sharded(y, mesh24, n_fft=self.NF, hop_length=self.H,
+                              center=True, fft_mode="bogus")
 
 
 class TestTrainStep:
