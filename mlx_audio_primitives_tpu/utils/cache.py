@@ -79,6 +79,13 @@ class TableCache:
         # cache a tracer and leak it into later traces.
         with jax.ensure_compile_time_eval():
             dev = jax.device_put(np.asarray(host).astype(self.dtype))
+        if isinstance(dev, jax.core.Tracer):
+            # some trace contexts (shard_map bodies) are NOT escaped by
+            # ensure_compile_time_eval: the table comes back as a tracer of
+            # the enclosing trace. It is still a correct constant for THIS
+            # trace, but caching it would poison every later trace — return
+            # it uncached (the first concrete call populates the cache).
+            return dev
         if len(self._device_cache) >= self._maxsize and self._order:
             oldest = self._order.pop(0)
             self._device_cache.pop(oldest, None)

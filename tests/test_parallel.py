@@ -260,6 +260,36 @@ class TestTrainStep:
         assert losses[-1] < losses[0]
         assert all(np.isfinite(losses))
 
+    def test_pallas_frontend_trains_identically(self, mesh24):
+        # the fused mel kernel as the per-shard frontend (fft_mode='pallas',
+        # radix-supported shape): the whole 5-step training trajectory must
+        # match the XLA-FFT frontend branch (features agree to fp32 noise,
+        # so the identical-seed trajectories coincide)
+        n_fft, hop, n_mels, n_classes = 1024, 256, 32, 5
+        L = 4 * 8 * n_fft
+        rng = np.random.default_rng(2)
+        y = jnp.asarray(rng.standard_normal((4, L)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, n_classes, size=(4,)).astype(np.int32))
+        ys = jax.device_put(y, batch_time_sharding(mesh24))
+        trajectories = {}
+        for mode in ("fft", "pallas"):
+            params = init_classifier_params(n_mels, n_classes)
+            step = jax.jit(
+                make_sharded_train_step(
+                    mesh24, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+                    n_classes=n_classes, lr=0.005, fft_mode=mode,
+                )
+            )
+            losses = []
+            for _ in range(5):
+                params, loss = step(params, ys, labels)
+                losses.append(float(loss))
+            assert all(np.isfinite(losses)), (mode, losses)
+            trajectories[mode] = losses
+        np.testing.assert_allclose(
+            trajectories["pallas"], trajectories["fft"], rtol=1e-4
+        )
+
 
 class TestDataParallelHelper:
     def test_data_parallel_wraps_and_matches(self):

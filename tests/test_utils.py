@@ -65,6 +65,33 @@ class TestTableCache:
         assert builder(1) is a1          # still resident (no rebuild)
         assert builder.stats["entries"] == 2
 
+    def test_first_touch_inside_shard_map_does_not_poison(self):
+        """Regression: ensure_compile_time_eval cannot escape a shard_map
+        trace, so a table first requested inside one came back as a
+        ShardMapTracer — and used to be CACHED, poisoning every later trace
+        with a leaked tracer. The tracer must be returned uncached."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from mlx_audio_primitives_tpu.parallel.mesh import make_mesh
+
+        @table_cache("test_shardmap_touch", maxsize=4)
+        def builder(n):
+            return np.arange(n, dtype=np.float64)
+
+        mesh = make_mesh(n_data=2, n_time=4)
+
+        def body(x):
+            return x + builder(5)[0]
+
+        x = np.zeros((2, 4), np.float32)
+        jax.shard_map(body, mesh=mesh, in_specs=P("data", "time"),
+                      out_specs=P("data", "time"))(x)
+        assert builder.stats["entries"] == 0  # tracer was NOT cached
+        out = builder(5)  # concrete call populates the cache
+        assert not isinstance(out, jax.core.Tracer)
+        assert builder.stats["entries"] == 1
+
     def test_host_tier(self):
         fb = mel_filterbank(22050, 1024, n_mels=32)
         from mlx_audio_primitives_tpu.ops.mel import _mel_filterbank_table
