@@ -101,6 +101,34 @@ class TestTableCache:
         np.testing.assert_allclose(np.asarray(fb), host.astype(np.float32))
 
 
+class TestWarmup:
+    def test_warmup_compiles_requested_ops(self):
+        from mlx_audio_primitives_tpu.utils import warmup
+
+        times = warmup(signal_lengths=(4096,), batch_sizes=(1, 2),
+                       n_fft=512, hop_length=128, n_mels=16)
+        # 4 ops x 2 batch sizes x 1 length
+        assert len(times) == 8
+        assert all(t >= 0 for t in times.values())
+        assert "stft b=2 len=4096" in times
+
+    def test_warmup_rejects_unknown_op(self):
+        from mlx_audio_primitives_tpu.utils import warmup
+
+        with pytest.raises(ValueError, match="unknown warmup ops"):
+            warmup(ops=("stft", "bogus"))
+
+    def test_persistent_cache_config(self, tmp_path):
+        import jax
+
+        from mlx_audio_primitives_tpu.utils import (
+            enable_persistent_compilation_cache,
+        )
+
+        enable_persistent_compilation_cache(str(tmp_path))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+
+
 class TestProfiler:
     def setup_method(self):
         clear_profiling()
