@@ -2,8 +2,8 @@
 
 Every op in the public API is independent per batch element (SURVEY.md §2.3),
 so multi-chip batch parallelism needs no collectives at all: place the batch
-axis over the 'data' mesh axis and jit — XLA partitions the whole fused
-pipeline. These helpers wrap that pattern.
+axis over the 'data' mesh axis and run the op per shard. These helpers wrap
+that pattern.
 """
 
 from __future__ import annotations
@@ -11,9 +11,11 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
-from jax.sharding import Mesh
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
-from .mesh import batch_sharding
+from .mesh import DATA_AXIS, batch_sharding
 
 
 def shard_batch(arr: Any, mesh: Mesh) -> jax.Array:
@@ -25,18 +27,40 @@ def shard_batch(arr: Any, mesh: Mesh) -> jax.Array:
 
 
 def data_parallel(fn: Callable, mesh: Mesh) -> Callable:
-    """Wrap an eager batched op so its inputs are batch-sharded on ``mesh``.
+    """Wrap a batched op so it runs once per 'data' shard on ``mesh``.
 
-    ``fn`` must accept/return arrays with a leading batch axis. The returned
-    callable shards positional array arguments and relies on XLA's sharding
-    propagation through the jitted op.
+    ``fn`` must accept/return arrays with a leading batch axis (the batch
+    must divide the 'data' axis size). Each shard calls ``fn`` on its local
+    batch inside ``shard_map`` — batch elements are independent, so no
+    collectives appear, and any Pallas fast path stays a single-device
+    kernel per chip (custom kernels are device-local by construction under
+    shard_map; automatic SPMD partitioning of a custom call is neither
+    needed nor relied upon). Non-array positional args and all kwargs pass
+    through unchanged.
     """
 
     def wrapper(*args, **kwargs):
-        sharded = [
-            shard_batch(a, mesh) if hasattr(a, "ndim") and a.ndim >= 1 else a
-            for a in args
+        arr_idx = [
+            i for i, a in enumerate(args)
+            if hasattr(a, "ndim") and getattr(a, "ndim", 0) >= 1
         ]
-        return fn(*sharded, **kwargs)
+        arrs = tuple(jnp.asarray(args[i]) for i in arr_idx)
+        if not arrs:
+            return fn(*args, **kwargs)
+
+        def body(*shards):
+            full = list(args)
+            for i, s in zip(arr_idx, shards):
+                full[i] = s
+            return fn(*full, **kwargs)
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS),) * len(arrs),
+            out_specs=P(DATA_AXIS),
+            # pallas_call out_shapes carry no varying-mesh-axes metadata
+            check_vma=False,
+        )(*arrs)
 
     return wrapper

@@ -308,3 +308,27 @@ class TestDataParallelHelper:
         ref = melspectrogram(y, n_fft=256, hop_length=64, n_mels=16)
         assert len(out.sharding.device_set) == 8
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+    def test_data_parallel_with_fused_kernel(self):
+        # the fused mel kernel (radix-supported shape, forced on) runs as a
+        # per-shard device-local kernel inside data_parallel's shard_map
+        import numpy as np
+
+        from mlx_audio_primitives_tpu import melspectrogram
+        from mlx_audio_primitives_tpu.parallel import data_parallel, make_mesh
+
+        mesh = make_mesh(n_data=8, n_time=1)
+        fn = data_parallel(
+            lambda y: melspectrogram(y, n_fft=1024, hop_length=256,
+                                     n_mels=32, use_pallas=True),
+            mesh,
+        )
+        y = np.random.default_rng(1).standard_normal((8, 8192)).astype(np.float32)
+        out = fn(y)
+        ref = melspectrogram(y, n_fft=1024, hop_length=256, n_mels=32,
+                             use_pallas=False)
+        assert len(out.sharding.device_set) == 8
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref),
+            rtol=1e-4, atol=1e-4 * float(np.abs(np.asarray(ref)).max()),
+        )
