@@ -71,6 +71,7 @@ def run_all(suite_names: list[str]) -> list[BenchmarkResult]:
     from .suites import ALL_SUITES
 
     results: list[BenchmarkResult] = []
+    consecutive_runtime_failures = 0
     for name in suite_names:
         fn = ALL_SUITES.get(name)
         if fn is None:
@@ -79,8 +80,20 @@ def run_all(suite_names: list[str]) -> list[BenchmarkResult]:
             continue
         try:
             results.extend(fn())
+            consecutive_runtime_failures = 0
         except Exception as e:  # degrade gracefully (reference run.py:444-447)
             print(f"suite {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            # a dead device session (remote attachments drop) fails every
+            # subsequent suite identically — stop wasting the run
+            if "RuntimeError" in type(e).__name__:
+                consecutive_runtime_failures += 1
+                if consecutive_runtime_failures >= 2:
+                    print(
+                        "two consecutive backend runtime failures — device "
+                        "session looks dead; aborting remaining suites",
+                        file=sys.stderr,
+                    )
+                    break
     return results
 
 
@@ -132,13 +145,15 @@ def main(argv: list[str] | None = None) -> int:
 
     from .suites import ALL_SUITES
 
+    from .suites import SUITE_ORDER
+
     results: list[BenchmarkResult] = []
     if args.suite is not None:
         # bare `--suite` (no names) means "all", like omitting the flag —
         # an empty selection would otherwise silently run nothing
-        results.extend(run_all(args.suite or sorted(ALL_SUITES)))
+        results.extend(run_all(args.suite or SUITE_ORDER))
     elif not (args.scaling or args.cache_analysis or args.memory):
-        results.extend(run_all(sorted(ALL_SUITES)))
+        results.extend(run_all(SUITE_ORDER))
     if args.scaling:
         from .scaling import run_scaling
 

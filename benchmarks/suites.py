@@ -403,6 +403,10 @@ def bench_fallback() -> list[BenchmarkResult]:
     return run_fallback()
 
 
+# Insertion order = execution order for "run everything": cheap, headline
+# suites first, the compile-heavy comparison suites (pallas, fallback) last —
+# a flaky remote TPU attachment that drops mid-run then still yields the
+# core numbers instead of burning the session on forced-fallback sweeps.
 ALL_SUITES = {
     "headline": bench_headline,
     "stft": bench_stft,
@@ -417,3 +421,4 @@ ALL_SUITES = {
     "pallas": bench_pallas,
     "fallback": bench_fallback,
 }
+SUITE_ORDER = list(ALL_SUITES)
