@@ -179,7 +179,9 @@ def rfft_len(x: jax.Array, n: int) -> jax.Array:
     """rfft of real input already of length ``n`` -> (..., n//2+1).
 
     Dispatch: pow2 -> pair-packed complex FFT (or plain rfft for single
-    rows); n <= 4096 -> DFT-GEMM; else Bluestein.
+    rows); n <= 4096 -> DFT-GEMM; balanced composite n -> two-factor GEMM
+    FFT (`sixstep.fft_general` — e.g. 44100 = 210*210, ~7x Bluestein on
+    v5e); else Bluestein.
     """
     if n & (n - 1) == 0:
         rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
@@ -188,6 +190,10 @@ def rfft_len(x: jax.Array, n: int) -> jax.Array:
         return jnp.fft.rfft(x, axis=-1)
     if n <= _DFT_MATMUL_MAX:
         return rdft_matmul(x, n)
+    from .sixstep import general_supported, rfft_general
+
+    if general_supported(n):
+        return rfft_general(x, n)
     return fft_bluestein(x, n=n)[..., : n // 2 + 1]
 
 
@@ -231,6 +237,10 @@ def irfft_len(X: jax.Array, n: int) -> jax.Array:
         return jnp.fft.irfft(X, n=n, axis=-1)
     if n <= _DFT_MATMUL_MAX:
         return irdft_matmul(X, n)
+    from .sixstep import general_supported, irfft_general
+
+    if general_supported(n):
+        return irfft_general(X, n)
     # hermitian extension then complex inverse Bluestein
     tail = jnp.conj(X[..., 1 : (n + 1) // 2][..., ::-1])
     full = jnp.concatenate([X, tail], axis=-1)

@@ -67,6 +67,79 @@ def supported(n: int) -> bool:
     return n & (n - 1) == 0 and 4 <= n <= _MAX_N
 
 
+# ---------------------------------------------------------------------------
+# Generalized two-factor GEMM FFT for composite (non-pow2) lengths.
+#
+# Same decomposition as the pow2 six-step, but for ANY balanced n = N1*N2
+# the twiddle stays a separate (N1, N2) elementwise table instead of being
+# folded into stage 2: the folded tensor is (N1, N2, N2) — 74 MB of HBM
+# traffic per call at n = 44100 — while the unfolded pass touches only the
+# (rows, n) intermediate. Serves exact-length transforms (scipy-compatible
+# FFT resampling) far faster than Bluestein's three pow2-of-2n FFTs.
+# ---------------------------------------------------------------------------
+
+_GENERAL_N1_MAX = 1024  # stage-GEMM width cap (keeps tables/GEMMs MXU-sized)
+
+
+@lru_cache(maxsize=64)
+def _split_general(n: int) -> tuple[int, int] | None:
+    """Most balanced factorization n = N1*N2 with N1 >= N2 >= 2."""
+    d = int(np.sqrt(n))
+    while d >= 2:
+        if n % d == 0:
+            return n // d, d
+        d -= 1
+    return None
+
+
+def general_supported(n: int) -> bool:
+    """Composite n with a balanced-enough factorization for stage GEMMs."""
+    if n < 4:
+        return False
+    sp = _split_general(n)
+    return sp is not None and sp[0] <= _GENERAL_N1_MAX
+
+
+@lru_cache(maxsize=16)
+def _tables_general(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(W1, W2, Tw): stage DFT matrices and the (N1, N2) inter-stage twiddle,
+    all with exact integer-mod angle reduction (host f64 -> complex64)."""
+    N1, N2 = _split_general(n)
+
+    def tw(i, j, M):
+        mods = np.mod(np.outer(i, j), M).astype(np.float64)
+        return np.exp(-2j * np.pi * mods / M).astype(np.complex64)
+
+    W1 = tw(np.arange(N1), np.arange(N1), N1)
+    W2 = tw(np.arange(N2), np.arange(N2), N2)
+    Tw = tw(np.arange(N1), np.arange(N2), n)
+    return W1, W2, Tw
+
+
+@partial(jax.jit, static_argnames=("n",))
+def fft_general(x: jax.Array, *, n: int) -> jax.Array:
+    """Complex DFT over the last axis for balanced composite n.
+
+    Runs at HIGHEST matmul precision: this path serves the accuracy-first
+    ``rfft_len`` dispatch (exact-length resampling), not the throughput
+    ``fft_mode='sixstep'`` knob.
+    """
+    N1, N2 = _split_general(n)
+    W1, W2, Tw = _tables_general(n)
+    lead = x.shape[:-1]
+    xm = x.reshape(-1, N1, N2)
+    prec = jax.lax.Precision.HIGHEST
+    A = jnp.einsum("rab,ak->rkb", xm, W1, precision=prec)
+    A = A * Tw[None]
+    C = jnp.einsum("rkb,bm->rkm", A, W2, precision=prec)
+    return jnp.transpose(C, (0, 2, 1)).reshape(*lead, n)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def ifft_general(X: jax.Array, *, n: int) -> jax.Array:
+    return jnp.conj(fft_general(jnp.conj(X), n=n)) / n
+
+
 @partial(jax.jit, static_argnames=("n",))
 def fft_sixstep(x: jax.Array, *, n: int) -> jax.Array:
     """Complex DFT over the last axis via MXU matmuls (pow2 n <= 16384)."""
@@ -84,8 +157,8 @@ def ifft_sixstep(X: jax.Array, *, n: int) -> jax.Array:
     return jnp.conj(fft_sixstep(jnp.conj(X), n=n)) / n
 
 
-def rfft_sixstep(x: jax.Array, n: int) -> jax.Array:
-    """rfft via row pairing + six-step complex FFT: (..., n) -> (..., n//2+1)."""
+def _rfft_paired(cfft, x: jax.Array, n: int) -> jax.Array:
+    """rfft via row pairing + a complex FFT callable: (..., n) -> (..., bins)."""
     *lead, _ = x.shape
     rows = int(np.prod(lead)) if lead else 1
     flat = x.reshape(rows, n)
@@ -93,7 +166,7 @@ def rfft_sixstep(x: jax.Array, n: int) -> jax.Array:
     if odd:
         flat = jnp.pad(flat, ((0, 1), (0, 0)))
     z = jax.lax.complex(flat[0::2], flat[1::2])
-    Z = fft_sixstep(z, n=n)
+    Z = cfft(z)
     Zf = jnp.concatenate([Z[..., :1], Z[..., :0:-1]], axis=-1)
     A = 0.5 * (Z + jnp.conj(Zf))
     B = jax.lax.complex(jnp.imag(Z) + jnp.imag(Zf), jnp.real(Zf) - jnp.real(Z)) * 0.5
@@ -102,6 +175,16 @@ def rfft_sixstep(x: jax.Array, n: int) -> jax.Array:
     if odd:
         out = out[:rows]
     return out.reshape(*lead, n_bins)
+
+
+def rfft_sixstep(x: jax.Array, n: int) -> jax.Array:
+    """rfft via row pairing + six-step complex FFT: (..., n) -> (..., n//2+1)."""
+    return _rfft_paired(lambda z: fft_sixstep(z, n=n), x, n)
+
+
+def rfft_general(x: jax.Array, n: int) -> jax.Array:
+    """rfft via row pairing + the composite-length GEMM FFT."""
+    return _rfft_paired(lambda z: fft_general(z, n=n), x, n)
 
 
 def rfft_power_sixstep(x: jax.Array, n: int) -> jax.Array:
@@ -129,8 +212,8 @@ def rfft_power_sixstep(x: jax.Array, n: int) -> jax.Array:
     return out.reshape(*lead, n // 2 + 1)
 
 
-def irfft_sixstep(X: jax.Array, n: int) -> jax.Array:
-    """irfft via spectrum pairing + inverse six-step: (..., n//2+1) -> (..., n)."""
+def _irfft_paired(icfft, X: jax.Array, n: int) -> jax.Array:
+    """irfft via spectrum pairing + a complex inverse-FFT callable."""
     *lead, n_bins = X.shape
     rows = int(np.prod(lead)) if lead else 1
     flat = X.reshape(rows, n_bins)
@@ -143,8 +226,18 @@ def irfft_sixstep(X: jax.Array, n: int) -> jax.Array:
     tail = jnp.conj(flat[:, 1 : (n + 1) // 2][:, ::-1])
     full = jnp.concatenate([flat, tail], axis=-1)
     Z = full[0::2] + jax.lax.complex(-jnp.imag(full[1::2]), jnp.real(full[1::2]))
-    z = ifft_sixstep(Z, n=n)
+    z = icfft(Z)
     out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=1).reshape(-1, n)
     if odd:
         out = out[:rows]
     return out.reshape(*lead, n)
+
+
+def irfft_sixstep(X: jax.Array, n: int) -> jax.Array:
+    """irfft via spectrum pairing + inverse six-step: (..., n//2+1) -> (..., n)."""
+    return _irfft_paired(lambda Z: ifft_sixstep(Z, n=n), X, n)
+
+
+def irfft_general(X: jax.Array, n: int) -> jax.Array:
+    """irfft via spectrum pairing + the composite-length inverse GEMM FFT."""
+    return _irfft_paired(lambda Z: ifft_general(Z, n=n), X, n)

@@ -238,6 +238,54 @@ class TestSixStep:
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+class TestGeneralGemmFFT:
+    """Two-factor GEMM FFT for balanced composite lengths (sixstep.py)."""
+
+    @pytest.mark.parametrize("n", [6000, 11025, 44100, 88200])
+    def test_rfft_matches_numpy(self, n):
+        from mlx_audio_primitives_tpu.kernels.sixstep import rfft_general
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((3, n)).astype(np.float32)
+        S = np.asarray(rfft_general(jnp.asarray(x), n))
+        ref = np.fft.rfft(x)
+        assert np.abs(S - ref).max() / np.abs(ref).max() < 2e-6
+
+    @pytest.mark.parametrize("n", [6000, 11025, 44100])
+    def test_rfft_irfft_roundtrip(self, n):
+        from mlx_audio_primitives_tpu.kernels.sixstep import (
+            irfft_general,
+            rfft_general,
+        )
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        back = np.asarray(irfft_general(rfft_general(jnp.asarray(x), n), n))
+        assert np.abs(back - x).max() < 1e-5
+
+    def test_cfft_matches_numpy(self):
+        from mlx_audio_primitives_tpu.kernels.sixstep import fft_general
+
+        rng = np.random.default_rng(2)
+        z = (rng.standard_normal((2, 6000))
+             + 1j * rng.standard_normal((2, 6000))).astype(np.complex64)
+        F = np.asarray(fft_general(jnp.asarray(z), n=6000))
+        ref = np.fft.fft(z)
+        assert np.abs(F - ref).max() / np.abs(ref).max() < 2e-6
+
+    def test_single_row_and_odd_rows(self):
+        from mlx_audio_primitives_tpu.kernels.sixstep import rfft_general
+
+        rng = np.random.default_rng(3)
+        x1 = rng.standard_normal(6000).astype(np.float32)
+        S1 = np.asarray(rfft_general(jnp.asarray(x1), 6000))
+        ref1 = np.fft.rfft(x1)
+        assert np.abs(S1 - ref1).max() / np.abs(ref1).max() < 2e-6
+        x3 = rng.standard_normal((3, 6000)).astype(np.float32)
+        S3 = np.asarray(rfft_general(jnp.asarray(x3), 6000))
+        assert np.abs(S3 - np.fft.rfft(x3)).max() / np.abs(np.fft.rfft(x3)).max() < 2e-6
+
+
 class TestDispatchPolicy:
     """Assert WHICH transform path dispatch selects (not just numerics)."""
 
@@ -262,7 +310,9 @@ class TestDispatchPolicy:
         bl.rfft_len(jnp.zeros((2, 441), jnp.float32), 441)
         assert called.get("gemm")
 
-    def test_rfft_len_large_nonpow2_uses_bluestein(self, monkeypatch):
+    def test_rfft_len_large_prime_uses_bluestein(self, monkeypatch):
+        # 9973 is prime: no balanced factorization, so the general GEMM FFT
+        # cannot apply and Bluestein is the only exact-length path
         import mlx_audio_primitives_tpu.kernels.bluestein as bl
 
         called = {}
@@ -273,8 +323,32 @@ class TestDispatchPolicy:
             return orig(x, n=n)
 
         monkeypatch.setattr(bl, "fft_bluestein", spy)
-        bl.rfft_len(jnp.zeros((1, 44100), jnp.float32), 44100)
+        bl.rfft_len(jnp.zeros((1, 9973), jnp.float32), 9973)
         assert called.get("bluestein")
+
+    def test_rfft_len_balanced_composite_uses_general(self, monkeypatch):
+        # 44100 = 210*210: the two-factor GEMM FFT beats Bluestein 2.3x
+        import mlx_audio_primitives_tpu.kernels.bluestein as bl
+        import mlx_audio_primitives_tpu.kernels.sixstep as ss
+
+        called = {}
+        orig = ss.rfft_general
+        monkeypatch.setattr(ss, "rfft_general",
+                            lambda x, n: called.setdefault("general", True)
+                            or orig(x, n))
+        bl.rfft_len(jnp.zeros((2, 44100), jnp.float32), 44100)
+        assert called.get("general")
+
+    def test_general_supported_contract(self):
+        from mlx_audio_primitives_tpu.kernels.sixstep import (
+            _split_general,
+            general_supported,
+        )
+
+        assert general_supported(44100) and _split_general(44100) == (210, 210)
+        assert general_supported(88200) and general_supported(11025)
+        assert not general_supported(9973)        # prime
+        assert not general_supported(2 * 5003)    # 2 x prime: too skewed
 
     def test_sixstep_supported_contract(self):
         from mlx_audio_primitives_tpu.kernels.sixstep import supported
