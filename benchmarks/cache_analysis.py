@@ -77,6 +77,9 @@ def per_table_cold_warm() -> list[BenchmarkResult]:
     out = []
     caches = {c.name: c for c in list(_CACHE_REGISTRY)}
     for name, cache in sorted(caches.items()):
+        if name.startswith("test_"):
+            # ad-hoc caches registered by unit tests, not library tables
+            continue
         cases = _TABLE_CASES.get(name)
         if not cases:
             out.append(

@@ -84,7 +84,9 @@ def run_all(suite_names: list[str]) -> list[BenchmarkResult]:
         except Exception as e:  # degrade gracefully (reference run.py:444-447)
             print(f"suite {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             # a dead device session (remote attachments drop) fails every
-            # subsequent suite identically — stop wasting the run
+            # subsequent suite identically — stop wasting the run. Only
+            # runtime errors count, and only CONSECUTIVE ones (any other
+            # failure kind proves the session still executes work).
             if "RuntimeError" in type(e).__name__:
                 consecutive_runtime_failures += 1
                 if consecutive_runtime_failures >= 2:
@@ -94,6 +96,8 @@ def run_all(suite_names: list[str]) -> list[BenchmarkResult]:
                         file=sys.stderr,
                     )
                     break
+            else:
+                consecutive_runtime_failures = 0
     return results
 
 
@@ -142,8 +146,6 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     print(format_platform_header(), file=sys.stderr)
-
-    from .suites import ALL_SUITES
 
     from .suites import SUITE_ORDER
 

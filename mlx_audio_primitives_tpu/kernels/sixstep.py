@@ -44,6 +44,13 @@ def _split(n: int) -> tuple[int, int]:
     return 1 << k1, 1 << (k - k1)
 
 
+def _twiddle(i: np.ndarray, j: np.ndarray, M: int) -> np.ndarray:
+    """``exp(-2j*pi*(i*j mod M)/M)`` with exact integer-mod angle reduction
+    (naive f64 evaluation of i*j loses phase accuracy by i*j ~ 1e8)."""
+    mods = np.mod(np.outer(i, j), M).astype(np.float64)
+    return np.exp(-2j * np.pi * mods / M)
+
+
 @lru_cache(maxsize=16)
 def _tables(n: int) -> tuple[np.ndarray, np.ndarray]:
     """(W1, M): the stage-1 DFT matrix and the twiddle-FOLDED stage-2 tensor
@@ -51,14 +58,9 @@ def _tables(n: int) -> tuple[np.ndarray, np.ndarray]:
     a batched stage-2 contraction removes an entire elementwise pass over the
     intermediate (0.117 -> 0.103 ms for (1408, 2048) on v5e)."""
     N1, N2 = _split(n)
-
-    def tw(i, j, M):
-        mods = np.mod(np.outer(i, j), M).astype(np.float64)
-        return np.exp(-2j * np.pi * mods / M)
-
-    W1 = tw(np.arange(N1), np.arange(N1), N1).astype(np.complex64)
-    W2 = tw(np.arange(N2), np.arange(N2), N2)
-    Tw = tw(np.arange(N1), np.arange(N2), n)
+    W1 = _twiddle(np.arange(N1), np.arange(N1), N1).astype(np.complex64)
+    W2 = _twiddle(np.arange(N2), np.arange(N2), N2)
+    Tw = _twiddle(np.arange(N1), np.arange(N2), n)
     M = (Tw[:, :, None] * W2[None, :, :]).astype(np.complex64)
     return W1, M
 
@@ -105,14 +107,9 @@ def _tables_general(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(W1, W2, Tw): stage DFT matrices and the (N1, N2) inter-stage twiddle,
     all with exact integer-mod angle reduction (host f64 -> complex64)."""
     N1, N2 = _split_general(n)
-
-    def tw(i, j, M):
-        mods = np.mod(np.outer(i, j), M).astype(np.float64)
-        return np.exp(-2j * np.pi * mods / M).astype(np.complex64)
-
-    W1 = tw(np.arange(N1), np.arange(N1), N1)
-    W2 = tw(np.arange(N2), np.arange(N2), N2)
-    Tw = tw(np.arange(N1), np.arange(N2), n)
+    W1 = _twiddle(np.arange(N1), np.arange(N1), N1).astype(np.complex64)
+    W2 = _twiddle(np.arange(N2), np.arange(N2), N2).astype(np.complex64)
+    Tw = _twiddle(np.arange(N1), np.arange(N2), n).astype(np.complex64)
     return W1, W2, Tw
 
 

@@ -29,14 +29,17 @@ def shard_batch(arr: Any, mesh: Mesh) -> jax.Array:
 def data_parallel(fn: Callable, mesh: Mesh) -> Callable:
     """Wrap a batched op so it runs once per 'data' shard on ``mesh``.
 
-    ``fn`` must accept/return arrays with a leading batch axis (the batch
-    must divide the 'data' axis size). Each shard calls ``fn`` on its local
-    batch inside ``shard_map`` — batch elements are independent, so no
-    collectives appear, and any Pallas fast path stays a single-device
-    kernel per chip (custom kernels are device-local by construction under
-    shard_map; automatic SPMD partitioning of a custom call is neither
-    needed nor relied upon). Non-array positional args and all kwargs pass
-    through unchanged.
+    Contract: every POSITIONAL array argument is batched — leading batch
+    axis, batch size a multiple of the 'data' axis size — and is sharded
+    over it. Auxiliary non-batched arrays (windows, filterbanks, params)
+    and scalars go through KEYWORD arguments, which are closed over
+    replicated. ``fn`` must return arrays with a leading batch axis.
+
+    Each shard calls ``fn`` on its local batch inside ``shard_map`` — batch
+    elements are independent, so no collectives appear, and any Pallas fast
+    path stays a single-device kernel per chip (custom kernels are
+    device-local by construction under shard_map; automatic SPMD
+    partitioning of a custom call is neither needed nor relied upon).
     """
 
     def wrapper(*args, **kwargs):
@@ -47,6 +50,21 @@ def data_parallel(fn: Callable, mesh: Mesh) -> Callable:
         arrs = tuple(jnp.asarray(args[i]) for i in arr_idx)
         if not arrs:
             return fn(*args, **kwargs)
+        batch = arrs[0].shape[0]
+        # a batched array passed as a kwarg would be silently closed over
+        # UN-sharded — every shard would compute over the full batch and the
+        # concatenated output would be garbage. Reject the ambiguity.
+        for k, v in kwargs.items():
+            if (
+                hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1
+                and v.shape[0] == batch
+            ):
+                raise TypeError(
+                    f"data_parallel: keyword argument '{k}' looks batched "
+                    f"(leading dim {v.shape[0]} == batch); batched arrays "
+                    "must be positional so they are sharded. Keyword arrays "
+                    "are replicated (windows/filterbanks/params)."
+                )
 
         def body(*shards):
             full = list(args)

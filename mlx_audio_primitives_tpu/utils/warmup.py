@@ -60,33 +60,35 @@ def warmup(
     times: dict[str, float] = {}
     for B in batch_sizes:
         for L in signal_lengths:
-            y = rng.standard_normal((B, L)).astype(np.float32)
-            y = y[0] if B == 1 else y
-            spec = None
+            y2d = rng.standard_normal((B, L)).astype(np.float32)
+            # batch 1 warms BOTH layouts a server may feed: (1, L) and (L,)
+            # — they compile to different executables
+            variants = [y2d] if B > 1 else [y2d, y2d[0]]
             for op in ops:
                 t0 = time.perf_counter()
-                if op == "stft":
-                    spec = jax.block_until_ready(
-                        stft(y, n_fft=n_fft, hop_length=hop_length)
-                    )
-                elif op == "istft":
-                    if spec is None:
+                for y in variants:
+                    if op == "stft":
+                        jax.block_until_ready(
+                            stft(y, n_fft=n_fft, hop_length=hop_length)
+                        )
+                    elif op == "istft":
                         spec = jax.block_until_ready(
                             stft(y, n_fft=n_fft, hop_length=hop_length)
                         )
-                    jax.block_until_ready(
-                        istft(spec, hop_length=hop_length, length=L)
-                    )
-                elif op == "melspectrogram":
-                    jax.block_until_ready(
-                        melspectrogram(y, sr=sr, n_fft=n_fft,
-                                       hop_length=hop_length, n_mels=n_mels)
-                    )
-                elif op == "mfcc":
-                    jax.block_until_ready(
-                        mfcc(y, sr=sr, n_fft=n_fft, hop_length=hop_length,
-                             n_mels=n_mels)
-                    )
+                        jax.block_until_ready(
+                            istft(spec, hop_length=hop_length, length=L)
+                        )
+                    elif op == "melspectrogram":
+                        jax.block_until_ready(
+                            melspectrogram(y, sr=sr, n_fft=n_fft,
+                                           hop_length=hop_length,
+                                           n_mels=n_mels)
+                        )
+                    elif op == "mfcc":
+                        jax.block_until_ready(
+                            mfcc(y, sr=sr, n_fft=n_fft, hop_length=hop_length,
+                                 n_mels=n_mels)
+                        )
                 times[f"{op} b={B} len={L}"] = time.perf_counter() - t0
     return times
 
@@ -94,14 +96,16 @@ def warmup(
 def enable_persistent_compilation_cache(cache_dir: str) -> None:
     """Persist compiled executables to ``cache_dir`` across processes.
 
-    Thin wrapper over jax's compilation cache config (min entry size 0 so
-    even small DSP executables are stored; 0.9 min compile-time ratio is
-    jax's default heuristic left untouched). Safe to call more than once.
+    Thin wrapper over jax's compilation cache config. Both storage gates
+    are zeroed: min entry size AND min compile time — jax's default skips
+    executables that compile in under 1 s, which is precisely the small DSP
+    executables this library produces. Safe to call more than once.
     """
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 __all__ = ["warmup", "enable_persistent_compilation_cache"]

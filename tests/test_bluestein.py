@@ -333,11 +333,15 @@ class TestDispatchPolicy:
 
         called = {}
         orig = ss.rfft_general
-        monkeypatch.setattr(ss, "rfft_general",
-                            lambda x, n: called.setdefault("general", True)
-                            or orig(x, n))
-        bl.rfft_len(jnp.zeros((2, 44100), jnp.float32), 44100)
+
+        def spy(x, n):
+            called["general"] = True
+            return orig(x, n)
+
+        monkeypatch.setattr(ss, "rfft_general", spy)
+        out = bl.rfft_len(jnp.zeros((2, 44100), jnp.float32), 44100)
         assert called.get("general")
+        assert out.shape == (2, 44100 // 2 + 1)
 
     def test_general_supported_contract(self):
         from mlx_audio_primitives_tpu.kernels.sixstep import (

@@ -309,6 +309,22 @@ class TestDataParallelHelper:
         assert len(out.sharding.device_set) == 8
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
+    def test_data_parallel_rejects_batched_kwarg(self):
+        # a batched array via kwarg would be closed over UN-sharded (each
+        # shard would see the full batch) — must be rejected, not corrupted
+        import numpy as np
+
+        from mlx_audio_primitives_tpu.parallel import data_parallel, make_mesh
+
+        mesh = make_mesh(n_data=8, n_time=1)
+        fn = data_parallel(lambda y, gain=None: y * gain, mesh)
+        y = np.ones((8, 4), np.float32)
+        with pytest.raises(TypeError, match="looks batched"):
+            fn(y, gain=np.arange(8, dtype=np.float32).reshape(8, 1))
+        # non-batched kwarg arrays are fine (replicated)
+        out = fn(y, gain=np.float32(2.0))
+        assert np.asarray(out).max() == 2.0
+
     def test_data_parallel_with_fused_kernel(self):
         # the fused mel kernel (radix-supported shape, forced on) runs as a
         # per-shard device-local kernel inside data_parallel's shard_map

@@ -125,8 +125,21 @@ class TestWarmup:
             enable_persistent_compilation_cache,
         )
 
-        enable_persistent_compilation_cache(str(tmp_path))
-        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+        prev_dir = jax.config.jax_compilation_cache_dir
+        prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+        prev_time = jax.config.jax_persistent_cache_min_compile_time_secs
+        try:
+            enable_persistent_compilation_cache(str(tmp_path))
+            assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+            # sub-second DSP executables must not be skipped by jax's
+            # min-compile-time storage gate
+            assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              prev_size)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              prev_time)
 
 
 class TestProfiler:
