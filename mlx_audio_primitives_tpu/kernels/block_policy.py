@@ -22,16 +22,6 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def clips_per_block(n_clips: int, bytes_per_clip: int, max_clips: int = 8) -> int:
-    """Largest divisor of n_clips that is <= max_clips and fits VMEM."""
-    limit = max(1, min(max_clips, VMEM_BUDGET // max(bytes_per_clip, 1)))
-    for cb in range(min(limit, n_clips), 0, -1):
-        if n_clips % cb == 0:
-            return cb
-    return 1
-
-
-
 #: radices C = n_fft/hop and R2 = hop/128 for the fused radix-DFT kernels
 MAX_RADIX = 8
 

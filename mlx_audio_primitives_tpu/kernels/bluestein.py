@@ -85,34 +85,71 @@ def ifft_bluestein(X: jax.Array, *, n: int) -> jax.Array:
     return jnp.conj(fft_bluestein(jnp.conj(X), n=n)) / n
 
 
-def rfft_packed(x: jax.Array) -> jax.Array:
-    """rfft over the last axis via pair-packed complex FFT (~1.6x on TPU).
+def _rfft_paired(cfft, x: jax.Array, n: int) -> jax.Array:
+    """rfft via row pairing + a complex FFT callable: (..., n) -> (..., bins).
 
-    XLA's TPU rfft runs as a full complex FFT; packing two real rows into one
-    complex row (z = a + i*b) halves the transform count, and the hermitian
-    split ``A = (Z + conj(Z[-k]))/2``, ``B = (Z - conj(Z[-k]))/(2i)`` recovers
-    both spectra. Measured 0.536 -> 0.328 ms for (2816, 2048) f32 on v5e at
-    2.8e-7 relative accuracy.
+    Packing two real rows into one complex row (z = a + i*b) halves the
+    transform count; the hermitian split ``A = (Z + conj(Z[-k]))/2``,
+    ``B = (Z - conj(Z[-k]))/(2i)`` recovers both spectra. Shared by the
+    packed-jnp.fft, six-step, and composite-GEMM transform paths.
     """
-    *lead, n = x.shape
+    *lead, _ = x.shape
     rows = int(np.prod(lead)) if lead else 1
     flat = x.reshape(rows, n)
     odd_rows = rows % 2 == 1
     if odd_rows:
         flat = jnp.pad(flat, ((0, 1), (0, 0)))
-    half = flat.shape[0] // 2
     z = jax.lax.complex(flat[0::2], flat[1::2])
-    Z = jnp.fft.fft(z, axis=-1)
+    Z = cfft(z)
     Zf = jnp.concatenate([Z[..., :1], Z[..., :0:-1]], axis=-1)  # Z[(-k) mod n]
     A = 0.5 * (Z + jnp.conj(Zf))
     B = jax.lax.complex(jnp.imag(Z) + jnp.imag(Zf), jnp.real(Zf) - jnp.real(Z)) * 0.5
     n_bins = n // 2 + 1
-    out = jnp.stack([A[..., :n_bins], B[..., :n_bins]], axis=1).reshape(
-        2 * half, n_bins
-    )
+    out = jnp.stack([A[..., :n_bins], B[..., :n_bins]], axis=1).reshape(-1, n_bins)
     if odd_rows:
         out = out[:rows]
     return out.reshape(*lead, n_bins)
+
+
+def _irfft_paired(icfft, X: jax.Array, n: int) -> jax.Array:
+    """irfft via spectrum pairing + a complex inverse-FFT callable.
+
+    Two hermitian spectra A, B share one inverse transform: with full-length
+    extensions, ``z = icfft(A_full + i*B_full)`` gives ``a = Re z``,
+    ``b = Im z`` (linearity + realness of a, b).
+    """
+    *lead, n_bins = X.shape
+    rows = int(np.prod(lead)) if lead else 1
+    flat = X.reshape(rows, n_bins)
+    odd_rows = rows % 2 == 1
+    if odd_rows:
+        flat = jnp.pad(flat, ((0, 1), (0, 0)))
+    # irfft semantics use only the real part of the DC (and, for even n,
+    # Nyquist) bins; zero their imaginary parts so the extension is exactly
+    # hermitian — otherwise the packed pair leak into each other.
+    flat = flat.at[:, 0].set(jnp.real(flat[:, 0]).astype(flat.dtype))
+    if n % 2 == 0:
+        flat = flat.at[:, -1].set(jnp.real(flat[:, -1]).astype(flat.dtype))
+    tail = jnp.conj(flat[:, 1 : (n + 1) // 2][:, ::-1])
+    full = jnp.concatenate([flat, tail], axis=-1)  # (rows', n)
+    Z = full[0::2] + jax.lax.complex(
+        -jnp.imag(full[1::2]), jnp.real(full[1::2])
+    )  # A + i*B
+    z = icfft(Z)
+    out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=1).reshape(-1, n)
+    if odd_rows:
+        out = out[:rows]
+    return out.reshape(*lead, n)
+
+
+def rfft_packed(x: jax.Array) -> jax.Array:
+    """rfft over the last axis via pair-packed complex FFT (~1.6x on TPU).
+
+    XLA's TPU rfft runs as a full complex FFT; the pairing halves the
+    transform count. Measured 0.536 -> 0.328 ms for (2816, 2048) f32 on v5e
+    at 2.8e-7 relative accuracy.
+    """
+    return _rfft_paired(lambda z: jnp.fft.fft(z, axis=-1), x, x.shape[-1])
 
 
 def packed_power_rows(Z: jax.Array, n: int) -> jax.Array:
@@ -198,34 +235,8 @@ def rfft_len(x: jax.Array, n: int) -> jax.Array:
 
 
 def irfft_packed(X: jax.Array, n: int) -> jax.Array:
-    """irfft via pair-packed complex inverse FFT (dual of :func:`rfft_packed`).
-
-    Two hermitian spectra A, B share one inverse transform: with full-length
-    extensions, ``z = ifft(A_full + i*B_full)`` gives ``a = Re z``,
-    ``b = Im z`` (linearity + realness of a, b).
-    """
-    *lead, n_bins = X.shape
-    rows = int(np.prod(lead)) if lead else 1
-    flat = X.reshape(rows, n_bins)
-    odd_rows = rows % 2 == 1
-    if odd_rows:
-        flat = jnp.pad(flat, ((0, 1), (0, 0)))
-    # irfft semantics use only the real part of the DC (and, for even n,
-    # Nyquist) bins; zero their imaginary parts so the extension is exactly
-    # hermitian — otherwise the packed pair leak into each other.
-    flat = flat.at[:, 0].set(jnp.real(flat[:, 0]).astype(flat.dtype))
-    if n % 2 == 0:
-        flat = flat.at[:, -1].set(jnp.real(flat[:, -1]).astype(flat.dtype))
-    tail = jnp.conj(flat[:, 1 : (n + 1) // 2][:, ::-1])
-    full = jnp.concatenate([flat, tail], axis=-1)  # (rows', n)
-    Z = full[0::2] + jax.lax.complex(
-        -jnp.imag(full[1::2]), jnp.real(full[1::2])
-    )  # A + i*B
-    z = jnp.fft.ifft(Z, axis=-1)
-    out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=1).reshape(-1, n)
-    if odd_rows:
-        out = out[:rows]
-    return out.reshape(*lead, n)
+    """irfft via pair-packed complex inverse FFT (dual of :func:`rfft_packed`)."""
+    return _irfft_paired(lambda Z: jnp.fft.ifft(Z, axis=-1), X, n)
 
 
 def irfft_len(X: jax.Array, n: int) -> jax.Array:

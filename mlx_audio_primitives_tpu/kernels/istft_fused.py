@@ -198,8 +198,10 @@ def istft_pallas(
     """(B, F, n_bins) -> (B, padded_length) normalized reconstruction,
     one kernel (inverse transform + window + overlap-add + envelope)."""
     # frames at/after the output span contribute nothing — trim BEFORE the
-    # group-layout gather so the 2x-expanded tensor never covers them (the
-    # grouped core still trims exactly; its RT_pad never exceeds this bound)
+    # group-layout gather so the 2x-expanded tensor never covers them. This
+    # is a loose bound (the grouped core's exact RT_pad = round_up(RT, RB)
+    # can exceed it for RB values that do not divide 64; the core zero-pads
+    # the difference), so the exact trim still happens in the core.
     RT_ub = round_up(cdiv(padded_length, hop_length), 64)
     if S.shape[1] > RT_ub:
         S = S[:, :RT_ub, :]
@@ -300,6 +302,9 @@ def _istft_grouped_core(
     padded_length: int,
 ) -> jax.Array:
     B, F, _ = xg.shape
+    if padded_length < 1:
+        # degenerate empty output (e.g. istft length=0) — match the XLA path
+        return jnp.zeros((B, max(padded_length, 0)), jnp.float32)
     C = n_fft // hop_length
     R2 = hop_length // LANE
     NC = C // 2 + 1

@@ -159,9 +159,90 @@ def fold_filterbank(fb_t: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
     return jnp.where(jnp.asarray(use)[..., None], folded, 0.0)
 
 
+def _add(a, b):
+    if a is None:
+        return b
+    return a if b is None else a + b
+
+
+def _scaled(x, s):
+    if s == 0 or x is None:
+        return None
+    if s == 1:
+        return x
+    return -x if s == -1 else x * s
+
+
+def _group_dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
+    )
+
+
+def _radix_group_spectra(sig_scr, w_ref, t_ref, b_ref, C, R2, NC, FBb):
+    """Shared radix body of the fused mel and fused STFT kernels.
+
+    Windowed chunks -> radix-C butterfly -> T twiddle -> radix-R2 butterfly
+    -> per-group complex 128-DFT base GEMMs. Yields ``(g, xr, xi)`` — the
+    group index ``g = r*R2 + rp`` and the group's complex spectrum block
+    ``(CB, FBb, 128)`` — one group at a time, so a consumer that reduces
+    each group immediately (the mel kernel) keeps nothing larger live.
+    The two kernels differ ONLY in how they consume each group.
+    """
+    # windowed chunks: frame f's chunk c is row f+c (VPU broadcasts the
+    # (hop,) window chunk over clips x frames)
+    xw = [sig_scr[:, c : c + FBb, :] * w_ref[c] for c in range(C)]
+
+    # stage 1: radix-C butterfly across chunks; real input => classes
+    # r in [0, C/2] only (the rest are conjugate mirrors)
+    H = []
+    for r in range(NC):
+        gr = gi = None
+        for c in range(C):
+            wr, wi = _coef(c * r, C)
+            gr = _add(gr, _scaled(xw[c], wr))
+            gi = _add(gi, _scaled(xw[c], wi))
+        if r == 0:
+            H.append((gr, gi))  # T_0 = 1
+        elif gi is None:  # real class (e.g. r = C/2): H = G * T
+            H.append((gr * t_ref[r, 0], gr * t_ref[r, 1]))
+        else:
+            tc, ts = t_ref[r, 0], t_ref[r, 1]
+            H.append((gr * tc - gi * ts, gr * ts + gi * tc))
+
+    # stage 2 + base GEMMs, one group at a time
+    for r in range(NC):
+        hr, hi = H[r]
+        hrc = [hr[:, :, c2 * LANE : (c2 + 1) * LANE] for c2 in range(R2)]
+        hic = (
+            None
+            if hi is None
+            else [hi[:, :, c2 * LANE : (c2 + 1) * LANE] for c2 in range(R2)]
+        )
+        for rp in range(R2):
+            er = ei = None
+            for c2 in range(R2):
+                wr, wi = _coef(c2 * rp, R2)
+                # (hr + i*hi) * (wr + i*wi)
+                er = _add(er, _scaled(hrc[c2], wr))
+                ei = _add(ei, _scaled(hrc[c2], wi))
+                if hic is not None:
+                    er = _add(er, _scaled(hic[c2], -wi))
+                    ei = _add(ei, _scaled(hic[c2], wr))
+            br, bi = b_ref[rp, 0], b_ref[rp, 1]
+            xr = _group_dot(er, br)
+            xi = _group_dot(er, bi)
+            if ei is not None:
+                xr = xr - _group_dot(ei, bi)
+                xi = xi + _group_dot(ei, br)
+            yield r * R2 + rp, xr, xi
+
+
 def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, POW):
-    """Kernel: DMA rows -> window chunks -> radix-C -> T twiddle ->
-    radix-R2 -> per-group complex 128-DFT GEMM -> |.|^POW -> mel GEMM.
+    """Kernel: DMA rows -> shared radix body (`_radix_group_spectra`) ->
+    |.|^POW -> mel GEMM per group (nothing larger than (CB, FBb, 128)
+    stays live past its mel accumulation).
 
     ``POW`` in {1, 2}: the mirror-folded filterbank stays valid for both
     since ``|X[N-k]| == |X[k]|`` (magnitudes, not components, are folded)."""
@@ -175,80 +256,18 @@ def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, POW):
         cp.start()
         cp.wait()
 
-        # windowed chunks: frame f's chunk c is row f+c (VPU broadcasts the
-        # (hop,) window chunk over clips x frames)
-        xw = [sig_scr[:, c : c + FBb, :] * w_ref[c] for c in range(C)]
-
-        def add(a, b):
-            if a is None:
-                return b
-            return a if b is None else a + b
-
-        def scaled(x, s):
-            if s == 0 or x is None:
-                return None
-            if s == 1:
-                return x
-            return -x if s == -1 else x * s
-
-        # stage 1: radix-C butterfly across chunks; real input => classes
-        # r in [0, C/2] only (the rest are conjugate mirrors, folded into
-        # the filterbank)
-        H = []
-        for r in range(NC):
-            gr = gi = None
-            for c in range(C):
-                wr, wi = _coef(c * r, C)
-                gr = add(gr, scaled(xw[c], wr))
-                gi = add(gi, scaled(xw[c], wi))
-            if r == 0:
-                H.append((gr, gi))  # T_0 = 1
-            elif gi is None:  # real class (e.g. r = C/2): H = G * T
-                H.append((gr * t_ref[r, 0], gr * t_ref[r, 1]))
-            else:
-                tc, ts = t_ref[r, 0], t_ref[r, 1]
-                H.append((gr * tc - gi * ts, gr * ts + gi * tc))
-
-        def dot(a, b, prec):
-            return jax.lax.dot_general(
-                a, b, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-
-        # stage 2 + base GEMMs + power + mel, one group at a time (nothing
-        # larger than (CB, FBb, 128) stays live past its mel accumulation)
         acc = None
-        for r in range(NC):
-            hr, hi = H[r]
-            hrc = [hr[:, :, c2 * LANE : (c2 + 1) * LANE] for c2 in range(R2)]
-            hic = (
-                None
-                if hi is None
-                else [hi[:, :, c2 * LANE : (c2 + 1) * LANE] for c2 in range(R2)]
-            )
-            for rp in range(R2):
-                er = ei = None
-                for c2 in range(R2):
-                    wr, wi = _coef(c2 * rp, R2)
-                    # (hr + i*hi) * (wr + i*wi)
-                    er = add(er, scaled(hrc[c2], wr))
-                    ei = add(ei, scaled(hrc[c2], wi))
-                    if hic is not None:
-                        er = add(er, scaled(hic[c2], -wi))
-                        ei = add(ei, scaled(hic[c2], wr))
-                br, bi = b_ref[rp, 0], b_ref[rp, 1]
-                xr = dot(er, br, MATMUL_PRECISION)
-                xi = dot(er, bi, MATMUL_PRECISION)
-                if ei is not None:
-                    xr = xr - dot(ei, bi, MATMUL_PRECISION)
-                    xi = xi + dot(ei, br, MATMUL_PRECISION)
-                p = xr * xr + xi * xi
-                if POW == 1:
-                    p = jnp.sqrt(p)
-                acc = add(acc, dot(p, fb_ref[r * R2 + rp], MATMUL_PRECISION))
+        for g, xr, xi in _radix_group_spectra(
+            sig_scr, w_ref, t_ref, b_ref, C, R2, NC, FBb
+        ):
+            p = xr * xr + xi * xi
+            if POW == 1:
+                p = jnp.sqrt(p)
+            acc = _add(acc, _group_dot(p, fb_ref[g]))
         out_ref[:] = acc
 
     return kernel
+
 
 
 def _pick_blocks(B: int, C: int, R2: int, NC: int, hop: int,
@@ -300,6 +319,12 @@ def melspectrogram_pallas(
     if power not in (1.0, 2.0):
         raise ValueError(
             f"fused mel kernel supports power in {{1, 2}}, got {power}"
+        )
+    pad_total = n_fft if center else 0
+    if y.shape[1] + pad_total < n_fft:
+        raise ValueError(
+            f"signal length ({y.shape[1]}) must be >= n_fft ({n_fft}) "
+            "when center=False"
         )
     # device-cached tables fetched outside the jit so they stay resident in
     # HBM as arguments instead of baking into the executable as literals

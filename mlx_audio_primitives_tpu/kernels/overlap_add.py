@@ -109,6 +109,9 @@ def overlap_add_pallas(
     if hop_length < 1:
         raise ValueError("hop_length must be positive")
     B, F, n_fft = fw.shape
+    if output_length < 1:
+        # degenerate empty output (e.g. istft length=0) — match the XLA path
+        return jnp.zeros((B, max(output_length, 0)), jnp.float32)
     if not ola_supported(n_fft, hop_length):
         raise ValueError(
             f"fused OLA kernel supports C = ceil(n_fft/hop) <= {_MAX_CHUNKS} "

@@ -45,7 +45,12 @@ def log10(x: jax.Array) -> jax.Array:
 
 
 def exp10(x: jax.Array) -> jax.Array:
-    """Accurate float32 10**x (~4e-6 max rel error in the normal range)."""
+    """Accurate float32 10**x (~4e-6 max rel error in the normal range).
+
+    Non-finite edges match ``10.0**x``: -inf -> 0, +inf -> +inf, nan -> nan
+    (the range reduction alone would turn both infinities into nan — and
+    -inf inputs are routine: they are ``log10(0)`` of digital silence).
+    """
     t = x * _LOG2_10_F32
     n = jnp.round(t)
     f = t - n
@@ -53,4 +58,6 @@ def exp10(x: jax.Array) -> jax.Array:
     p = jnp.asarray(1.0 / 5040.0, dtype=x.dtype)
     for c in (1.0 / 720, 1.0 / 120, 1.0 / 24, 1.0 / 6, 0.5, 1.0, 1.0):
         p = p * z + c
-    return jnp.ldexp(p, n.astype(jnp.int32))
+    out = jnp.ldexp(p, n.astype(jnp.int32))
+    out = jnp.where(jnp.isneginf(x), 0.0, out)
+    return jnp.where(jnp.isposinf(x), jnp.inf, out)

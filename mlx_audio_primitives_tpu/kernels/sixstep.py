@@ -154,33 +154,17 @@ def ifft_sixstep(X: jax.Array, *, n: int) -> jax.Array:
     return jnp.conj(fft_sixstep(jnp.conj(X), n=n)) / n
 
 
-def _rfft_paired(cfft, x: jax.Array, n: int) -> jax.Array:
-    """rfft via row pairing + a complex FFT callable: (..., n) -> (..., bins)."""
-    *lead, _ = x.shape
-    rows = int(np.prod(lead)) if lead else 1
-    flat = x.reshape(rows, n)
-    odd = rows % 2 == 1
-    if odd:
-        flat = jnp.pad(flat, ((0, 1), (0, 0)))
-    z = jax.lax.complex(flat[0::2], flat[1::2])
-    Z = cfft(z)
-    Zf = jnp.concatenate([Z[..., :1], Z[..., :0:-1]], axis=-1)
-    A = 0.5 * (Z + jnp.conj(Zf))
-    B = jax.lax.complex(jnp.imag(Z) + jnp.imag(Zf), jnp.real(Zf) - jnp.real(Z)) * 0.5
-    n_bins = n // 2 + 1
-    out = jnp.stack([A[..., :n_bins], B[..., :n_bins]], axis=1).reshape(-1, n_bins)
-    if odd:
-        out = out[:rows]
-    return out.reshape(*lead, n_bins)
-
-
 def rfft_sixstep(x: jax.Array, n: int) -> jax.Array:
     """rfft via row pairing + six-step complex FFT: (..., n) -> (..., n//2+1)."""
+    from .bluestein import _rfft_paired
+
     return _rfft_paired(lambda z: fft_sixstep(z, n=n), x, n)
 
 
 def rfft_general(x: jax.Array, n: int) -> jax.Array:
     """rfft via row pairing + the composite-length GEMM FFT."""
+    from .bluestein import _rfft_paired
+
     return _rfft_paired(lambda z: fft_general(z, n=n), x, n)
 
 
@@ -209,32 +193,15 @@ def rfft_power_sixstep(x: jax.Array, n: int) -> jax.Array:
     return out.reshape(*lead, n // 2 + 1)
 
 
-def _irfft_paired(icfft, X: jax.Array, n: int) -> jax.Array:
-    """irfft via spectrum pairing + a complex inverse-FFT callable."""
-    *lead, n_bins = X.shape
-    rows = int(np.prod(lead)) if lead else 1
-    flat = X.reshape(rows, n_bins)
-    odd = rows % 2 == 1
-    if odd:
-        flat = jnp.pad(flat, ((0, 1), (0, 0)))
-    flat = flat.at[:, 0].set(jnp.real(flat[:, 0]).astype(flat.dtype))
-    if n % 2 == 0:
-        flat = flat.at[:, -1].set(jnp.real(flat[:, -1]).astype(flat.dtype))
-    tail = jnp.conj(flat[:, 1 : (n + 1) // 2][:, ::-1])
-    full = jnp.concatenate([flat, tail], axis=-1)
-    Z = full[0::2] + jax.lax.complex(-jnp.imag(full[1::2]), jnp.real(full[1::2]))
-    z = icfft(Z)
-    out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=1).reshape(-1, n)
-    if odd:
-        out = out[:rows]
-    return out.reshape(*lead, n)
-
-
 def irfft_sixstep(X: jax.Array, n: int) -> jax.Array:
     """irfft via spectrum pairing + inverse six-step: (..., n//2+1) -> (..., n)."""
+    from .bluestein import _irfft_paired
+
     return _irfft_paired(lambda Z: ifft_sixstep(Z, n=n), X, n)
 
 
 def irfft_general(X: jax.Array, n: int) -> jax.Array:
     """irfft via spectrum pairing + the composite-length inverse GEMM FFT."""
+    from .bluestein import _irfft_paired
+
     return _irfft_paired(lambda Z: ifft_general(Z, n=n), X, n)

@@ -24,12 +24,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .._config import MATMUL_PRECISION
 from ..utils.dispatch import pallas_interpret_mode
 from .block_policy import LANE, SUBLANE, VMEM_BUDGET, radix_shape_ok, round_up
 from .mel_fused import (
     _basis_table,
-    _coef,
+    _radix_group_spectra,
     _twiddle_table,
 )
 
@@ -126,9 +125,9 @@ def naturalize_spectrum(xg: jax.Array, n_fft: int, hop_length: int) -> jax.Array
 
 
 def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk):
-    """Kernel: DMA rows -> window chunks -> radix-C -> T twiddle ->
-    radix-R2 -> per-group complex 128-DFT GEMM -> write (xr | xi) blocks."""
-    G = NC * R2
+    """Kernel: DMA rows -> shared radix body (`mel_fused._radix_group_spectra`)
+    -> write (xr | xi) group blocks; differs from the mel kernel only in the
+    consumer of each group's complex spectrum."""
 
     def kernel(sig_hbm, w_ref, t_ref, b_ref, out_ref, sig_scr, sem):
         i = pl.program_id(0)
@@ -139,67 +138,12 @@ def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk):
         cp.start()
         cp.wait()
 
-        xw = [sig_scr[:, c : c + FBb, :] * w_ref[c] for c in range(C)]
-
-        def add(a, b):
-            if a is None:
-                return b
-            return a if b is None else a + b
-
-        def scaled(x, s):
-            if s == 0 or x is None:
-                return None
-            if s == 1:
-                return x
-            return -x if s == -1 else x * s
-
-        H = []
-        for r in range(NC):
-            gr = gi = None
-            for c in range(C):
-                wr, wi = _coef(c * r, C)
-                gr = add(gr, scaled(xw[c], wr))
-                gi = add(gi, scaled(xw[c], wi))
-            if r == 0:
-                H.append((gr, gi))
-            elif gi is None:
-                H.append((gr * t_ref[r, 0], gr * t_ref[r, 1]))
-            else:
-                tc, ts = t_ref[r, 0], t_ref[r, 1]
-                H.append((gr * tc - gi * ts, gr * ts + gi * tc))
-
-        def dot(a, b, prec):
-            return jax.lax.dot_general(
-                a, b, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-
         reals, imags = [], []
-        for r in range(NC):
-            hr, hi = H[r]
-            hrc = [hr[:, :, c2 * LANE : (c2 + 1) * LANE] for c2 in range(R2)]
-            hic = (
-                None
-                if hi is None
-                else [hi[:, :, c2 * LANE : (c2 + 1) * LANE] for c2 in range(R2)]
-            )
-            for rp in range(R2):
-                er = ei = None
-                for c2 in range(R2):
-                    wr, wi = _coef(c2 * rp, R2)
-                    er = add(er, scaled(hrc[c2], wr))
-                    ei = add(ei, scaled(hrc[c2], wi))
-                    if hic is not None:
-                        er = add(er, scaled(hic[c2], -wi))
-                        ei = add(ei, scaled(hic[c2], wr))
-                br, bi = b_ref[rp, 0], b_ref[rp, 1]
-                xr = dot(er, br, MATMUL_PRECISION)
-                xi = dot(er, bi, MATMUL_PRECISION)
-                if ei is not None:
-                    xr = xr - dot(ei, bi, MATMUL_PRECISION)
-                    xi = xi + dot(ei, br, MATMUL_PRECISION)
-                reals.append(xr)
-                imags.append(xi)
+        for _g, xr, xi in _radix_group_spectra(
+            sig_scr, w_ref, t_ref, b_ref, C, R2, NC, FBb
+        ):
+            reals.append(xr)
+            imags.append(xi)
         # one full-block store, same pattern as the mel kernel
         out_ref[:] = jnp.concatenate(reals + imags, axis=-1)
 

@@ -96,6 +96,12 @@ def test_precise_log10_edge_semantics():
     assert np.isneginf(out[1])
     assert np.isnan(out[2])
     np.testing.assert_allclose(out[3:], [0.0, 30.0], atol=1e-5)
-    # exp10 edges
-    e = np.asarray(exp10(jnp.asarray(np.array([0.0, 2.0], np.float32))))
-    np.testing.assert_allclose(e, [1.0, 100.0], rtol=1e-6)
+    # exp10 edges match 10.0**x: -inf -> 0 (digital silence round-trips),
+    # +inf -> inf, nan -> nan — the range reduction alone would NaN both infs
+    e = np.asarray(exp10(jnp.asarray(
+        np.array([0.0, 2.0, -np.inf, np.inf, np.nan], np.float32)
+    )))
+    np.testing.assert_allclose(e[:2], [1.0, 100.0], rtol=1e-6)
+    assert e[2] == 0.0
+    assert np.isposinf(e[3])
+    assert np.isnan(e[4])

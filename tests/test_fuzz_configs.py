@@ -63,12 +63,15 @@ _DIRECTED = [
     # odd prime <= 4096 -> DFT-GEMM
     dict(n_fft=997, hop_length=250, win_length=997, window="hamming",
          center=True, pad_mode="reflect", length=3000, batch=1),
-    # non-pow2 > 4096 -> Bluestein chirp-Z
+    # balanced composite > 4096 (4410 = 63*70) -> two-factor GEMM FFT
     dict(n_fft=4410, hop_length=1103, win_length=4410, window="hann",
          center=True, pad_mode="constant", length=9000, batch=1),
-    # prime > 4096 -> Bluestein, worst-case size
+    # prime > 4096 -> Bluestein chirp-Z, worst-case size
     dict(n_fft=4441, hop_length=1111, win_length=4441, window="blackman",
          center=True, pad_mode="edge", length=9000, batch=1),
+    # large balanced composite (6000 = 80*75) -> two-factor GEMM FFT, batched
+    dict(n_fft=6000, hop_length=1500, win_length=6000, window="hamming",
+         center=True, pad_mode="constant", length=15000, batch=2),
     # hop > win_length (gapped analysis) + kaiser tuple window
     dict(n_fft=1024, hop_length=900, win_length=512, window=("kaiser", 8.6),
          center=True, pad_mode="constant", length=5000, batch=5),

@@ -400,6 +400,33 @@ class TestFusedIstftPallas:
         b = np.asarray(istft(S, hop_length=441, use_pallas=False))
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_length_zero_returns_empty(self, random_signal):
+        # degenerate length=0 used to ZeroDivisionError in the kernel block
+        # sizing; it must return an empty signal like the XLA path
+        S = stft(random_signal[:4096], n_fft=1024, hop_length=256,
+                 center=False)
+        for up in (True, False):
+            out = np.asarray(istft(S, hop_length=256, center=False, length=0,
+                                   use_pallas=up))
+            assert out.shape == (0,)
+
+    def test_mel_kernel_short_signal_raises(self):
+        # center=False with L < n_fft: clear ValueError, not ZeroDivisionError
+        from mlx_audio_primitives_tpu.kernels.mel_fused import (
+            melspectrogram_pallas,
+        )
+        from mlx_audio_primitives_tpu.ops.mel import mel_filterbank
+        from mlx_audio_primitives_tpu.ops.stft import _get_padded_window
+
+        fb = mel_filterbank(22050, 1024, n_mels=32)
+        win = _get_padded_window("hann", 1024, 1024)
+        with pytest.raises(ValueError, match="signal length"):
+            melspectrogram_pallas(
+                jnp.zeros((1, 1023), jnp.float32), win, fb.T,
+                n_fft=1024, hop_length=256, center=False,
+                pad_mode="constant",
+            )
+
     def test_explicit_fft_mode_disables_fused_tier(self, random_signal):
         # an explicit transform request must actually run that XLA transform
         S = stft(random_signal, n_fft=1024, hop_length=256)
