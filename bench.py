@@ -18,6 +18,8 @@ and includes it as an auxiliary field.
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -101,17 +103,56 @@ def roundtrip_error() -> float:
     return float(jax.numpy.abs(rec - jax.numpy.asarray(y)).max())
 
 
+def _tpu_child() -> None:
+    """Child mode: the device-side measurements only, one JSON line."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((BATCH, SR)).astype(np.float32)
+    t_ours = bench_ours(y)
+    err = roundtrip_error()
+    print(json.dumps({
+        "t_ours": t_ours, "err": err, "backend": jax.default_backend(),
+    }))
+
+
+def _run_tpu_measurement(attempts: int = 3, timeout_s: int = 480) -> dict:
+    """Run the device measurements in a fresh subprocess, retrying on
+    failure — the remote TPU attachment intermittently drops its session
+    mid-process (every subsequent op hangs or fails UNIMPLEMENTED), and a
+    fresh interpreter re-establishes it."""
+    last = ""
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--_tpu-child"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            last = f"attempt {i + 1}: timeout after {timeout_s}s"
+            print(last, file=sys.stderr)
+            continue
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                out = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "t_ours" in out:
+                return out
+        last = f"attempt {i + 1}: rc={proc.returncode}: {proc.stderr[-500:]}"
+        print(last, file=sys.stderr)
+    raise RuntimeError(f"TPU measurement failed after {attempts} attempts: {last}")
+
+
 def main() -> None:
     rng = np.random.default_rng(0)
     y = rng.standard_normal((BATCH, SR)).astype(np.float32)
     n_frames = 1 + SR // HOP
 
-    t_ours = bench_ours(y)
+    dev = _run_tpu_measurement()
+    t_ours = dev["t_ours"]
     t_torch = bench_torch_cpu(y)
     frames_per_sec = BATCH * n_frames / t_ours
-    err = roundtrip_error()
-
-    import jax
 
     print(
         json.dumps(
@@ -120,14 +161,17 @@ def main() -> None:
                 "value": round(frames_per_sec, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(t_torch / t_ours, 2),
-                "istft_roundtrip_max_err": err,
+                "istft_roundtrip_max_err": dev["err"],
                 "ours_ms": round(t_ours * 1e3, 3),
                 "torch_cpu_ms": round(t_torch * 1e3, 3),
-                "backend": jax.default_backend(),
+                "backend": dev["backend"],
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--_tpu-child":
+        _tpu_child()
+    else:
+        main()
