@@ -43,7 +43,14 @@ def _get_frequencies(sr: int, n_fft: int) -> jax.Array:
 def _compute_spectrogram(
     y, S, n_fft, hop_length, win_length, window, center, pad_mode, power=1.0
 ) -> jax.Array:
-    """S-or-y input protocol (librosa style; reference `features.py:24-54`)."""
+    """S-or-y input protocol (librosa style; reference `features.py:24-54`).
+
+    A provided ``S`` is taken AS-IS — no ``power`` exponent is applied and
+    ``n_fft`` is NOT inferred from its bin count, exactly like the reference
+    (`features.py:36-37`): the caller is responsible for passing a
+    spectrogram whose scale matches ``power`` and whose bins match the
+    ``n_fft`` used for frequency mapping. (librosa differs on both points.)
+    """
     if S is not None:
         return jnp.asarray(S, dtype=REAL_DTYPE)
     if y is None:

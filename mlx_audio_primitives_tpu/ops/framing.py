@@ -115,7 +115,11 @@ def preemphasis(
     shifted = jnp.concatenate([y[:, :1], y[:, :-1]], axis=-1)
     out = y - coef * shifted
     out = jnp.concatenate([y[:, :1] + zi_arr, out[:, 1:]], axis=-1)
-    zf = y[:, -1:]
+    # scipy lfilter final state for b=[1,-coef], a=[1]: zf = -coef*y[-1] —
+    # feeding it back as the next chunk's zi continues the stream exactly
+    # (the reference's librosa-exact scipy path returns the same state,
+    # `framing.py:281-286`)
+    zf = -coef * y[:, -1:]
     if input_is_1d:
         out, zf = out[0], zf[0]
     return (out, zf) if return_zf else out

@@ -293,6 +293,8 @@ def griffinlim(
         hop_length = n_fft // 4
     if win_length is None:
         win_length = n_fft
+    if win_length > n_fft:
+        raise ValueError(f"win_length ({win_length}) must be <= n_fft ({n_fft})")
 
     rng = np.random.default_rng(random_state)
     if init == "random":

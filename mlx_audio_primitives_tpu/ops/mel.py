@@ -211,37 +211,19 @@ def melspectrogram(
     multiple of 128, ``power=2``) — it measures ~2x faster than the XLA
     six-step pipeline at float32-exact accuracy.
     """
+    from .stft import _as_batched, _validate_stft_params
+
     if hop_length is None:
         hop_length = n_fft // 4
     if win_length is None:
         win_length = n_fft
-    if hop_length <= 0:
-        raise ValueError(f"hop_length must be positive, got {hop_length}")
-    if hop_length > n_fft:
-        raise ValueError(
-            f"hop_length ({hop_length}) should typically be <= n_fft ({n_fft})"
-        )
-    if win_length > n_fft:
-        raise ValueError(f"win_length ({win_length}) must be <= n_fft ({n_fft})")
-    if pad_mode not in ("constant", "reflect", "edge"):
-        raise ValueError(
-            f"Unknown pad_mode: '{pad_mode}'. Supported: constant, reflect, edge"
-        )
+    _validate_stft_params(n_fft, hop_length, win_length, pad_mode)
+    y, input_is_1d = _as_batched(y, n_fft, center)
 
     fb = mel_filterbank(
         sr=sr, n_fft=n_fft, n_mels=n_mels, fmin=fmin, fmax=fmax, htk=htk, norm=norm
     )
     win = _get_padded_window(window, win_length, n_fft)
-
-    y = jnp.asarray(y, dtype=REAL_DTYPE)
-    input_is_1d = y.ndim == 1
-    if input_is_1d:
-        y = y[None, :]
-    if not center and y.shape[1] < n_fft:
-        raise ValueError(
-            f"signal length ({y.shape[1]}) must be >= n_fft ({n_fft}) "
-            "when center=False"
-        )
 
     from ..kernels.mel_fused import radix_supported
     from ..utils import dispatch as _dispatch

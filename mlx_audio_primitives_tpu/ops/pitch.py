@@ -90,7 +90,10 @@ def _framewise_acf(
 
 
 def _lag_bounds(sr: int, fmin: float, fmax: float) -> tuple[int, int]:
-    return int(sr / fmax), int(sr / fmin)
+    # floor min_lag at 1: fmax > sr would otherwise put the trivially-1.0
+    # zero-lag ACF value inside the search window, making every energetic
+    # frame report f0 = sr (the reference shares this hole, `pitch.py:177`)
+    return max(1, int(sr / fmax)), int(sr / fmin)
 
 
 def pitch_detect_acf(

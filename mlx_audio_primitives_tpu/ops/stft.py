@@ -103,12 +103,59 @@ def _istft_envelope_table(
 
 
 def _window_key(window) -> tuple | None:
-    """Hashable cache key for string/tuple window specs (None for arrays)."""
+    """Hashable cache key for string/tuple window specs (None for arrays).
+
+    Aliases normalize ('hanning' == 'hann', 'boxcar' == 'rectangular', ...)
+    so identical envelopes share one slot in the envelope table cache."""
+    from .windows import _ALIASES
+
     if isinstance(window, str):
-        return (window.lower(), None)
+        name = window.lower()
+        return (_ALIASES.get(name, name), None)
     if isinstance(window, tuple) and len(window) == 2:
-        return (str(window[0]).lower(), float(window[1]))
+        name = str(window[0]).lower()
+        return (_ALIASES.get(name, name), float(window[1]))
     return None
+
+
+def _validate_stft_params(
+    n_fft: int, hop_length: int, win_length: int, pad_mode: str
+) -> None:
+    """Shared argument validation for the STFT-family entry points
+    (stft / magnitude_spectrogram / melspectrogram — one copy, no drift)."""
+    if hop_length <= 0:
+        raise ValueError(f"hop_length must be positive, got {hop_length}")
+    if win_length <= 0:
+        raise ValueError(f"win_length must be positive, got {win_length}")
+    if win_length > n_fft:
+        raise ValueError(f"win_length ({win_length}) must be <= n_fft ({n_fft})")
+    if hop_length > n_fft:
+        raise ValueError(
+            f"hop_length ({hop_length}) should typically be <= n_fft ({n_fft})"
+        )
+    if pad_mode not in _PAD_MODES:
+        raise ValueError(
+            f"Unknown pad_mode: '{pad_mode}'. Supported: {', '.join(_PAD_MODES)}"
+        )
+
+
+def _as_batched(y: ArrayLike, n_fft: int, center: bool) -> tuple[jax.Array, bool]:
+    """Promote to (B, L) float32 and check the center=False length bound.
+
+    Returns ``(y_2d, input_is_1d)``.
+    """
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    if y.ndim not in (1, 2):
+        raise ValueError(f"y must be 1D or 2D, got {y.ndim}D")
+    input_is_1d = y.ndim == 1
+    if input_is_1d:
+        y = y[None, :]
+    if not center and y.shape[1] < n_fft:
+        raise ValueError(
+            f"signal length ({y.shape[1]}) must be >= n_fft ({n_fft}) "
+            "when center=False"
+        )
+    return y, input_is_1d
 
 
 def _get_padded_window(
@@ -202,31 +249,8 @@ def magnitude_spectrogram(
         hop_length = n_fft // 4
     if win_length is None:
         win_length = n_fft
-    if hop_length <= 0:
-        raise ValueError(f"hop_length must be positive, got {hop_length}")
-    if win_length <= 0:
-        raise ValueError(f"win_length must be positive, got {win_length}")
-    if win_length > n_fft:
-        raise ValueError(f"win_length ({win_length}) must be <= n_fft ({n_fft})")
-    if hop_length > n_fft:
-        raise ValueError(
-            f"hop_length ({hop_length}) should typically be <= n_fft ({n_fft})"
-        )
-    if pad_mode not in _PAD_MODES:
-        raise ValueError(
-            f"Unknown pad_mode: '{pad_mode}'. Supported: {', '.join(_PAD_MODES)}"
-        )
-    y = jnp.asarray(y, dtype=REAL_DTYPE)
-    if y.ndim not in (1, 2):
-        raise ValueError(f"y must be 1D or 2D, got {y.ndim}D")
-    input_is_1d = y.ndim == 1
-    if input_is_1d:
-        y = y[None, :]
-    if not center and y.shape[1] < n_fft:
-        raise ValueError(
-            f"signal length ({y.shape[1]}) must be >= n_fft ({n_fft}) "
-            "when center=False"
-        )
+    _validate_stft_params(n_fft, hop_length, win_length, pad_mode)
+    y, input_is_1d = _as_batched(y, n_fft, center)
     win = _get_padded_window(window, win_length, n_fft)
 
     from ..kernels.stft_radix import stft_radix_supported
@@ -281,34 +305,8 @@ def stft(
         hop_length = n_fft // 4
     if win_length is None:
         win_length = n_fft
-
-    if hop_length <= 0:
-        raise ValueError(f"hop_length must be positive, got {hop_length}")
-    if win_length <= 0:
-        raise ValueError(f"win_length must be positive, got {win_length}")
-    if win_length > n_fft:
-        raise ValueError(f"win_length ({win_length}) must be <= n_fft ({n_fft})")
-    if hop_length > n_fft:
-        raise ValueError(
-            f"hop_length ({hop_length}) should typically be <= n_fft ({n_fft})"
-        )
-    if pad_mode not in _PAD_MODES:
-        raise ValueError(
-            f"Unknown pad_mode: '{pad_mode}'. Supported: {', '.join(_PAD_MODES)}"
-        )
-
-    y = jnp.asarray(y, dtype=REAL_DTYPE)
-    if y.ndim not in (1, 2):
-        raise ValueError(f"y must be 1D or 2D, got {y.ndim}D")
-    input_is_1d = y.ndim == 1
-    if input_is_1d:
-        y = y[None, :]
-
-    if not center and y.shape[1] < n_fft:
-        raise ValueError(
-            f"signal length ({y.shape[1]}) must be >= n_fft ({n_fft}) "
-            "when center=False"
-        )
+    _validate_stft_params(n_fft, hop_length, win_length, pad_mode)
+    y, input_is_1d = _as_batched(y, n_fft, center)
 
     win = _get_padded_window(window, win_length, n_fft)
     fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
@@ -438,6 +436,8 @@ def istft(
         win_length = n_fft
     if hop_length <= 0:
         raise ValueError(f"hop_length must be positive, got {hop_length}")
+    if win_length > n_fft:
+        raise ValueError(f"win_length ({win_length}) must be <= n_fft ({n_fft})")
 
     win = _get_padded_window(window, win_length, n_fft)
     S = jnp.swapaxes(S, 1, 2)  # (B, F, n_bins)

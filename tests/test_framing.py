@@ -76,9 +76,25 @@ class TestPreemphasis:
         )
         np.testing.assert_allclose(ours, ref, atol=1e-4)
 
-    def test_return_zf(self, random_signal):
-        out, zf = preemphasis(random_signal, return_zf=True)
-        assert np.asarray(zf)[0] == random_signal[-1]
+    def test_return_zf_matches_lfilter(self, random_signal):
+        # zf is the scipy lfilter state -coef*y[-1], NOT the raw last sample
+        out, zf = preemphasis(random_signal, coef=0.97, return_zf=True)
+        zi = 2 * random_signal[0:1] - random_signal[1:2]
+        _, zf_ref = scipy.signal.lfilter(
+            [1.0, -0.97], [1.0], random_signal.astype(np.float64),
+            zi=zi.astype(np.float64),
+        )
+        np.testing.assert_allclose(np.asarray(zf), zf_ref, atol=1e-5)
+
+    def test_zf_chains_chunked_streaming(self, random_signal):
+        # regression: zf used to be the raw last sample, which broke the
+        # documented zi/zf streaming contract at every chunk boundary
+        y = random_signal[:1000]
+        a, zf = preemphasis(y[:400], coef=0.97, return_zf=True)
+        b = preemphasis(y[400:], coef=0.97, zi=zf)
+        chunked = np.concatenate([np.asarray(a), np.asarray(b)])
+        full = np.asarray(preemphasis(y, coef=0.97))
+        np.testing.assert_allclose(chunked, full, atol=1e-5)
 
     def test_batched(self, batch_signals):
         out = np.asarray(preemphasis(batch_signals))

@@ -21,6 +21,19 @@ def _acf_oracle(y, max_lag=None, normalize=True, center=True):
 
 
 class TestAutocorrelation:
+    def test_fmax_above_sr_does_not_report_f0_equals_sr(self, sine_signal):
+        # regression: fmax > sr made min_lag 0, so the trivially-1.0
+        # zero-lag ACF won every frame and f0 came out as exactly sr
+        from mlx_audio_primitives_tpu import pitch_detect_acf
+
+        f0, voiced = pitch_detect_acf(sine_signal, sr=22050, fmax=44100)
+        f0 = np.asarray(f0)
+        voiced = np.asarray(voiced)
+        assert not np.any(f0[voiced] == 22050.0)
+        # the 440 Hz tone is still found
+        mid = f0[voiced]
+        assert np.abs(np.median(mid) - 440.0) < 20.0
+
     def test_matches_oracle(self, random_signal):
         ours = np.asarray(autocorrelation(random_signal, max_lag=500))
         ref = _acf_oracle(random_signal, max_lag=500)
