@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from .._config import MATMUL_PRECISION, REAL_DTYPE, WINDOW_SUM_EPSILON
 from ..kernels.bluestein import irfft_len, rfft_len
 from .convert import power_to_db
-from ._frames import frame_signal_batched, overlap_add
+from ._frames import frame_signal_batched, overlap_add, window_envelope
 from .mel import mel_filterbank
 from .stft import _get_padded_window
 
@@ -116,8 +116,7 @@ def streaming_istft_push(
     frames = irfft_len(spec, n_fft).astype(REAL_DTYPE) * win
     out_len = n_fft + (F - 1) * hop_length
     local = overlap_add(frames, hop_length, out_len)
-    sq = jnp.broadcast_to(win * win, (1, F, n_fft))
-    local_env = overlap_add(sq, hop_length, out_len)
+    local_env = window_envelope(win, F, hop_length, out_len)[None]
     emit_len = F * hop_length
     tail_len = n_fft - hop_length
     combined = local.at[:, :tail_len].add(sample_tail)

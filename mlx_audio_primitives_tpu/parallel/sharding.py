@@ -51,6 +51,19 @@ def data_parallel(fn: Callable, mesh: Mesh) -> Callable:
         if not arrs:
             return fn(*args, **kwargs)
         batch = arrs[0].shape[0]
+        # every positional array is sharded over 'data' by contract; an aux
+        # array (window, filterbank) passed positionally would be silently
+        # SLICED per shard whenever its length divides the mesh — reject the
+        # mismatch instead of corrupting it
+        for i, a in zip(arr_idx, arrs):
+            if a.shape[0] != batch:
+                raise TypeError(
+                    f"data_parallel: positional array argument {i} has "
+                    f"leading dim {a.shape[0]} != batch {batch}; every "
+                    "positional array is batch-sharded — pass auxiliary "
+                    "non-batched arrays (windows/filterbanks/params) as "
+                    "keyword arguments, which are replicated."
+                )
         # a batched array passed as a kwarg would be silently closed over
         # UN-sharded — every shard would compute over the full batch and the
         # concatenated output would be garbage. Reject the ambiguity.

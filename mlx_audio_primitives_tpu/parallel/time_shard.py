@@ -73,12 +73,11 @@ def _right_halo(y_local: jax.Array, halo: int, t_size: int) -> jax.Array:
     return jnp.where(t_idx == t_size - 1, jnp.zeros_like(head), head)
 
 
-def _local_ri(y_local, win, basis, halo, t_size, n_fft, hop_length):
-    """Shared shard-local pipeline: halo-extend -> frame -> window -> DFT-GEMM.
+def _local_ri(ext, win, basis, n_fft, hop_length):
+    """Shard-local frame -> window -> DFT-GEMM over the halo-extended signal.
 
     Returns the stacked real|imag spectrum ``(B_l, F_l, 2*n_bins)``.
     """
-    ext = jnp.concatenate([y_local, _right_halo(y_local, halo, t_size)], axis=1)
     frames = frame_signal_batched(ext, n_fft, hop_length) * win
     return jnp.matmul(frames, basis, precision=MATMUL_PRECISION)
 
@@ -160,14 +159,23 @@ def stft_time_sharded(
     """STFT of ``(batch, samples)`` sharded (data, time) -> complex
     ``(batch, n_frames, n_bins)`` sharded (data, time, -).
 
+    NOTE the FRAMES-MAJOR layout: the sharded ops put frames on axis 1 (the
+    'time'-sharded axis must lead the replicated bins), unlike the
+    bins-major ``(n_bins, n_frames)`` librosa convention of the
+    single-device ops — swap axes 1/2 when crossing between the two APIs.
+
     ``center=False``: ``n_frames = samples/hop`` (full frame grid; see module
-    docstring). ``center=True``: librosa drop-in — any signal length,
-    ``n_frames = 1 + samples//hop``, frames identical to ``ops.stft.stft``.
+    docstring). ``center=True``: librosa frame semantics — any signal
+    length, ``n_frames = 1 + samples//hop``, frames identical to
+    ``ops.stft.stft``.
     """
+    from ..ops.stft import _validate_stft_params
+
     if hop_length is None:
         hop_length = n_fft // 4
     if win_length is None:
         win_length = n_fft
+    _validate_stft_params(n_fft, hop_length, win_length, pad_mode)
     y = jnp.asarray(y, dtype=REAL_DTYPE)
     B, L = y.shape
     t_size = mesh.shape[TIME_AXIS]
@@ -192,12 +200,12 @@ def stft_time_sharded(
     n_bins = n_fft // 2 + 1
 
     def body(y_local, win_, basis_):
-        if mode == "matmul":
-            ri = _local_ri(y_local, win_, basis_, halo, t_size, n_fft, hop_length)
-            return lax.complex(ri[..., :n_bins], ri[..., n_bins:])
         ext = jnp.concatenate(
             [y_local, _right_halo(y_local, halo, t_size)], axis=1
         )
+        if mode == "matmul":
+            ri = _local_ri(ext, win_, basis_, n_fft, hop_length)
+            return lax.complex(ri[..., :n_bins], ri[..., n_bins:])
         if mode == "pallas":
             # one fused radix kernel per shard over the halo-extended local
             # samples; frame grid is exactly F_s = L_s/hop (center=False)
@@ -233,20 +241,27 @@ def istft_time_sharded(
 ) -> jax.Array:
     """Inverse of :func:`stft_time_sharded`.
 
-    ``center=False``: frames ``(B, F, bins)`` sharded (data, time, -) ->
+    Input is FRAMES-MAJOR ``(B, F, bins)`` — the layout
+    :func:`stft_time_sharded` emits — not the bins-major librosa layout of
+    the single-device ops (swap axes 1/2 when crossing APIs).
+
+    ``center=False``: frames sharded (data, time, -) ->
     signal ``(B, F*hop)`` sharded (data, time); per-shard local envelope
-    normalization. ``center=True``: librosa drop-in — overlap-adds raw shards
-    and normalizes by the exact global envelope, then trims the center pad,
-    equal to single-device ``istft`` everywhere (edges included); ``length``
-    crops/zero-pads like the single-device op.
+    normalization. ``center=True``: librosa-equal reconstruction —
+    overlap-adds raw shards and normalizes by the exact global envelope,
+    then trims the center pad, equal to single-device ``istft`` everywhere
+    (edges included); ``length`` crops/zero-pads like the single-device op.
     """
+    from ..ops.stft import _validate_stft_params
+
     if hop_length is None:
         hop_length = n_fft // 4
     if win_length is None:
         win_length = n_fft
+    _validate_stft_params(n_fft, hop_length, win_length, "constant")
     S = jnp.asarray(S)
     t_size = mesh.shape[TIME_AXIS]
-    B, F, n_bins = S.shape
+    F = S.shape[1]
     halo = n_fft - hop_length
     C = cdiv(n_fft, hop_length)
     if center:
@@ -333,10 +348,22 @@ def istft_time_sharded(
         return out
 
     # global normalization + librosa center trim (outside the shard_map:
-    # elementwise, XLA shards it with no extra collectives)
+    # elementwise, XLA shards it with no extra collectives). For string/
+    # tuple windows the clamped envelope comes from the cached host-f64
+    # table (`ops/stft._istft_envelope_table`) — recomputing it as a traced
+    # overlap-add would roughly double the OLA work per call.
+    from ..ops.stft import _istft_envelope_table, _window_key
+
     total = n_fft + (F - 1) * hop_length
-    env = window_envelope(win, F, hop_length, total)
-    y_full = raw[:, :total] / jnp.maximum(env, WINDOW_SUM_EPSILON)
+    wkey = _window_key(window)
+    if wkey is not None:
+        env = _istft_envelope_table(wkey, win_length, n_fft, F, hop_length,
+                                    total)
+    else:
+        env = jnp.maximum(
+            window_envelope(win, F, hop_length, total), WINDOW_SUM_EPSILON
+        )
+    y_full = raw[:, :total] / env
     pad = n_fft // 2
     out_len = total - 2 * pad if length is None else length
     avail = total - pad  # samples available after the left trim
@@ -363,10 +390,13 @@ def logmel_time_sharded(
     ``(B, F, n_mels)`` (data, time, -). Power mel in dB without top_db clip
     (the global max would need a collective; the training frontend does not
     clip). ``center=True`` gives librosa frame semantics (any length)."""
+    from ..ops.stft import _validate_stft_params
+
     if hop_length is None:
         hop_length = n_fft // 4
     if win_length is None:
         win_length = n_fft
+    _validate_stft_params(n_fft, hop_length, win_length, pad_mode)
     y = jnp.asarray(y, dtype=REAL_DTYPE)
     B, L = y.shape
     t_size = mesh.shape[TIME_AXIS]
@@ -394,8 +424,11 @@ def logmel_time_sharded(
     from ..ops.convert import power_to_db
 
     def body(y_local, win_, basis_, fb_):
+        ext = jnp.concatenate(
+            [y_local, _right_halo(y_local, halo, t_size)], axis=1
+        )
         if mode == "matmul":
-            ri = _local_ri(y_local, win_, basis_, halo, t_size, n_fft, hop_length)
+            ri = _local_ri(ext, win_, basis_, n_fft, hop_length)
             pow2 = ri[..., :n_bins] ** 2 + ri[..., n_bins:] ** 2
             mel = jnp.matmul(pow2, fb_, precision=MATMUL_PRECISION)
         elif mode == "pallas":
@@ -403,9 +436,6 @@ def logmel_time_sharded(
             # GEMM) is ONE fused kernel dispatch
             from ..kernels.mel_fused import melspectrogram_pallas
 
-            ext = jnp.concatenate(
-                [y_local, _right_halo(y_local, halo, t_size)], axis=1
-            )
             mel = jnp.swapaxes(
                 melspectrogram_pallas(
                     ext, win_, fb_, n_fft=n_fft, hop_length=hop_length,
@@ -413,9 +443,6 @@ def logmel_time_sharded(
                 ), 1, 2,
             )
         else:
-            ext = jnp.concatenate(
-                [y_local, _right_halo(y_local, halo, t_size)], axis=1
-            )
             spec = jnp.fft.rfft(
                 frame_signal_batched(ext, n_fft, hop_length) * win_, axis=-1
             )
