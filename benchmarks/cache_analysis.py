@@ -89,11 +89,19 @@ def per_table_cold_warm() -> list[BenchmarkResult]:
             )
             continue
         for label, args in cases:
-            cache.clear()
-            t0 = time.perf_counter()
-            jax.block_until_ready(cache(*args))
-            cold = time.perf_counter() - t0
-            warm = time_function(lambda: cache(*args), warmup=2, runs=20)
+            try:
+                cache.clear()
+                t0 = time.perf_counter()
+                jax.block_until_ready(cache(*args))
+                cold = time.perf_counter() - t0
+                warm = time_function(lambda: cache(*args), warmup=2, runs=20)
+            except Exception as e:
+                # a stale canonical arg tuple must not abort every other
+                # table's analysis
+                out.append(BenchmarkResult(
+                    name=f"table:{name}[{label}] FAILED "
+                         f"({type(e).__name__})", time_ms=-1.0))
+                continue
             out.append(
                 BenchmarkResult(
                     name=f"table:{name} {label}",

@@ -17,15 +17,13 @@ import jax
 import jax.numpy as jnp
 
 from .schemas import BenchmarkResult
-from .utils import compute_accuracy, time_jax_amortized
+from .utils import rand_signal, compute_accuracy, time_jax_amortized
 
 SR = 22050
 
 
 def _sig(batch: int | None = None, n: int = SR, seed: int = 0) -> jax.Array:
-    rng = np.random.default_rng(seed)
-    shape = (n,) if batch is None else (batch, n)
-    return jax.device_put(jnp.asarray(rng.standard_normal(shape).astype(np.float32)))
+    return rand_signal(n, batch, seed)
 
 
 def fallback_mel() -> list[BenchmarkResult]:

@@ -52,9 +52,10 @@ EXPECTED_SPEEDUP = {
 
 
 def expected_speedup(device_kind: str) -> float:
-    for k, v in EXPECTED_SPEEDUP.items():
+    # longest prefix wins: 'TPU v5p' must not be shadowed by 'TPU v5'
+    for k in sorted(EXPECTED_SPEEDUP, key=len, reverse=True):
         if device_kind.startswith(k):
-            return v
+            return EXPECTED_SPEEDUP[k]
     return 1.0
 
 

@@ -156,16 +156,30 @@ def main(argv: list[str] | None = None) -> int:
         results.extend(run_all(args.suite or SUITE_ORDER))
     elif not (args.scaling or args.cache_analysis or args.memory):
         results.extend(run_all(SUITE_ORDER))
-    if args.scaling:
+    # each optional section degrades independently (like run_all): a flaky
+    # attachment failing one section must not discard the collected results
+    def _section(flag, name, fn):
+        if not flag:
+            return
+        try:
+            results.extend(fn())
+        except Exception as e:
+            print(f"section {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    def _run_scaling():
         from .scaling import run_scaling
 
-        results.extend(run_scaling())
-    if args.cache_analysis:
+        return run_scaling()
+
+    def _run_cache():
         from .cache_analysis import run_cache_analysis
 
-        results.extend(run_cache_analysis())
-    if args.memory:
-        results.extend(run_memory())
+        return run_cache_analysis()
+
+    _section(args.scaling, "scaling", _run_scaling)
+    _section(args.cache_analysis, "cache-analysis", _run_cache)
+    _section(args.memory, "memory", run_memory)
 
     print(format_results(results, args.output))
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .schemas import BenchmarkResult
-from .utils import time_jax_amortized
+from .utils import rand_signal, time_jax_amortized
 
 LENGTHS = [8000, 22050, 44100, 88200, 176400, 705600]
 BATCHES = [1, 8, 32, 64]
@@ -29,9 +29,7 @@ N_ITERS = [8, 32, 64]
 
 
 def _signal(batch: int, n: int) -> jax.Array:
-    rng = np.random.default_rng(0)
-    y = rng.standard_normal((batch, n)).astype(np.float32)
-    return jax.device_put(jnp.asarray(y[0] if batch == 1 else y))
+    return rand_signal(n, batch)
 
 
 def scaling_grid() -> list[BenchmarkResult]:

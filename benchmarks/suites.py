@@ -23,6 +23,9 @@ SR = 22050
 
 
 def _signal(n=SR, batch=None, seed=0):
+    """HOST numpy signal — callers feed both the device op and the torch/
+    scipy CPU oracle (torch.from_numpy needs host memory); the device-side
+    suites use `utils.rand_signal` instead."""
     rng = np.random.default_rng(seed)
     shape = (n,) if batch is None else (batch, n)
     return rng.standard_normal(shape).astype(np.float32)

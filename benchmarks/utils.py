@@ -20,6 +20,14 @@ import jax.numpy as jnp
 from .schemas import AccuracyStats
 
 
+def rand_signal(n: int, batch: int | None = None, seed: int = 0) -> jax.Array:
+    """Seeded random float32 test signal on device: ``(n,)`` when batch is
+    None or 1, else ``(batch, n)`` (shared by every benchmark suite)."""
+    rng = np.random.default_rng(seed)
+    shape = (n,) if batch in (None, 1) else (batch, n)
+    return jax.device_put(jnp.asarray(rng.standard_normal(shape).astype(np.float32)))
+
+
 def time_function(
     fn: Callable[[], object],
     warmup: int = 3,

@@ -47,8 +47,9 @@ inline double linspace_at(double start, double stop, int64_t n, int64_t k) {
 }
 
 // Symmetric generalized-cosine window of length n with coefficients a[0..nc).
-void general_cosine(int64_t n, const double* a, int64_t nc, bool clamp,
-                    double* out) {
+// Negative values are kept as-is (blackman endpoints are ~-1.4e-17 in
+// scipy; clamping them would break byte-exact parity).
+void general_cosine(int64_t n, const double* a, int64_t nc, double* out) {
   if (n == 1) {
     out[0] = 1.0;
     return;
@@ -58,7 +59,7 @@ void general_cosine(int64_t n, const double* a, int64_t nc, bool clamp,
     double fac = linspace_at(-kPi, kPi, n, k);
     double w = 0.0;
     for (int64_t j = 0; j < nc; ++j) w += a[j] * std::cos(j * fac);
-    out[k] = clamp && w < 0.0 ? 0.0 : w;
+    out[k] = w;
   }
 }
 
@@ -69,13 +70,13 @@ int symmetric_window(int32_t kind, int64_t n, double beta, double* out) {
   if (n <= 0) return -1;
   switch (kind) {
     case 0:  // hann
-      general_cosine(n, hann, 2, false, out);
+      general_cosine(n, hann, 2, out);
       return 0;
     case 1:  // hamming
-      general_cosine(n, hamming, 2, false, out);
+      general_cosine(n, hamming, 2, out);
       return 0;
     case 2:  // blackman: scipy keeps the ~-1e-17 f64 endpoints, so do we
-      general_cosine(n, blackman, 3, false, out);
+      general_cosine(n, blackman, 3, out);
       return 0;
     case 3: {  // bartlett
       if (n == 1) {

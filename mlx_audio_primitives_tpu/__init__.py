@@ -71,7 +71,17 @@ from .ops import (
     zero_crossing_rate,
 )
 from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel/MFCC)
-from .utils.dispatch import HAS_PALLAS_TPU as _HAS_PALLAS_TPU  # noqa: F401
+
+
+def __getattr__(name: str):  # pragma: no cover - lazy flag resolution
+    # the analog of the reference's `_HAS_CPP_EXT` flag (`__init__.py:94`
+    # there). Resolved lazily: reading it initializes the XLA backend, and
+    # doing that at import time would break jax.distributed.initialize().
+    if name == "_HAS_PALLAS_TPU":
+        from .utils.dispatch import has_pallas_tpu
+
+        return has_pallas_tpu()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
     "__version__",

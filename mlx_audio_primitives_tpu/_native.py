@@ -37,8 +37,14 @@ _lib: ctypes.CDLL | None = None
 
 
 def _try_build() -> None:
-    if _SO_PATH.exists() or not (_CSRC / "Makefile").exists():
+    if not (_CSRC / "Makefile").exists():
         return
+    if _SO_PATH.exists():
+        # rebuild when the C++ source is newer than the built library —
+        # a stale .so would silently serve outdated table math
+        src = _CSRC / "tables.cpp"
+        if not src.exists() or src.stat().st_mtime <= _SO_PATH.stat().st_mtime:
+            return
     if os.environ.get("MLX_AUDIO_TPU_NO_NATIVE_BUILD") == "1":
         return
     try:
@@ -141,4 +147,13 @@ def native_hz_to_mel(f: np.ndarray, htk: bool) -> np.ndarray | None:
     f = np.ascontiguousarray(f, np.float64)
     out = np.empty_like(f)
     rc = _lib.mapt_hz_to_mel(_ptr(f), f.size, int(htk), _ptr(out))
+    return out if rc == 0 else None
+
+
+def native_mel_to_hz(m: np.ndarray, htk: bool) -> np.ndarray | None:
+    if _lib is None:
+        return None
+    m = np.ascontiguousarray(m, np.float64)
+    out = np.empty_like(m)
+    rc = _lib.mapt_mel_to_hz(_ptr(m), m.size, int(htk), _ptr(out))
     return out if rc == 0 else None

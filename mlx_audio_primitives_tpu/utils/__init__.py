@@ -3,12 +3,23 @@
 from .cache import TableCache, cache_stats, clear_all_caches, table_cache
 from .dispatch import (
     HAS_PALLAS,
-    HAS_PALLAS_TPU,
     default_backend,
+    has_pallas_tpu,
     is_tpu,
     pallas_interpret_mode,
     resolve_use_pallas,
 )
+
+
+def __getattr__(name: str):  # pragma: no cover - back-compat shim
+    # HAS_PALLAS_TPU initializes the XLA backend on first read; importing it
+    # eagerly here would do that as a side effect of `import <package>`
+    # (breaking jax.distributed.initialize()), so it resolves lazily.
+    if name == "HAS_PALLAS_TPU":
+        from . import dispatch
+
+        return dispatch.has_pallas_tpu()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 from .profiler import (
     clear_profiling,
     start_device_trace,
@@ -47,6 +58,7 @@ __all__ = [
     "cache_stats",
     "HAS_PALLAS",
     "HAS_PALLAS_TPU",
+    "has_pallas_tpu",
     "default_backend",
     "is_tpu",
     "pallas_interpret_mode",

@@ -52,6 +52,10 @@ class TableCache:
         self._device_cache: dict[tuple, jax.Array] = {}
         self._maxsize = maxsize
         self._order: list[tuple] = []
+        # guards _device_cache/_order/counters: concurrent serving threads
+        # would otherwise corrupt the LRU order (duplicate keys -> a later
+        # eviction removes a still-hot entry) and lose counter updates
+        self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
         with _REGISTRY_LOCK:
@@ -59,19 +63,22 @@ class TableCache:
 
     def __call__(self, *args) -> jax.Array:
         key = (args, jax.default_backend())
-        hit = self._device_cache.get(key)
+        with self._lock:
+            hit = self._device_cache.get(key)
+            if hit is not None:
+                self.hits += 1
+                # true LRU: a hit refreshes recency (otherwise eviction is
+                # FIFO and a constantly-hit table can be evicted by churn)
+                try:
+                    self._order.remove(key)
+                except ValueError:
+                    pass
+                self._order.append(key)
         if hit is not None:
-            self.hits += 1
             self._note_profiler(True)
-            # true LRU: a hit refreshes recency (otherwise eviction is FIFO
-            # and a constantly-hit table can be evicted by churn)
-            try:
-                self._order.remove(key)
-            except ValueError:
-                pass
-            self._order.append(key)
             return hit
-        self.misses += 1
+        with self._lock:
+            self.misses += 1
         self._note_profiler(False)
         host = self._host_builder(*args)
         # ensure_compile_time_eval keeps the device_put concrete even when a
@@ -86,11 +93,15 @@ class TableCache:
             # trace, but caching it would poison every later trace — return
             # it uncached (the first concrete call populates the cache).
             return dev
-        if len(self._device_cache) >= self._maxsize and self._order:
-            oldest = self._order.pop(0)
-            self._device_cache.pop(oldest, None)
-        self._device_cache[key] = dev
-        self._order.append(key)
+        with self._lock:
+            if key not in self._device_cache:
+                if len(self._device_cache) >= self._maxsize and self._order:
+                    oldest = self._order.pop(0)
+                    self._device_cache.pop(oldest, None)
+                self._device_cache[key] = dev
+                self._order.append(key)
+            else:
+                dev = self._device_cache[key]  # concurrent builder won
         return dev
 
     def host(self, *args) -> np.ndarray:

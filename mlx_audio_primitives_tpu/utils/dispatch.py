@@ -36,12 +36,29 @@ def _pallas_available() -> bool:
     return True
 
 
-#: True when compiled (non-interpret) Pallas TPU kernels can run.
-HAS_PALLAS_TPU: bool = is_tpu() and _pallas_available()
-
 #: True when Pallas kernels can run at all (interpret mode on CPU is used by
 #: the equivalence test suite, the analog of `tests/test_cpp_extension.py`).
 HAS_PALLAS: bool = _pallas_available()
+
+
+def has_pallas_tpu() -> bool:
+    """True when compiled (non-interpret) Pallas TPU kernels can run.
+
+    Computed LAZILY — ``jax.default_backend()`` initializes the XLA backend,
+    and doing that at import time would break programs that must call
+    ``jax.distributed.initialize()`` (or set the platform) after importing
+    this library. First use happens inside an op call, where the backend is
+    being initialized anyway.
+    """
+    return is_tpu() and HAS_PALLAS
+
+
+def __getattr__(name: str):  # pragma: no cover - thin back-compat shim
+    # HAS_PALLAS_TPU used to be a module constant; keep the name importable
+    # without paying the import-time backend initialization.
+    if name == "HAS_PALLAS_TPU":
+        return has_pallas_tpu()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def resolve_use_pallas(flag: bool | None, default_on_tpu: bool = False) -> bool:
@@ -57,7 +74,7 @@ def resolve_use_pallas(flag: bool | None, default_on_tpu: bool = False) -> bool:
     if flag is True:
         return HAS_PALLAS
     if flag is None and default_on_tpu:
-        return HAS_PALLAS_TPU
+        return has_pallas_tpu()
     return False
 
 

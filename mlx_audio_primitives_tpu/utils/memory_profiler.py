@@ -66,13 +66,24 @@ class MemoryProfile:
 
 @contextlib.contextmanager
 def track_memory():
-    """Context manager yielding a MemoryProfile filled on exit."""
+    """Context manager yielding a MemoryProfile filled on exit.
+
+    PJRT limitation (unlike the reference's ``mx.metal.reset_peak_memory``):
+    ``peak_bytes_in_use`` is process-lifetime and cannot be reset, so a
+    region's true peak is visible only when it EXCEEDS every earlier peak.
+    The reported ``peak`` is therefore clamped to at least the region's
+    entry peak — when a prior workload peaked higher, ``peak_mb`` reflects
+    that earlier high-water mark, and ``efficiency`` is a lower bound.
+    Profile representative workloads in a fresh process for exact numbers.
+    """
     prof = MemoryProfile(active_before=get_active_memory(), active_after=0, peak=0)
+    peak_before = get_peak_memory()
     try:
         yield prof
     finally:
         prof.active_after = get_active_memory()
         prof.peak = get_peak_memory()
+        prof.extra["peak_is_process_lifetime"] = prof.peak <= peak_before
 
 
 def _nbytes(tree) -> int:

@@ -11,6 +11,7 @@ from mlx_audio_primitives_tpu._native import (
     HAS_NATIVE,
     native_dct_basis_t,
     native_hz_to_mel,
+    native_mel_to_hz,
     native_mel_filterbank,
     native_window,
 )
@@ -77,6 +78,12 @@ class TestNativeMelScale:
         np.testing.assert_allclose(
             native_hz_to_mel(f, htk), hz_to_mel_np(f, htk=htk), atol=1e-12
         )
+
+    @pytest.mark.parametrize("htk", [False, True])
+    def test_mel_to_hz_roundtrip(self, htk):
+        f = np.array([0.0, 200.0, 440.0, 999.9, 1000.0, 4000.0, 11025.0])
+        m = native_hz_to_mel(f, htk)
+        np.testing.assert_allclose(native_mel_to_hz(m, htk), f, atol=1e-8)
 
 
 class TestIntegration:
