@@ -101,6 +101,53 @@ class TestTableCache:
         np.testing.assert_allclose(np.asarray(fb), host.astype(np.float32))
 
 
+class TestDispatch:
+    def test_kill_switch_disables_pallas(self):
+        # MLX_AUDIO_TPU_DISABLE_PALLAS acts at import time — check in a
+        # subprocess so the library imports fresh with the env set
+        import subprocess
+        import sys
+
+        code = (
+            "import mlx_audio_primitives_tpu.utils.dispatch as d;"
+            "assert not d.HAS_PALLAS;"
+            "assert not d.has_pallas_tpu();"
+            "assert not d.resolve_use_pallas(True);"
+            "print('ok')"
+        )
+        import os
+
+        env = dict(os.environ, MLX_AUDIO_TPU_DISABLE_PALLAS="1",
+                   JAX_PLATFORMS="cpu")
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=120)
+        # without the switch, HAS_PALLAS must be true in this environment
+        from mlx_audio_primitives_tpu.utils import dispatch
+
+        assert dispatch.HAS_PALLAS
+        proc = subprocess.run([sys.executable, "-c", code], env=env,
+                              capture_output=True, text=True, timeout=120)
+        assert proc.returncode == 0, proc.stderr[-500:]
+        assert "ok" in proc.stdout
+
+    def test_import_does_not_initialize_backend(self):
+        # regression: the HAS_PALLAS_TPU module constant used to call
+        # jax.default_backend() at import, breaking distributed init
+        import subprocess
+        import sys
+
+        code = (
+            "import mlx_audio_primitives_tpu;"
+            "from jax._src import xla_bridge;"
+            "assert not xla_bridge.backends_are_initialized();"
+            "print('ok')"
+        )
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=120)
+        assert proc.returncode == 0, proc.stderr[-500:]
+        assert "ok" in proc.stdout
+
+
 class TestWarmup:
     def test_warmup_compiles_requested_ops(self):
         from mlx_audio_primitives_tpu.utils import warmup
