@@ -3,6 +3,7 @@
 from .pipelines import (
     LogMelFrontend,
     MFCCPipeline,
+    TrainableLogMelFrontend,
     init_classifier_params,
     make_sharded_train_step,
 )
@@ -17,6 +18,7 @@ from .presets import (
 __all__ = [
     "LogMelFrontend",
     "MFCCPipeline",
+    "TrainableLogMelFrontend",
     "init_classifier_params",
     "make_sharded_train_step",
     "PRESETS",

@@ -103,6 +103,72 @@ class MFCCPipeline:
         )
 
 
+class TrainableLogMelFrontend:
+    """Log-mel frontend with a LEARNABLE filterbank.
+
+    Gradients flow through the fused Pallas mel kernel — its
+    XLA-composition VJP (`kernels/mel_fused.py::_mel_vjp_fn`) computes the
+    cotangent with respect to the filterbank argument, so the filterbank can
+    be trained end-to-end like any other parameter (a common production
+    pattern: initialize at the mel bank, let the task reshape it).
+
+    ``init_params()`` returns ``{"fb_t": (n_bins, n_mels)}`` initialized to
+    the slaney mel bank; ``apply(params, y)`` returns ``(B, n_mels, F)`` dB
+    features, differentiable in both ``params`` and ``y``.
+    """
+
+    def __init__(
+        self,
+        sr: int = 22050,
+        n_fft: int = 2048,
+        hop_length: int = 512,
+        n_mels: int = 128,
+        window: str = "hann",
+    ):
+        self.sr, self.n_fft, self.hop_length = sr, n_fft, hop_length
+        self.n_mels = n_mels
+        from ..ops.stft import _get_padded_window
+
+        self.win = _get_padded_window(window, n_fft, n_fft)
+
+    def init_params(self) -> dict[str, jax.Array]:
+        from ..ops.mel import mel_filterbank
+
+        fb = mel_filterbank(self.sr, self.n_fft, n_mels=self.n_mels)
+        return {"fb_t": jnp.asarray(fb).T}
+
+    def apply(self, params: dict, y: ArrayLike) -> jax.Array:
+        from ..kernels.mel_fused import melspectrogram_pallas, radix_supported
+        from ..utils import dispatch
+
+        y = jnp.asarray(y)
+        squeeze = y.ndim == 1
+        if squeeze:
+            y = y[None]
+        fb_t = params["fb_t"]
+        if (
+            dispatch.resolve_use_pallas(None, default_on_tpu=True)
+            and radix_supported(self.n_fft, self.hop_length, self.n_mels)
+        ):
+            mel = melspectrogram_pallas(
+                y, self.win, fb_t, n_fft=self.n_fft,
+                hop_length=self.hop_length, center=True, pad_mode="constant",
+            )
+        else:
+            from ..kernels.bluestein import rfft_power_len
+            from ..ops._frames import frame_signal_batched
+
+            pad = self.n_fft // 2
+            yp = jnp.pad(y, ((0, 0), (pad, pad)))
+            frames = frame_signal_batched(yp, self.n_fft, self.hop_length)
+            p = rfft_power_len(frames * self.win, self.n_fft)
+            mel = jnp.swapaxes(
+                jnp.matmul(p, fb_t, precision=MATMUL_PRECISION), 1, 2
+            )
+        out = power_to_db(mel, top_db=None)
+        return out[0] if squeeze else out
+
+
 # ---------------------------------------------------------------------------
 # Multi-chip training step (dp over 'data', sp over 'time')
 
