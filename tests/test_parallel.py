@@ -325,6 +325,27 @@ class TestDataParallelHelper:
         out = fn(y, gain=np.float32(2.0))
         assert np.asarray(out).max() == 2.0
 
+    def test_data_parallel_griffinlim_grouped_loop(self):
+        # the entire group-layout Griffin-Lim fori_loop (fused STFT + fused
+        # ISTFT per iteration) runs per shard inside data_parallel
+        import numpy as np
+
+        from mlx_audio_primitives_tpu import griffinlim, stft
+        from mlx_audio_primitives_tpu.parallel import data_parallel, make_mesh
+
+        mesh = make_mesh(n_data=8, n_time=1)
+        rng = np.random.default_rng(5)
+        y = rng.standard_normal((8, 8192)).astype(np.float32)
+        S = np.abs(np.asarray(stft(y, n_fft=1024, hop_length=256)))
+        fn = data_parallel(
+            lambda s: griffinlim(s, n_iter=2, hop_length=256, init="zeros",
+                                 use_pallas=True), mesh)
+        out = np.asarray(fn(S))
+        ref = np.asarray(griffinlim(S, n_iter=2, hop_length=256,
+                                    init="zeros", use_pallas=False))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
     def test_data_parallel_with_fused_kernel(self):
         # the fused mel kernel (radix-supported shape, forced on) runs as a
         # per-shard device-local kernel inside data_parallel's shard_map
