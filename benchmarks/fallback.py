@@ -64,7 +64,11 @@ def fallback_stft() -> list[BenchmarkResult]:
         (512, ("auto", "matmul", "fft")),
         (2048, ("auto", "sixstep", "fft")),
     ]:
-        ref = np.asarray(stft(y, n_fft=n_fft, hop_length=n_fft // 4))
+        # compare |.| taken ON DEVICE: complex64 device->host transfer is
+        # unimplemented on some remote TPU attachments, and the failed
+        # transfer kills the whole process's device session (every
+        # subsequent suite then fails identically)
+        ref = np.asarray(jnp.abs(stft(y, n_fft=n_fft, hop_length=n_fft // 4)))
         t_auto = None
         for mode in modes:
             fn = lambda x, m=mode, n=n_fft: stft(x, n_fft=n, hop_length=n // 4,
@@ -83,7 +87,9 @@ def fallback_stft() -> list[BenchmarkResult]:
                         time_ms=t * 1e3,
                         baseline_name="auto",
                         baseline_time_ms=t_auto * 1e3,
-                        accuracy=compute_accuracy(np.asarray(fn(y)), ref),
+                        accuracy=compute_accuracy(
+                            np.asarray(jnp.abs(fn(y))), ref
+                        ),
                     )
                 )
     # odd n_fft exercises the Bluestein chirp-Z branch regardless of mode
