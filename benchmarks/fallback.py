@@ -26,6 +26,18 @@ def _sig(batch: int | None = None, n: int = SR, seed: int = 0) -> jax.Array:
     return rand_signal(n, batch, seed)
 
 
+def _complex_planes(S: jax.Array) -> np.ndarray:
+    """Stacked (real, imag) float32 planes of a complex device array.
+
+    complex64 device->host transfer is unimplemented on some remote TPU
+    attachments, and the failed transfer kills the whole process's device
+    session (every subsequent suite then fails identically). Transferring
+    the planes separately keeps the comparison phase-sensitive — a
+    sign/conjugate twiddle error that preserves |S| still shows up.
+    """
+    return np.stack([np.asarray(jnp.real(S)), np.asarray(jnp.imag(S))])
+
+
 def fallback_mel() -> list[BenchmarkResult]:
     """melspectrogram: fused Pallas radix kernel vs each XLA fft_mode."""
     from mlx_audio_primitives_tpu import melspectrogram
@@ -64,11 +76,7 @@ def fallback_stft() -> list[BenchmarkResult]:
         (512, ("auto", "matmul", "fft")),
         (2048, ("auto", "sixstep", "fft")),
     ]:
-        # compare |.| taken ON DEVICE: complex64 device->host transfer is
-        # unimplemented on some remote TPU attachments, and the failed
-        # transfer kills the whole process's device session (every
-        # subsequent suite then fails identically)
-        ref = np.asarray(jnp.abs(stft(y, n_fft=n_fft, hop_length=n_fft // 4)))
+        ref = _complex_planes(stft(y, n_fft=n_fft, hop_length=n_fft // 4))
         t_auto = None
         for mode in modes:
             fn = lambda x, m=mode, n=n_fft: stft(x, n_fft=n, hop_length=n // 4,
@@ -87,9 +95,7 @@ def fallback_stft() -> list[BenchmarkResult]:
                         time_ms=t * 1e3,
                         baseline_name="auto",
                         baseline_time_ms=t_auto * 1e3,
-                        accuracy=compute_accuracy(
-                            np.asarray(jnp.abs(fn(y))), ref
-                        ),
+                        accuracy=compute_accuracy(_complex_planes(fn(y)), ref),
                     )
                 )
     # odd n_fft exercises the Bluestein chirp-Z branch regardless of mode

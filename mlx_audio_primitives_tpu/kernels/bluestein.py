@@ -217,8 +217,8 @@ def rfft_len(x: jax.Array, n: int) -> jax.Array:
 
     Dispatch: pow2 -> pair-packed complex FFT (or plain rfft for single
     rows); n <= 4096 -> DFT-GEMM; balanced composite n -> two-factor GEMM
-    FFT (`sixstep.fft_general` — e.g. 44100 = 210*210, ~7x Bluestein on
-    v5e); else Bluestein.
+    FFT (`sixstep.fft_general` — e.g. 44100 = 210*210, measured ~2.3x the
+    Bluestein path on v5e at batch 8); else Bluestein.
     """
     if n & (n - 1) == 0:
         rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1

@@ -294,6 +294,44 @@ def _pick_blocks(B: int, C: int, R2: int, NC: int, hop: int,
     return 1, 8
 
 
+def melspectrogram_xla(
+    y: jax.Array,  # (B, L)
+    win: jax.Array,  # (n_fft,) padded window
+    fb_t: jax.Array,  # (n_bins, n_mels) mel filterbank transposed
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+    power: int = 2,
+) -> jax.Array:
+    """Pure-XLA composition of the fused kernel's exact pipeline.
+
+    The single source of truth for the kernel's reference semantics: it is
+    the forward the kernel's VJP differentiates (`_mel_vjp_fn`) AND the
+    fallback the trainable frontend uses off-TPU, so the two can never
+    drift. Any shape, any filterbank; ``power`` in {1, 2}.
+
+    Uses plain ``jnp.fft.rfft`` rather than the packed-FFT fast path: the
+    packed path's VJP hits an UNIMPLEMENTED op on some TPU runtimes, and
+    this composition's jobs (backward pass, off-TPU fallback) need
+    differentiability everywhere more than the last 2x of forward speed.
+    """
+    from ..ops._frames import frame_signal_batched
+
+    if center:
+        pad = n_fft // 2
+        y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+    frames = frame_signal_batched(y, n_fft, hop_length) * win
+    spec = jnp.fft.rfft(frames, axis=-1)
+    p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if power == 1:
+        p = jnp.sqrt(p)
+    return jnp.swapaxes(
+        jnp.matmul(p, fb_t, precision=MATMUL_PRECISION), 1, 2
+    )
+
+
 def melspectrogram_pallas(
     y: jax.Array,  # (B, L)
     win: jax.Array,  # (n_fft,) padded window
@@ -346,20 +384,10 @@ def _mel_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str,
         pad_mode=pad_mode, power=power,
     )
 
-    def xla_ref(y, win, fb_t):
-        from ..ops._frames import frame_signal_batched
-
-        if center:
-            pad = n_fft // 2
-            y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
-        frames = frame_signal_batched(y, n_fft, hop_length) * win
-        spec = jnp.fft.rfft(frames, axis=-1)
-        p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-        if power == 1:
-            p = jnp.sqrt(p)
-        return jnp.swapaxes(
-            jnp.matmul(p, fb_t, precision=MATMUL_PRECISION), 1, 2
-        )
+    xla_ref = partial(
+        melspectrogram_xla, n_fft=n_fft, hop_length=hop_length,
+        center=center, pad_mode=pad_mode, power=power,
+    )
 
     @jax.custom_vjp
     def f(y, win, fb_t, T, Bt):

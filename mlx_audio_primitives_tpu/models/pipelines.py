@@ -137,36 +137,37 @@ class TrainableLogMelFrontend:
         fb = mel_filterbank(self.sr, self.n_fft, n_mels=self.n_mels)
         return {"fb_t": jnp.asarray(fb).T}
 
-    def apply(self, params: dict, y: ArrayLike) -> jax.Array:
-        from ..kernels.mel_fused import melspectrogram_pallas, radix_supported
+    def apply(
+        self, params: dict, y: ArrayLike, use_pallas: bool | None = None
+    ) -> jax.Array:
+        from ..kernels.mel_fused import (
+            melspectrogram_pallas,
+            melspectrogram_xla,
+            radix_supported,
+        )
+        from .._config import REAL_DTYPE
+        from ..ops.stft import _as_batched
         from ..utils import dispatch
 
-        y = jnp.asarray(y)
-        squeeze = y.ndim == 1
-        if squeeze:
-            y = y[None]
-        fb_t = params["fb_t"]
+        y, input_is_1d = _as_batched(y, self.n_fft, True)
+        # gate on the ACTUAL filterbank width: trained params may not match
+        # the constructor's n_mels, and the kernel's VMEM budget depends on it
+        fb_t = jnp.asarray(params["fb_t"], dtype=REAL_DTYPE)
         if (
-            dispatch.resolve_use_pallas(None, default_on_tpu=True)
-            and radix_supported(self.n_fft, self.hop_length, self.n_mels)
+            dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+            and radix_supported(self.n_fft, self.hop_length, fb_t.shape[1])
         ):
             mel = melspectrogram_pallas(
                 y, self.win, fb_t, n_fft=self.n_fft,
                 hop_length=self.hop_length, center=True, pad_mode="constant",
             )
         else:
-            from ..kernels.bluestein import rfft_power_len
-            from ..ops._frames import frame_signal_batched
-
-            pad = self.n_fft // 2
-            yp = jnp.pad(y, ((0, 0), (pad, pad)))
-            frames = frame_signal_batched(yp, self.n_fft, self.hop_length)
-            p = rfft_power_len(frames * self.win, self.n_fft)
-            mel = jnp.swapaxes(
-                jnp.matmul(p, fb_t, precision=MATMUL_PRECISION), 1, 2
+            mel = melspectrogram_xla(
+                y, self.win, fb_t, n_fft=self.n_fft,
+                hop_length=self.hop_length, center=True, pad_mode="constant",
             )
         out = power_to_db(mel, top_db=None)
-        return out[0] if squeeze else out
+        return out[0] if input_is_1d else out
 
 
 # ---------------------------------------------------------------------------

@@ -113,3 +113,50 @@ class TestTrainableLogMelFrontend:
         p1, l0 = step(params)
         _, l1 = step(p1)
         assert float(l1) < float(l0)
+
+    def test_non_f32_input_is_cast(self):
+        """int16 PCM (the most common raw-audio dtype) must not reach the
+        Pallas kernel uncast — it goes through the same float32 promotion
+        as every other public op."""
+        fe, params, _ = self._setup()
+        rng = np.random.default_rng(1)
+        pcm = (rng.standard_normal((2, 8192)) * 8192).astype(np.int16)
+        out = fe.apply(params, pcm)
+        assert np.asarray(out).dtype == np.float32
+        ref = fe.apply(params, pcm.astype(np.float32))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_3d_input_rejected(self):
+        fe, params, _ = self._setup()
+        with np.testing.assert_raises(ValueError):
+            fe.apply(params, np.zeros((2, 2, 8192), np.float32))
+
+    def test_use_pallas_kwarg_forces_kernel_branch(self):
+        """use_pallas=True runs the fused-kernel branch even off-TPU
+        (interpret mode), matching every other kernel-backed public op."""
+        fe, params, y = self._setup()
+        out_kernel = fe.apply(params, y, use_pallas=True)
+        out_xla = fe.apply(params, y, use_pallas=False)
+        np.testing.assert_allclose(
+            np.asarray(out_kernel), np.asarray(out_xla), atol=2e-4
+        )
+
+    def test_wide_filterbank_falls_back_to_xla(self):
+        """params whose filterbank width exceeds the kernel's VMEM budget
+        must dispatch to the XLA path, not raise — the gate reads the
+        actual fb width, not the constructor's n_mels."""
+        import jax.numpy as jnp
+
+        from mlx_audio_primitives_tpu.kernels.mel_fused import radix_supported
+
+        fe, params, y = self._setup()
+        wide = 4096
+        assert not radix_supported(fe.n_fft, fe.hop_length, wide)
+        rng = np.random.default_rng(2)
+        params_wide = {
+            "fb_t": jnp.asarray(
+                np.abs(rng.standard_normal((513, wide))).astype(np.float32)
+            )
+        }
+        out = fe.apply(params_wide, y)  # must not raise
+        assert out.shape[0] == 2 and out.shape[1] == wide

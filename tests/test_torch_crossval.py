@@ -12,7 +12,24 @@ import torch
 
 from mlx_audio_primitives_tpu import get_window, istft, magnitude, mfcc, stft
 
-from oracles import mel_filterbank_np
+
+def mel_filterbank_oracle(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """(n_mels, n_bins) slaney mel bank from transformers.audio_utils —
+    a third-party transcription of librosa's algorithm (different authors
+    than this repo AND than tests/oracles.py), keeping this file free of
+    same-author oracles."""
+    import transformers.audio_utils as au
+
+    fb = au.mel_filter_bank(
+        num_frequency_bins=n_fft // 2 + 1,
+        num_mel_filters=n_mels,
+        min_frequency=0.0,
+        max_frequency=sr / 2,
+        sampling_rate=sr,
+        norm="slaney",
+        mel_scale="slaney",
+    )
+    return fb.T
 
 
 class TestSTFTCrossval:
@@ -23,6 +40,49 @@ class TestSTFTCrossval:
         ref = torch.stft(
             torch.from_numpy(random_signal), n_fft, hop,
             window=torch.hann_window(n_fft, periodic=True),
+            center=True, pad_mode="reflect", return_complex=True,
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+    def test_batched_stft_matches_torch(self, batch_signals):
+        """Every batch element matches torch's per-signal transform
+        (reference crossval covers batch semantics the same way)."""
+        n_fft, hop = 1024, 256
+        ours = np.asarray(
+            stft(batch_signals, n_fft=n_fft, hop_length=hop,
+                 pad_mode="reflect")
+        )
+        win = torch.hann_window(n_fft, periodic=True)
+        for b in range(batch_signals.shape[0]):
+            ref = torch.stft(
+                torch.from_numpy(np.asarray(batch_signals[b])), n_fft, hop,
+                window=win, center=True, pad_mode="reflect",
+                return_complex=True,
+            ).numpy()
+            np.testing.assert_allclose(ours[b], ref, atol=2e-3, rtol=1e-3)
+
+    def test_stft_center_false_matches_torch(self, random_signal):
+        ours = np.asarray(
+            stft(random_signal, n_fft=512, hop_length=128, center=False)
+        )
+        ref = torch.stft(
+            torch.from_numpy(random_signal), 512, 128,
+            window=torch.hann_window(512, periodic=True),
+            center=False, return_complex=True,
+        ).numpy()
+        np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+    def test_stft_win_length_lt_nfft_matches_torch(self, random_signal):
+        """win_length < n_fft: both sides center-pad the window to n_fft."""
+        n_fft, win_length, hop = 1024, 400, 256
+        ours = np.asarray(
+            stft(random_signal, n_fft=n_fft, hop_length=hop,
+                 win_length=win_length, pad_mode="reflect")
+        )
+        ref = torch.stft(
+            torch.from_numpy(random_signal), n_fft, hop,
+            win_length=win_length,
+            window=torch.hann_window(win_length, periodic=True),
             center=True, pad_mode="reflect", return_complex=True,
         ).numpy()
         np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
@@ -80,7 +140,7 @@ class TestMelCrossval:
             window=torch.hann_window(n_fft, periodic=True),
             center=True, pad_mode="constant", return_complex=True,
         )
-        fb = mel_filterbank_np(22050, n_fft, n_mels=n_mels)
+        fb = mel_filterbank_oracle(22050, n_fft, n_mels)
         ref = fb @ (spec.abs().numpy().astype(np.float64) ** 2)
         np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3 * ref.max())
 
@@ -105,6 +165,22 @@ class TestRoundTripCrossval:
         t_err = np.abs(t_rec - random_signal).max()
         assert ours_err <= max(10 * t_err, 1e-5)
 
+    def test_istft_output_matches_torch(self, random_signal):
+        """Feed torch's OWN spectrum to our istft: the reconstructions must
+        agree sample-for-sample (not just both be near the original) —
+        direct evidence the overlap-add + envelope normalization matches."""
+        n_fft, hop = 1024, 256
+        win = torch.hann_window(n_fft, periodic=True)
+        t_S = torch.stft(torch.from_numpy(random_signal), n_fft, hop,
+                         window=win, center=True, pad_mode="reflect",
+                         return_complex=True)
+        ours_rec = np.asarray(
+            istft(t_S.numpy(), hop_length=hop, length=len(random_signal))
+        )
+        t_rec = torch.istft(t_S, n_fft, hop, window=win, center=True,
+                            length=len(random_signal)).numpy()
+        np.testing.assert_allclose(ours_rec, t_rec, atol=1e-4)
+
 
 class TestMFCCCrossval:
     def test_mfcc_pipeline_torch_oracle(self, random_signal):
@@ -122,7 +198,7 @@ class TestMFCCCrossval:
             window=torch.hann_window(n_fft, periodic=True),
             center=True, pad_mode="constant", return_complex=True,
         )
-        fb = mel_filterbank_np(22050, n_fft, n_mels=n_mels)
+        fb = mel_filterbank_oracle(22050, n_fft, n_mels)
         mel = fb @ (spec.abs().numpy().astype(np.float64) ** 2)
         db = 10 * np.log10(np.maximum(mel, 1e-10))
         db = np.maximum(db, db.max() - 80.0)
