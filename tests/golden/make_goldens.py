@@ -127,6 +127,17 @@ def main() -> None:
         mel_floor=0.0,
     ).astype(np.float32)
 
+    # End-to-end MFCC: transformers mel power spec -> transformers power_to_db
+    # -> scipy DCT-II ortho over the mel axis, first 13 rows. Composes ONLY
+    # third-party oracles (the librosa mfcc recipe, reference `mfcc.py:143-287`).
+    M_db = au.power_to_db(
+        out["melspec/chirp/power"].astype(np.float64),
+        reference=1.0, min_value=1e-10, db_range=80.0,
+    )
+    out["mfcc/chirp/13"] = (
+        scipy.fft.dct(M_db, type=2, norm="ortho", axis=0)[:13].astype(np.float32)
+    )
+
     # dB conversions on a deterministic grid spanning amin..max regimes.
     S = (np.geomspace(1e-12, 1e4, 64).reshape(8, 8)).astype(np.float32)
     out["db/input"] = S
