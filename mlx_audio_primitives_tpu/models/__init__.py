@@ -1,5 +1,14 @@
-"""Composed flagship pipelines and the multi-chip training-step demo."""
+"""Composed flagship pipelines, the conv classifier, and checkpoint/resume."""
 
+from .checkpoint import HAS_ORBAX, restore_checkpoint, save_checkpoint
+from .convnet import (
+    audio_classifier_apply,
+    batch_sharding,
+    convnet_apply,
+    init_audio_classifier_params,
+    init_convnet_params,
+    make_convnet_train_step,
+)
 from .pipelines import (
     LogMelFrontend,
     MFCCPipeline,
@@ -21,6 +30,15 @@ __all__ = [
     "TrainableLogMelFrontend",
     "init_classifier_params",
     "make_sharded_train_step",
+    "init_convnet_params",
+    "convnet_apply",
+    "init_audio_classifier_params",
+    "audio_classifier_apply",
+    "batch_sharding",
+    "make_convnet_train_step",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "HAS_ORBAX",
     "PRESETS",
     "whisper_logmel",
     "vggish_logmel",

@@ -235,14 +235,29 @@ def make_sharded_train_step(
 
                 loss, grads = jax.value_and_grad(loss_fn)(p)
                 loss = lax.pmean(loss, DATA_AXIS)
-                grads = jax.tree.map(lambda g: lax.pmean(g, DATA_AXIS), grads)
+                # The params sit DOWNSTREAM of the time-axis psum (pooled
+                # features are complete on every time shard), so each time
+                # shard computes the full, identical gradient; pmean over
+                # 'time' is a consistency no-op and pmean over 'data' is the
+                # data-parallel average.
+                grads = jax.tree.map(
+                    lambda g: lax.pmean(g, (DATA_AXIS, TIME_AXIS)), grads
+                )
                 return loss, grads
 
+            # check_vma=False: jax 0.9's varying-manual-axes tracking makes
+            # in-body `grad` of a replicated param return the cross-device
+            # SUM (the cotangent is auto-psummed to restore invariance), so
+            # the explicit psum/pmean above would double-count. With vma
+            # tracking off, grads stay local and the collectives mean what
+            # they say. Regression-tested against the single-device step in
+            # `tests/test_parallel.py`.
             return shard_map(
                 body,
                 mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS, TIME_AXIS, None), P(DATA_AXIS)),
                 out_specs=(P(), P()),
+                check_vma=False,
             )(params, feats, labels)
 
         loss, grads = sharded_loss_and_grads(params, feats, labels)

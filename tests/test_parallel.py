@@ -260,6 +260,51 @@ class TestTrainStep:
         assert losses[-1] < losses[0]
         assert all(np.isfinite(losses))
 
+    def test_sharded_grads_match_single_device(self, mesh24, signal):
+        """Regression: jax 0.9's vma tracking makes in-body `grad` of a
+        replicated param return the cross-device SUM, silently scaling the
+        step by the mesh size (descent tests can't catch a scaled gradient).
+        The sharded step must equal the explicit single-device SGD step."""
+        n_mels, n_classes = 32, 5
+        rng = np.random.default_rng(4)
+        labels = jnp.asarray(rng.integers(0, n_classes, size=(4,)).astype(np.int32))
+        ys = jax.device_put(jnp.asarray(signal), batch_time_sharding(mesh24))
+        params = init_classifier_params(n_mels, n_classes)
+        lr = 0.05
+        step = jax.jit(
+            make_sharded_train_step(
+                mesh24, n_fft=N_FFT, hop_length=HOP, n_mels=n_mels,
+                n_classes=n_classes, lr=lr,
+            )
+        )
+        new_params, loss = step(params, ys, labels)
+
+        feats = jnp.asarray(
+            np.asarray(
+                logmel_time_sharded(
+                    jnp.asarray(signal), mesh24, n_fft=N_FFT, hop_length=HOP,
+                    n_mels=n_mels,
+                )
+            )
+        )  # (B, F, n_mels), identical values, unsharded
+
+        def loss_fn(p):
+            pooled = jnp.mean(feats, axis=1)
+            logits = pooled @ p["w"] + p["b"]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(
+                jnp.take_along_axis(logp, labels[:, None], axis=-1)
+            )
+
+        loss_ref, grads = jax.value_and_grad(loss_fn)(params)
+        ref_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(new_params[k]), np.asarray(ref_params[k]),
+                rtol=1e-4, atol=1e-6, err_msg=k,
+            )
+
     def test_pallas_frontend_trains_identically(self, mesh24):
         # the fused mel kernel as the per-shard frontend (fft_mode='pallas',
         # radix-supported shape): the whole 5-step training trajectory must
