@@ -35,6 +35,23 @@ class TestFrame:
         with pytest.raises(ValueError):
             frame(random_signal, 256, 128, axis=0)
 
+    @pytest.mark.parametrize(
+        "frame_length,hop",
+        [(64, 1), (64, 2), (64, 3), (512, 5), (512, 7), (512, 8),
+         (2048, 7), (2048, 13), (2048, 31), (2048, 63), (2048, 65)],
+    )
+    def test_tiny_hop_row_gather_exact(self, frame_length, hop):
+        """The small-hop path (C > 64 chunks: row gather, with the k-shifted
+        sub-gather variant for hop < 8) must be bit-exact vs direct indexing
+        across branch boundaries."""
+        rng = np.random.default_rng(7)
+        L = 4097
+        y = rng.standard_normal((2, L)).astype(np.float32)
+        got = np.asarray(frame(y, frame_length, hop))
+        F = 1 + (L - frame_length) // hop
+        idx = np.arange(F)[:, None] * hop + np.arange(frame_length)[None, :]
+        np.testing.assert_array_equal(got, y[:, idx])
+
 
 class TestRMS:
     def test_matches_formula(self, random_signal):
