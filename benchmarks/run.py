@@ -137,6 +137,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--cache-analysis", action="store_true")
     p.add_argument("--memory", action="store_true")
+    p.add_argument("--roofline", action="store_true",
+                   help="speed-of-light analysis of the fused kernels")
     p.add_argument("--save-baseline", action="store_true")
     p.add_argument("--compare-baseline", action="store_true")
     p.add_argument("--fail-on-regression", action="store_true")
@@ -154,7 +156,8 @@ def main(argv: list[str] | None = None) -> int:
         # bare `--suite` (no names) means "all", like omitting the flag —
         # an empty selection would otherwise silently run nothing
         results.extend(run_all(args.suite or SUITE_ORDER))
-    elif not (args.scaling or args.cache_analysis or args.memory):
+    elif not (args.scaling or args.cache_analysis or args.memory
+              or args.roofline):
         results.extend(run_all(SUITE_ORDER))
     # each optional section degrades independently (like run_all): a flaky
     # attachment failing one section must not discard the collected results
@@ -177,7 +180,22 @@ def main(argv: list[str] | None = None) -> int:
 
         return run_cache_analysis()
 
+    def _run_roofline():
+        from .roofline import format_roofline, run_roofline
+
+        rows = run_roofline()
+        print(format_roofline(rows), file=sys.stderr)
+        return [
+            BenchmarkResult(
+                name=f"roofline {r.op} {r.config}",
+                time_ms=r.measured_ms,
+                extra=r.as_dict(),
+            )
+            for r in rows
+        ]
+
     _section(args.scaling, "scaling", _run_scaling)
+    _section(args.roofline, "roofline", _run_roofline)
     _section(args.cache_analysis, "cache-analysis", _run_cache)
     _section(args.memory, "memory", run_memory)
 
