@@ -45,6 +45,7 @@ HBM_GBS = 819.0
 MXU_BF16_TFLOPS = 197.0
 HIGHEST_PASSES = 6  # Precision.HIGHEST = 6-pass bf16
 MXU_F32_TFLOPS = MXU_BF16_TFLOPS / HIGHEST_PASSES
+VPU_TFLOPS = 3.9  # (8,128) vregs x 4 ALUs x ~0.94 GHz
 LANE = 128
 
 
@@ -90,6 +91,17 @@ def mel_exec_flops_per_frame(n_fft: int, hop: int, n_mels: int) -> float:
     return base_dots * LANE * LANE * 2 + mel_dots_flops
 
 
+def radix_vpu_flops_per_frame(n_fft: int, hop: int) -> float:
+    """VPU FLOPs per frame of the radix body's elementwise stages (stage-1
+    butterfly + twiddle, stage-2 butterfly, |X|^2) — serialized with the
+    GEMMs inside each frame's dependency chain, so they add to T_comp."""
+    C, R2, NC, G = _radix_factors(n_fft, hop)
+    stage1 = NC * C * hop * 2 + NC * hop * 6
+    stage2 = NC * R2 * R2 * LANE * 4
+    magsq = G * LANE * 3
+    return stage1 + stage2 + magsq
+
+
 def stft_exec_flops_per_frame(n_fft: int, hop: int) -> float:
     """MXU FLOPs per frame the fused STFT kernel executes (no mel stage)."""
     C, R2, NC, _ = _radix_factors(n_fft, hop)
@@ -113,9 +125,11 @@ def _bounds_row(
     bytes_moved: float,
     flops_exec: float,
     flops_min: float,
+    flops_vpu: float = 0.0,
 ) -> RooflineRow:
     t_mem = bytes_moved / (HBM_GBS * 1e9)
-    t_exec = flops_exec / (MXU_F32_TFLOPS * 1e12)
+    # the VPU stages serialize with the GEMMs inside each frame's chain
+    t_exec = flops_exec / (MXU_F32_TFLOPS * 1e12) + flops_vpu / (VPU_TFLOPS * 1e12)
     t_min = flops_min / (MXU_F32_TFLOPS * 1e12)
     bound_exec = max(t_mem, t_exec)
     bound_min = max(t_mem, t_min)
@@ -167,6 +181,7 @@ def run_roofline(configs=None, repeats: int = 2) -> list[RooflineRow]:
                 "melspectrogram (fused)", cfg, t, bytes_mel,
                 frames * mel_exec_flops_per_frame(n_fft, hop, n_mels),
                 frames * mel_min_flops_per_frame(n_fft, n_mels),
+                frames * radix_vpu_flops_per_frame(n_fft, hop),
             )
         )
 
@@ -182,6 +197,7 @@ def run_roofline(configs=None, repeats: int = 2) -> list[RooflineRow]:
                 "stft (fused radix)", cfg, t, bytes_stft,
                 frames * stft_exec_flops_per_frame(n_fft, hop),
                 frames * stft_min_flops_per_frame(n_fft),
+                frames * radix_vpu_flops_per_frame(n_fft, hop),
             )
         )
     return rows

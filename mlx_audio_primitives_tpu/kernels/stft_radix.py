@@ -28,6 +28,7 @@ from ..utils.dispatch import pallas_interpret_mode
 from .block_policy import LANE, SUBLANE, VMEM_BUDGET, radix_shape_ok, round_up
 from .mel_fused import (
     _basis_table,
+    _double_buffered_rows,
     _radix_group_spectra,
     _twiddle_table,
 )
@@ -124,23 +125,17 @@ def naturalize_spectrum(xg: jax.Array, n_fft: int, hop_length: int) -> jax.Array
     return jnp.swapaxes(jax.lax.complex(xr, xi), 1, 2)
 
 
-def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk):
+def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ):
     """Kernel: DMA rows -> shared radix body (`mel_fused._radix_group_spectra`)
     -> write (xr | xi) group blocks; differs from the mel kernel only in the
     consumer of each group's complex spectrum."""
 
     def kernel(sig_hbm, w_ref, t_ref, b_ref, out_ref, sig_scr, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            sig_hbm.at[pl.ds(i * CB, CB), pl.ds(j * FBb, FBk), :], sig_scr, sem
-        )
-        cp.start()
-        cp.wait()
+        cur = _double_buffered_rows(sig_hbm, sig_scr, sem, CB, FBb, FBk, GJ)
 
         reals, imags = [], []
         for _g, xr, xi in _radix_group_spectra(
-            sig_scr, w_ref, t_ref, b_ref, C, R2, NC, FBb
+            cur, w_ref, t_ref, b_ref, C, R2, NC, FBb
         ):
             reals.append(xr)
             imags.append(xi)
@@ -160,7 +155,8 @@ def _pick_blocks_stft(B: int, C: int, R2: int, NC: int, hop: int) -> tuple[int, 
             if B % CB:
                 continue
             rows = round_up(FBb + C - 1, SUBLANE)
-            if CB * (FBb * per_cf + rows * hop * 4) <= budget:
+            # 2x rows: the signal scratch is double-buffered (DMA prefetch)
+            if CB * (FBb * per_cf + 2 * rows * hop * 4) <= budget:
                 return CB, FBb
     return 1, 8
 
@@ -296,7 +292,9 @@ def _stft_radix_core(
     sig2d = yp.reshape(B, R, hop_length)
 
     out = pl.pallas_call(
-        _stft_radix_kernel_factory(CB, FBb, C, R2, NC, hop_length, FBk),
+        _stft_radix_kernel_factory(
+            CB, FBb, C, R2, NC, hop_length, FBk, F_pad // FBb
+        ),
         out_shape=jax.ShapeDtypeStruct((B, F_pad, 2 * G * LANE), jnp.float32),
         grid=(B // CB, F_pad // FBb),
         in_specs=[
@@ -313,8 +311,8 @@ def _stft_radix_core(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((CB, FBk, hop_length), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CB, FBk, hop_length), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
