@@ -42,7 +42,7 @@ from .._config import MATMUL_PRECISION
 from ..utils.cache import table_cache
 from ..utils.dispatch import pallas_interpret_mode
 from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, radix_shape_ok, round_up
-from .mel_fused import _coef, _omega
+from .mel_fused import _coef, _double_buffered_rows, _omega
 from .stft_radix import _natural_maps, group_spectrum
 
 
@@ -64,6 +64,7 @@ def istft_fused_supported(n_fft: int, hop_length: int) -> bool:
     # live set per (clip, frame): group block + E + S + Z + chunk accumulators
     min_block = (
         min_rows * (2 * G * LANE + (4 + 2 * NC + C) * hop_length) * 4
+        + min_rows * 2 * G * LANE * 4  # second DMA buffer slot
         + 2 * SUBLANE * hop_length * 4
     )
     return tables + min_block <= VMEM_BUDGET
@@ -103,18 +104,12 @@ def _inv_twiddle_table(n_fft: int, hop: int) -> np.ndarray:
 
 
 
-def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk):
+def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk, GJ):
     G = NC * R2
 
     def kernel(xg_hbm, w_ref, ib_ref, w2_ref, t_ref, env_ref, out_ref,
                xg_scr, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            xg_hbm.at[pl.ds(i * CB, CB), pl.ds(j * RB, FBk), :], xg_scr, sem
-        )
-        cp.start()
-        cp.wait()
+        cur = _double_buffered_rows(xg_hbm, xg_scr, sem, CB, RB, FBk, GJ)
 
         def dot(a, b):
             return jax.lax.dot_general(
@@ -131,8 +126,8 @@ def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk):
             sr = si = None
             for rp in range(R2):
                 g = r * R2 + rp
-                er = xg_scr[:, :, g * LANE : (g + 1) * LANE]
-                ei = xg_scr[:, :, (G + g) * LANE : (G + g + 1) * LANE]
+                er = cur[:, :, g * LANE : (g + 1) * LANE]
+                ei = cur[:, :, (G + g) * LANE : (G + g + 1) * LANE]
                 Er = dot(er, ibr) - dot(ei, ibi)
                 Ei = dot(er, ibi) + dot(ei, ibr)
                 # tile to hop lanes: E depends on u mod 128 only
@@ -181,7 +176,9 @@ def _pick_blocks_istft(B, C, R2, NC, hop) -> tuple[int, int]:
             if B % CB:
                 continue
             rows = round_up(RB + C - 1, SUBLANE)
-            if CB * (rows * per_cf + 2 * RB * hop * 4) <= budget:
+            # + a second group-block slot: the input DMA is double-buffered
+            if CB * (rows * per_cf + rows * 2 * G * LANE * 4
+                     + 2 * RB * hop * 4) <= budget:
                 return CB, RB
     return 1, 8
 
@@ -330,7 +327,9 @@ def _istft_grouped_core(
                        constant_values=1.0).reshape(RT_pad, hop_length)
 
     out = pl.pallas_call(
-        _istft_kernel_factory(CB, RB, C, R2, NC, hop_length, FBk),
+        _istft_kernel_factory(
+            CB, RB, C, R2, NC, hop_length, FBk, RT_pad // RB
+        ),
         out_shape=jax.ShapeDtypeStruct((B, RT_pad, hop_length), jnp.float32),
         grid=(B // CB, RT_pad // RB),
         in_specs=[
@@ -351,8 +350,8 @@ def _istft_grouped_core(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((CB, FBk, 2 * G * LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CB, FBk, 2 * G * LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .._config import WINDOW_SUM_EPSILON
 from ..utils.dispatch import pallas_interpret_mode
 from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, round_up
+from .mel_fused import _double_buffered_rows
 
 # Bound on C = ceil(n_fft/hop): each chunk is a statically-unrolled shifted
 # add (and a lane rotation for unaligned hops), so tiny hops would explode
@@ -57,12 +58,12 @@ def ola_supported(n_fft: int, hop_length: int) -> bool:
         return False
     NFP = round_up(C * hop_length, LANE)
     FBk = round_up(SUBLANE + C - 1, SUBLANE)
-    scratch = FBk * NFP * 4
+    scratch = 2 * FBk * NFP * 4  # double-buffered input DMA
     io = 2 * SUBLANE * hop_length * 4
     return scratch + io <= VMEM_BUDGET
 
 
-def _ola_kernel_factory(CB, RB, C, HOP, FBk, NFP):
+def _ola_kernel_factory(CB, RB, C, HOP, FBk, NFP, GJ):
     def chunk(fw_scr, c):
         # out_rows[r] = sum_c fw[r - c, c*hop:(c+1)*hop]; with the C-1 zero-
         # frame prepad, frame (r-c) sits at scratch row (r_local + C-1-c).
@@ -74,18 +75,11 @@ def _ola_kernel_factory(CB, RB, C, HOP, FBk, NFP):
         return pltpu.roll(rows, NFP - off, 2)[:, :, :HOP]
 
     def kernel(fw_hbm, env_ref, out_ref, fw_scr, sem):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+        cur = _double_buffered_rows(fw_hbm, fw_scr, sem, CB, RB, FBk, GJ)
 
-        cp = pltpu.make_async_copy(
-            fw_hbm.at[pl.ds(i * CB, CB), pl.ds(j * RB, FBk), :], fw_scr, sem
-        )
-        cp.start()
-        cp.wait()
-
-        acc = chunk(fw_scr, 0)
+        acc = chunk(cur, 0)
         for c in range(1, C):
-            acc = acc + chunk(fw_scr, c)
+            acc = acc + chunk(cur, c)
         out_ref[:] = acc / env_ref[:]
 
     return kernel
@@ -130,7 +124,7 @@ def overlap_add_pallas(
     # shrink the row block until the staged frames + IO blocks fit VMEM
     while RB > SUBLANE:
         FBk = round_up(RB + C - 1, SUBLANE)
-        if FBk * NFP * 4 + 2 * RB * hop_length * 4 <= VMEM_BUDGET:
+        if 2 * FBk * NFP * 4 + 2 * RB * hop_length * 4 <= VMEM_BUDGET:
             break
         RB -= SUBLANE
     RT_pad = round_up(RT, RB)
@@ -155,12 +149,12 @@ def overlap_add_pallas(
     for cand in (8, 4, 2, 1):
         if B % cand:
             continue
-        if cand * (FBk * NFP + RB * hop_length) * 4 <= VMEM_BUDGET:
+        if cand * (2 * FBk * NFP + RB * hop_length) * 4 <= VMEM_BUDGET:
             CB = cand
             break
 
     out = pl.pallas_call(
-        _ola_kernel_factory(CB, RB, C, hop_length, FBk, NFP),
+        _ola_kernel_factory(CB, RB, C, hop_length, FBk, NFP, RT_pad // RB),
         out_shape=jax.ShapeDtypeStruct((B, RT_pad, hop_length), jnp.float32),
         grid=(B // CB, RT_pad // RB),
         in_specs=[
@@ -172,8 +166,8 @@ def overlap_add_pallas(
             (CB, RB, hop_length), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((CB, FBk, NFP), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CB, FBk, NFP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
