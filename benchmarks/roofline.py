@@ -200,6 +200,27 @@ def run_roofline(configs=None, repeats: int = 2) -> list[RooflineRow]:
                 frames * radix_vpu_flops_per_frame(n_fft, hop),
             )
         )
+
+        from mlx_audio_primitives_tpu import istft
+
+        S = jax.device_put(stft(y, n_fft=n_fft, hop_length=hop))
+        t = min(
+            time_jax_amortized(
+                lambda s: istft(s, hop_length=hop, length=n), S, k=4
+            )
+            for _ in range(repeats)
+        )
+        # reads the complex spectrum, writes the signal; inverse transform is
+        # the same radix-GEMM structure as the forward (its OLA adds are in
+        # the VPU term already counted by the shared radix body estimate)
+        rows.append(
+            _bounds_row(
+                "istft (fused)", cfg, t, bytes_stft,
+                frames * stft_exec_flops_per_frame(n_fft, hop),
+                frames * stft_min_flops_per_frame(n_fft),
+                frames * radix_vpu_flops_per_frame(n_fft, hop),
+            )
+        )
     return rows
 
 
