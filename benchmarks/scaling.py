@@ -32,6 +32,42 @@ def _signal(batch: int, n: int) -> jax.Array:
     return rand_signal(n, batch)
 
 
+def scaling_production() -> list[BenchmarkResult]:
+    """One at-scale point (batch-256 x 4 s): sub-ms configs are dispatch-noise
+    dominated through the tunneled attachment, so the regression gate needs a
+    row big enough for a real kernel regression to rise above timing noise."""
+    from mlx_audio_primitives_tpu import istft, melspectrogram, stft
+
+    n, b = 88200, 256
+    y = _signal(b, n)
+    out = []
+    t = time_jax_amortized(
+        lambda x: melspectrogram(x, n_fft=2048, hop_length=512, n_mels=128),
+        y, k=3,
+    )
+    out.append(
+        BenchmarkResult(
+            name=f"melspectrogram len={n} batch={b} (production)",
+            time_ms=t * 1e3,
+            extra={"frames_per_sec": b * (1 + n // 512) / t},
+        )
+    )
+    t = time_jax_amortized(lambda x: stft(x, n_fft=2048, hop_length=512), y, k=3)
+    out.append(
+        BenchmarkResult(
+            name=f"stft len={n} batch={b} (production)", time_ms=t * 1e3
+        )
+    )
+    S = stft(y, n_fft=2048, hop_length=512)
+    t = time_jax_amortized(lambda s: istft(s, hop_length=512), S, k=3)
+    out.append(
+        BenchmarkResult(
+            name=f"istft len={n} batch={b} (production)", time_ms=t * 1e3
+        )
+    )
+    return out
+
+
 def scaling_grid() -> list[BenchmarkResult]:
     """melspectrogram over the reference's length x batch grid."""
     from mlx_audio_primitives_tpu import melspectrogram
@@ -135,4 +171,5 @@ def run_scaling() -> list[BenchmarkResult]:
         + scaling_batches()
         + scaling_mels()
         + scaling_iters()
+        + scaling_production()
     )
