@@ -210,12 +210,22 @@ def run_roofline(configs=None, repeats: int = 2) -> list[RooflineRow]:
             )
             for _ in range(repeats)
         )
-        # reads the complex spectrum, writes the signal; inverse transform is
-        # the same radix-GEMM structure as the forward (its OLA adds are in
-        # the VPU term already counted by the shared radix body estimate)
+        # Measured composite: the public istft() first regroups the natural
+        # spectrum into the kernel's layout (an HBM round-trip of the
+        # (B, F, 2*G*128) group tensor — written by the gather, re-read by
+        # the kernel) before the inverse radix GEMMs write the signal.
+        # T_mem must include that traffic or exec-eff conflates gather
+        # bytes with kernel quality.
+        C = n_fft // hop
+        G = (C // 2 + 1) * (hop // LANE)
+        bytes_istft = 4 * (
+            batch * 2 * (n_fft // 2 + 1) * F  # spectrum read (complex64/2)
+            + 2 * batch * 2 * G * LANE * F    # group tensor write + re-read
+            + batch * n                        # signal out
+        )
         rows.append(
             _bounds_row(
-                "istft (fused)", cfg, t, bytes_stft,
+                "istft (incl. regroup)", cfg, t, bytes_istft,
                 frames * stft_exec_flops_per_frame(n_fft, hop),
                 frames * stft_min_flops_per_frame(n_fft),
                 frames * radix_vpu_flops_per_frame(n_fft, hop),

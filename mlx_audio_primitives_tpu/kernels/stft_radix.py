@@ -48,7 +48,7 @@ def stft_radix_supported(n_fft: int, hop_length: int) -> bool:
     min_rows = round_up(8 + C - 1, SUBLANE)
     min_block = 8 * (
         (C + 2 * NC + 4) * hop_length * 4 + 2 * G * LANE * 4
-    ) + min_rows * hop_length * 4
+    ) + 2 * min_rows * hop_length * 4  # double-buffered row scratch
     return tables + min_block <= VMEM_BUDGET
 
 

@@ -48,9 +48,11 @@ def save_checkpoint(path: str, state: Any, overwrite: bool = True) -> str:
     path = os.path.abspath(path)
     if HAS_ORBAX:
         ck = _ocp.StandardCheckpointer()
-        ck.save(path, state, force=overwrite)
-        ck.wait_until_finished()
-        ck.close()
+        try:
+            ck.save(path, state, force=overwrite)
+            ck.wait_until_finished()
+        finally:
+            ck.close()
         return path
     import jax
 
@@ -93,4 +95,13 @@ def restore_checkpoint(path: str, target: Any | None = None) -> Any:
             "npz-fallback checkpoints need `target` to rebuild the pytree"
         )
     treedef = jax.tree.structure(target)
+    # the stored treedef string guards against a same-leaf-count target with
+    # a DIFFERENT structure, which unflatten would otherwise silently
+    # misassign positionally
+    stored = bytes(data["__treedef__"]).decode()
+    if stored != str(treedef):
+        raise ValueError(
+            f"checkpoint pytree structure {stored} does not match the "
+            f"target structure {treedef}"
+        )
     return jax.tree.unflatten(treedef, leaves)

@@ -195,6 +195,11 @@ class TestCheckpoint:
         )
         with pytest.raises(ValueError):
             ck.restore_checkpoint(path)
+        # same leaf count but different structure must be rejected, not
+        # silently misassigned positionally
+        bad_target = {"x": jnp.zeros(4), "y": {"z": jnp.zeros((2, 2))}}
+        with pytest.raises(ValueError, match="structure"):
+            ck.restore_checkpoint(path, target=bad_target)
 
     def test_resume_training_continues_descent(self, tmp_path):
         """Save mid-training, restore, and confirm the loss keeps falling —

@@ -37,7 +37,11 @@ class TestFrame:
 
     @pytest.mark.parametrize(
         "frame_length,hop",
+        # (2048, 1/2/3) genuinely reach the k = ceil(8/hop) >= 3 shifted
+        # sub-gather variant (C > 64 AND hop < 8); the (64, <=3) rows take
+        # the unrolled-chunks path and pin the branch boundary itself.
         [(64, 1), (64, 2), (64, 3), (512, 5), (512, 7), (512, 8),
+         (2048, 1), (2048, 2), (2048, 3),
          (2048, 7), (2048, 13), (2048, 31), (2048, 63), (2048, 65)],
     )
     def test_tiny_hop_row_gather_exact(self, frame_length, hop):
