@@ -201,6 +201,31 @@ class TestCheckpoint:
         with pytest.raises(ValueError, match="structure"):
             ck.restore_checkpoint(path, target=bad_target)
 
+    def test_restore_onto_sharded_target(self, tmp_path):
+        """Orbax restores arrays WITH the target's sharding — checkpoints
+        written on one topology reload straight onto a mesh (the multi-chip
+        resume story)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mlx_audio_primitives_tpu.models import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+        from mlx_audio_primitives_tpu.models.checkpoint import HAS_ORBAX
+        from mlx_audio_primitives_tpu.parallel import make_mesh
+
+        if not HAS_ORBAX:
+            pytest.skip("orbax not available")
+        mesh = make_mesh(n_data=8, n_time=1)
+        sh = NamedSharding(mesh, P("data"))
+        x = jax.device_put(jnp.arange(32.0).reshape(8, 4), sh)
+        state = {"x": x, "step": 3}
+        path = str(tmp_path / "sharded")
+        save_checkpoint(path, state)
+        r = restore_checkpoint(path, target=state)
+        assert len(r["x"].sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(r["x"]), np.asarray(x))
+
     def test_resume_training_continues_descent(self, tmp_path):
         """Save mid-training, restore, and confirm the loss keeps falling —
         the actual resume contract, not just array equality."""
