@@ -109,6 +109,66 @@ int symmetric_window(int32_t kind, int64_t n, double beta, double* out) {
   }
 }
 
+// Bark conversions, matching ops/filterbanks.py bit for bit (same libm calls
+// in the same order as the NumPy expressions; ** with an integer exponent is
+// repeated multiplication in npy_pow, so q^2/q^4 are q*q / (q*q)*(q*q)).
+double hz_to_bark_one(double f, int32_t formula) {
+  if (formula == 0) {  // zwicker
+    double q = f / 7500.0;
+    return 13.0 * std::atan(0.00076 * f) + 3.5 * std::atan(q * q);
+  }
+  // traunmuller, with edge corrections (mutually exclusive regions)
+  double bark = (26.81 * f) / (1960.0 + f) - 0.53;
+  if (bark < 2.0) bark = bark + 0.15 * (2.0 - bark);
+  if (bark > 20.1) bark = bark + 0.22 * (bark - 20.1);
+  return bark;
+}
+
+double zwicker_derivative_one(double f) {
+  double p = 0.00076 * f;
+  double q = f / 7500.0;
+  double q2 = q * q;
+  double t1 = 13.0 * 0.00076 / (1.0 + p * p);
+  double t2 = 3.5 * (2.0 * f / 56250000.0) / (1.0 + q2 * q2);
+  return t1 + t2;
+}
+
+double bark_to_hz_one(double z, int32_t formula) {
+  if (formula == 0) {  // zwicker: sinh guess + 8 Newton steps
+    double hz = 600.0 * std::sinh(z / 6.0);
+    for (int i = 0; i < 8; ++i) {
+      double err = hz_to_bark_one(hz, 0) - z;
+      double d = zwicker_derivative_one(hz);
+      hz = std::max(hz - err / std::max(d, 1e-12), 0.0);
+    }
+    return hz;
+  }
+  double zz = z < 2.0 ? (z - 0.3) / 0.85 : z;
+  if (zz > 20.1) zz = (zz + 0.22 * 20.1) / 1.22;
+  return 1960.0 * (zz + 0.53) / (26.28 - zz);
+}
+
+// Triangular filters on hz edge points (n_bands+2 points), optional slaney
+// norm — the shared bark/linear construction (ops/filterbanks.py:76-93).
+void triangular_filterbank(const double* hz_points, int32_t sr, int32_t n_fft,
+                           int32_t n_bands, int32_t norm, double* out) {
+  const int64_t n_bins = n_fft / 2 + 1;
+  for (int64_t m = 0; m < n_bands; ++m) {
+    double f_lower = hz_points[m];
+    double f_center = hz_points[m + 1];
+    double f_upper = hz_points[m + 2];
+    double enorm = norm == 1 ? 2.0 / (hz_points[m + 2] - hz_points[m]) : 1.0;
+    for (int64_t k = 0; k < n_bins; ++k) {
+      double freq = linspace_at(0.0, sr / 2.0, n_bins, k);
+      double lower = (freq - f_lower) / (f_center - f_lower + 1e-10);
+      double upper = (f_upper - freq) / (f_upper - f_center + 1e-10);
+      double w = std::min(lower, upper);
+      w = w > 0.0 ? w : 0.0;
+      out[m * n_bins + k] = w * enorm;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -192,6 +252,37 @@ int32_t mapt_dct_basis_t(int32_t n_out, int32_t n_in, int32_t norm,
       out[static_cast<int64_t>(n) * n_out + k] = v;  // transposed layout
     }
   }
+  return 0;
+}
+
+// Bark-scale filterbank (n_bands, n_fft/2+1). formula: 0 zwicker,
+// 1 traunmuller. norm: 0 none, 1 slaney. (ops/filterbanks.py:96-105)
+int32_t mapt_bark_filterbank(int32_t sr, int32_t n_fft, int32_t n_bands,
+                             double fmin, double fmax, int32_t formula,
+                             int32_t norm, double* out) {
+  if (n_bands <= 0 || n_fft <= 0 || out == nullptr) return -1;
+  if (formula != 0 && formula != 1) return -2;
+  const int64_t npts = n_bands + 2;
+  double bmin = hz_to_bark_one(fmin, formula);
+  double bmax = hz_to_bark_one(fmax, formula);
+  std::vector<double> hz_points(npts);
+  for (int64_t i = 0; i < npts; ++i)
+    hz_points[i] = bark_to_hz_one(linspace_at(bmin, bmax, npts, i), formula);
+  triangular_filterbank(hz_points.data(), sr, n_fft, n_bands, norm, out);
+  return 0;
+}
+
+// Linear-scale filterbank (n_bands, n_fft/2+1). norm: 0 none, 1 slaney.
+// (ops/filterbanks.py:108-113)
+int32_t mapt_linear_filterbank(int32_t sr, int32_t n_fft, int32_t n_bands,
+                               double fmin, double fmax, int32_t norm,
+                               double* out) {
+  if (n_bands <= 0 || n_fft <= 0 || out == nullptr) return -1;
+  const int64_t npts = n_bands + 2;
+  std::vector<double> hz_points(npts);
+  for (int64_t i = 0; i < npts; ++i)
+    hz_points[i] = linspace_at(fmin, fmax, npts, i);
+  triangular_filterbank(hz_points.data(), sr, n_fft, n_bands, norm, out);
   return 0;
 }
 

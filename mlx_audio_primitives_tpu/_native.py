@@ -83,6 +83,21 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f64p,
         ]
         lib.mapt_dct_basis_t.restype = ctypes.c_int32
+        # bark/linear builders: absent in a stale pre-rebuild .so — degrade
+        # to the NumPy path per-function rather than rejecting the library
+        if hasattr(lib, "mapt_bark_filterbank"):
+            lib.mapt_bark_filterbank.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+                ctypes.c_int32, f64p,
+            ]
+            lib.mapt_bark_filterbank.restype = ctypes.c_int32
+        if hasattr(lib, "mapt_linear_filterbank"):
+            lib.mapt_linear_filterbank.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int32, f64p,
+            ]
+            lib.mapt_linear_filterbank.restype = ctypes.c_int32
 
         # live smoke test (reference `_extension.py:30-44`)
         if lib.mapt_abi_version() != 1:
@@ -138,6 +153,44 @@ def native_dct_basis_t(n_out: int, n_in: int, norm: str | None) -> np.ndarray | 
         return None
     out = np.empty((n_in, n_out), np.float64)
     rc = _lib.mapt_dct_basis_t(n_out, n_in, 1 if norm == "ortho" else 0, _ptr(out))
+    return out if rc == 0 else None
+
+
+def native_bark_filterbank(
+    sr: int, n_fft: int, n_bands: int, fmin: float, fmax: float,
+    formula: str, norm: str | None,
+) -> np.ndarray | None:
+    if (
+        _lib is None
+        or not hasattr(_lib, "mapt_bark_filterbank")
+        or norm not in (None, "slaney")
+        or formula not in ("zwicker", "traunmuller")
+    ):
+        return None
+    out = np.empty((n_bands, n_fft // 2 + 1), np.float64)
+    rc = _lib.mapt_bark_filterbank(
+        sr, n_fft, n_bands, float(fmin), float(fmax),
+        0 if formula == "zwicker" else 1, 1 if norm == "slaney" else 0,
+        _ptr(out),
+    )
+    return out if rc == 0 else None
+
+
+def native_linear_filterbank(
+    sr: int, n_fft: int, n_bands: int, fmin: float, fmax: float,
+    norm: str | None,
+) -> np.ndarray | None:
+    if (
+        _lib is None
+        or not hasattr(_lib, "mapt_linear_filterbank")
+        or norm not in (None, "slaney")
+    ):
+        return None
+    out = np.empty((n_bands, n_fft // 2 + 1), np.float64)
+    rc = _lib.mapt_linear_filterbank(
+        sr, n_fft, n_bands, float(fmin), float(fmax),
+        1 if norm == "slaney" else 0, _ptr(out),
+    )
     return out if rc == 0 else None
 
 

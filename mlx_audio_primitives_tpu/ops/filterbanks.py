@@ -98,6 +98,13 @@ def _bark_filterbank_table(
     sr: int, n_fft: int, n_bands: int, fmin: float, fmax: float,
     formula: str, norm: str | None,
 ) -> np.ndarray:
+    """Native C++ builder first (`csrc/tables.cpp::mapt_bark_filterbank`),
+    NumPy fallback — the same split as the mel table."""
+    from .._native import native_bark_filterbank
+
+    fb = native_bark_filterbank(sr, n_fft, n_bands, fmin, fmax, formula, norm)
+    if fb is not None:
+        return fb
     bark_min = hz_to_bark(np.array([fmin]), formula=formula)[0]
     bark_max = hz_to_bark(np.array([fmax]), formula=formula)[0]
     bark_points = np.linspace(bark_min, bark_max, n_bands + 2)
@@ -109,6 +116,12 @@ def _bark_filterbank_table(
 def _linear_filterbank_table(
     sr: int, n_fft: int, n_bands: int, fmin: float, fmax: float, norm: str | None
 ) -> np.ndarray:
+    """Native C++ builder first, NumPy fallback."""
+    from .._native import native_linear_filterbank
+
+    fb = native_linear_filterbank(sr, n_fft, n_bands, fmin, fmax, norm)
+    if fb is not None:
+        return fb
     hz_points = np.linspace(fmin, fmax, n_bands + 2)
     return _triangular_filterbank(hz_points, sr, n_fft, n_bands, norm)
 

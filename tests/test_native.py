@@ -63,6 +63,70 @@ class TestNativeMelFilterbank:
         assert native_mel_filterbank(22050, 512, 10, 0, 11025, False, "l2") is None
 
 
+class TestNativeBarkLinearFilterbanks:
+    """`csrc/tables.cpp::mapt_bark_filterbank` / `mapt_linear_filterbank`
+    vs the NumPy f64 builders in `ops/filterbanks.py` — same construction,
+    bit-exact in the served float32 precision (zwicker's Newton iteration
+    accumulates ~1-ulp f64 libm differences that vanish in the f32 cast)."""
+
+    @pytest.mark.parametrize("formula", ["zwicker", "traunmuller"])
+    @pytest.mark.parametrize("norm", ["slaney", None])
+    def test_bark_matches_numpy_builder(self, formula, norm):
+        from mlx_audio_primitives_tpu._native import native_bark_filterbank
+        import mlx_audio_primitives_tpu.ops.filterbanks as fbmod
+
+        nat = native_bark_filterbank(22050, 1024, 24, 0.0, 11025.0, formula, norm)
+        assert nat is not None
+        bmin = fbmod.hz_to_bark(np.array([0.0]), formula=formula)[0]
+        bmax = fbmod.hz_to_bark(np.array([11025.0]), formula=formula)[0]
+        pts = fbmod.bark_to_hz(np.linspace(bmin, bmax, 26), formula=formula)
+        ref = fbmod._triangular_filterbank(pts, 22050, 1024, 24, norm)
+        np.testing.assert_allclose(nat, ref, atol=1e-13, rtol=0)
+        np.testing.assert_array_equal(
+            nat.astype(np.float32), ref.astype(np.float32)
+        )
+
+    @pytest.mark.parametrize("norm", ["slaney", None])
+    def test_linear_matches_numpy_builder(self, norm):
+        from mlx_audio_primitives_tpu._native import native_linear_filterbank
+        import mlx_audio_primitives_tpu.ops.filterbanks as fbmod
+
+        nat = native_linear_filterbank(16000, 512, 64, 100.0, 8000.0, norm)
+        assert nat is not None
+        ref = fbmod._triangular_filterbank(
+            np.linspace(100.0, 8000.0, 66), 16000, 512, 64, norm
+        )
+        np.testing.assert_array_equal(nat, ref)
+
+    def test_invalid_args_return_none(self):
+        from mlx_audio_primitives_tpu._native import (
+            native_bark_filterbank,
+            native_linear_filterbank,
+        )
+
+        assert native_bark_filterbank(22050, 512, 10, 0, 11025, "mel", "slaney") is None
+        assert native_bark_filterbank(22050, 512, 10, 0, 11025, "zwicker", "l2") is None
+        assert native_linear_filterbank(22050, 512, 10, 0, 11025, "l2") is None
+
+    def test_public_op_serves_native_table(self):
+        """bark_filterbank/linear_filterbank round through the native path
+        (values equal the NumPy construction regardless of which built it)."""
+        from mlx_audio_primitives_tpu import bark_filterbank, linear_filterbank
+        import mlx_audio_primitives_tpu.ops.filterbanks as fbmod
+
+        fb = np.asarray(bark_filterbank(22050, 512, n_bands=24))
+        bmin = fbmod.hz_to_bark(np.array([0.0]))[0]
+        bmax = fbmod.hz_to_bark(np.array([11025.0]))[0]
+        pts = fbmod.bark_to_hz(np.linspace(bmin, bmax, 26))
+        ref = fbmod._triangular_filterbank(pts, 22050, 512, 24, "slaney")
+        np.testing.assert_array_equal(fb, ref.astype(np.float32))
+        lb = np.asarray(linear_filterbank(22050, 512, n_bands=32))
+        refl = fbmod._triangular_filterbank(
+            np.linspace(0.0, 11025.0, 34), 22050, 512, 32, "slaney"
+        )
+        np.testing.assert_array_equal(lb, refl.astype(np.float32))
+
+
 class TestNativeDCT:
     @pytest.mark.parametrize("norm", ["ortho", None])
     def test_matches_scipy(self, norm):
