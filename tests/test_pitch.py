@@ -140,3 +140,41 @@ class TestPeriodicity:
     def test_batched(self, batch_signals):
         p = periodicity(batch_signals)
         assert p.shape[0] == 4 and p.shape[1] == 1
+
+
+class TestFusedFramewiseACF:
+    """The fused-radix framewise ACF (lag basis as the kernel's
+    "filterbank" + exact centering corrections) must match the
+    packed-FFT + lag-GEMM path."""
+
+    def test_fused_equals_xla_path(self, sine_signal, random_signal):
+        import jax.numpy as jnp
+
+        import mlx_audio_primitives_tpu.ops.pitch as pm
+
+        lo, hi = pm._lag_bounds(22050, 50.0, 2000.0)
+        hi = min(hi + 1, 4096)
+        for sig in (sine_signal, random_signal):
+            y = jnp.asarray(sig)[None]
+            a, va = pm._framewise_acf_xla(
+                y, frame_length=2048, hop_length=512, lo=lo, hi=hi
+            )
+            b, vb = pm._framewise_acf_fused(
+                y, frame_length=2048, hop_length=512, lo=lo, hi=hi
+            )
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-6, rtol=0
+            )
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    def test_fused_gate_rejects_non_divisible_hop(self):
+        """hop that does not divide frame/n_fft must take the XLA path
+        (and still produce correct results end-to-end)."""
+        from mlx_audio_primitives_tpu import pitch_detect_acf
+
+        t = np.arange(22050) / 22050.0
+        tone = np.sin(2 * np.pi * 330.0 * t).astype(np.float32)
+        f0, v = pitch_detect_acf(tone, sr=22050, hop_length=441)
+        f0, v = np.asarray(f0), np.asarray(v)
+        med = np.median(f0[v])
+        assert abs(med - 330.0) < 6.0, med
