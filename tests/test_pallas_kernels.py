@@ -434,3 +434,46 @@ class TestFusedIstftPallas:
         b = np.asarray(istft(S, hop_length=256, use_pallas=False,
                              fft_mode="matmul"))
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestFusedMomentFeatures:
+    """The fused-kernel fast paths that fold weight vectors as
+    'filterbanks' (interpret mode on CPU — the dispatch gate skips them
+    off-TPU, so exercise the internals directly)."""
+
+    def test_centroid_moments_match_explicit_formula(self, random_signal):
+        import jax.numpy as jnp
+
+        from mlx_audio_primitives_tpu import magnitude, spectral_centroid, stft
+        from mlx_audio_primitives_tpu.ops.features import (
+            _get_frequencies,
+            _moments_fused,
+        )
+
+        y = jnp.asarray(random_signal)[None]
+        freq = _get_frequencies(22050, 2048)
+        out = _moments_fused(
+            y, freq, n_fft=2048, hop_length=512, win_length=None,
+            window="hann", center=True, pad_mode="constant",
+        )
+        # the gate returns None off-TPU via dispatch; force the kernel by
+        # checking gate pieces and calling again under use_pallas semantics
+        if out is None:
+            from mlx_audio_primitives_tpu.kernels.mel_fused import (
+                melspectrogram_pallas,
+            )
+            from mlx_audio_primitives_tpu.ops.stft import _get_padded_window
+
+            win = _get_padded_window("hann", 2048, 2048)
+            fb = jnp.stack([jnp.ones_like(freq), freq], axis=1)
+            M = melspectrogram_pallas(
+                y, win, fb, n_fft=2048, hop_length=512, center=True,
+                pad_mode="constant", power=1.0,
+            )
+            got = np.asarray(M[:, 1:2, :] / (M[:, 0:1, :] + 1e-10))
+        else:
+            M0, M1 = out
+            got = np.asarray(M1 / (M0 + 1e-10))
+        S = magnitude(stft(random_signal, n_fft=2048, hop_length=512))
+        ref = np.asarray(spectral_centroid(S=np.asarray(S)[None], sr=22050))
+        np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-3)
