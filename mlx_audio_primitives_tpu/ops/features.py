@@ -312,9 +312,15 @@ def spectral_contrast(
         sub = S[:, sel[0] : sel[-1] + 1, :]  # bands are contiguous bins
         if k < n_bands and sub.shape[1] > 1:
             sub = sub[:, :-1, :]
-        sorted_sub = jnp.sort(sub, axis=1)
-        valleys.append(jnp.mean(sorted_sub[:, :n_quantile, :], axis=1, keepdims=True))
-        peaks.append(jnp.mean(sorted_sub[:, -n_quantile:, :], axis=1, keepdims=True))
+        # sort on the minormost axis (bins last) — measurably faster on TPU
+        # than sorting the middle axis, and bit-identical
+        sorted_sub = jnp.sort(jnp.swapaxes(sub, 1, 2), axis=-1)
+        valleys.append(
+            jnp.mean(sorted_sub[..., :n_quantile], axis=-1)[:, None, :]
+        )
+        peaks.append(
+            jnp.mean(sorted_sub[..., -n_quantile:], axis=-1)[:, None, :]
+        )
 
     valley = jnp.concatenate(valleys, axis=1)
     peak = jnp.concatenate(peaks, axis=1)
