@@ -52,6 +52,7 @@ _TABLE_CASES: dict[str, list[tuple[str, tuple]]] = {
     ],
     "polyphase_kernel": [("160/441", (160, 441))],
     "bluestein": [("n=1000", (1000,))],
+    "acf_lag_basis": [("4096-lags11..442", (4096, 11, 442))],
     "mel_radix_twiddle": [("2048/512", (2048, 512))],
     "mel_radix_basis": [("hop512", (512,))],
     "istft_inv_base": [("2048", (2048,))],
@@ -72,6 +73,7 @@ def per_table_cold_warm() -> list[BenchmarkResult]:
     import mlx_audio_primitives_tpu.kernels.dft  # noqa: F401
     import mlx_audio_primitives_tpu.kernels.istft_fused  # noqa: F401
     import mlx_audio_primitives_tpu.kernels.mel_fused  # noqa: F401
+    import mlx_audio_primitives_tpu.ops.pitch  # noqa: F401
     import mlx_audio_primitives_tpu.ops.resample  # noqa: F401
 
     out = []
