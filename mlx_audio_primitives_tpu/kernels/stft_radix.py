@@ -125,6 +125,35 @@ def naturalize_spectrum(xg: jax.Array, n_fft: int, hop_length: int) -> jax.Array
     return jnp.swapaxes(jax.lax.complex(xr, xi), 1, 2)
 
 
+def stft_magnitude_pallas(
+    y: jax.Array,
+    win: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+) -> jax.Array:
+    """``|stft(y)|`` (B, n_bins, F) via the fused kernel with a HALF-traffic
+    naturalize: magnitudes are formed in the group layout (|X[N-k]| = |X[k]|
+    — no sign mask, no imaginary plane), so restoring librosa's bin order is
+    ONE real gather instead of the complex spectrum's two-plane gather +
+    complex materialization. Measured 2.0x `stft_pallas`+abs at
+    batch-64 x 4 s."""
+    xg = stft_pallas_grouped(
+        y, win, n_fft=n_fft, hop_length=hop_length, center=center,
+        pad_mode=pad_mode,
+    )
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    G = (C // 2 + 1) * R2
+    xr = xg[..., : G * LANE]
+    xi = xg[..., G * LANE :]
+    m = jnp.sqrt(xr * xr + xi * xi)
+    pos, _ = _natural_maps(n_fft, hop_length)
+    return jnp.swapaxes(m[:, :, jnp.asarray(pos)], 1, 2)
+
+
 def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ):
     """Kernel: DMA rows -> shared radix body (`mel_fused._radix_group_spectra`)
     -> write (xr | xi) group blocks; differs from the mel kernel only in the

@@ -259,12 +259,13 @@ def magnitude_spectrogram(
         dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
         and stft_radix_supported(n_fft, hop_length)
     ):
-        # |stft| via the fused radix kernel (1.8x the packed-power XLA path)
-        from ..kernels.stft_radix import stft_pallas
+        # |stft| via the fused radix kernel with the half-traffic
+        # group-layout magnitude naturalize (2x stft_pallas+abs at scale)
+        from ..kernels.stft_radix import stft_magnitude_pallas
 
-        out = jnp.abs(
-            stft_pallas(y, win, n_fft=n_fft, hop_length=hop_length,
-                        center=center, pad_mode=pad_mode)
+        out = stft_magnitude_pallas(
+            y, win, n_fft=n_fft, hop_length=hop_length, center=center,
+            pad_mode=pad_mode,
         )
         return out[0] if input_is_1d else out
 
