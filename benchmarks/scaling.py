@@ -65,6 +65,17 @@ def scaling_production() -> list[BenchmarkResult]:
             name=f"istft len={n} batch={b} (production)", time_ms=t * 1e3
         )
     )
+    from mlx_audio_primitives_tpu import pitch_detect_acf
+
+    b2 = 64  # pitch at full 256 would dominate the suite's runtime
+    y2 = _signal(b2, n)
+    t = time_jax_amortized(lambda x: pitch_detect_acf(x, sr=22050)[0], y2, k=3)
+    out.append(
+        BenchmarkResult(
+            name=f"pitch_detect_acf len={n} batch={b2} (production)",
+            time_ms=t * 1e3,
+        )
+    )
     return out
 
 
