@@ -53,6 +53,7 @@ _TABLE_CASES: dict[str, list[tuple[str, tuple]]] = {
     "polyphase_kernel": [("160/441", (160, 441))],
     "bluestein": [("n=1000", (1000,))],
     "acf_lag_basis": [("4096-lags11..442", (4096, 11, 442))],
+    "acf_window": [("2048in4096", (2048, 4096))],
     "mel_radix_twiddle": [("2048/512", (2048, 512))],
     "mel_radix_basis": [("hop512", (512,))],
     "istft_inv_base": [("2048", (2048,))],

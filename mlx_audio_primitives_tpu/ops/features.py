@@ -83,7 +83,7 @@ def _moments_fused(
     """
     from ..kernels.mel_fused import melspectrogram_pallas, radix_supported
     from ..utils import dispatch
-    from .stft import _as_batched, _get_padded_window
+    from .stft import _as_batched, _get_padded_window, _validate_stft_params
 
     if freq.ndim != 1 or freq.shape[0] != n_fft // 2 + 1:
         return None
@@ -94,6 +94,9 @@ def _moments_fused(
         return None
     if win_length is None:
         win_length = n_fft
+    # same argument contract as every STFT-family op — the fast path must
+    # raise the same ValueErrors as the fallback, not kernel-shape errors
+    _validate_stft_params(n_fft, hop_length, win_length, pad_mode)
     y = jnp.asarray(y, dtype=REAL_DTYPE)
     input_is_1d = y.ndim == 1
     y, _ = _as_batched(y, n_fft, center)

@@ -102,6 +102,9 @@ def _framewise_acf(
     :func:`_framewise_acf_fused`). Fallback: packed-FFT power + lag GEMM.
     """
     n_fft = _next_pow2(2 * frame_length - 1)
+    # table fetched OUTSIDE the jitted cores so it stays HBM-resident as an
+    # argument instead of baking into each executable (utils/cache.py)
+    C = _acf_lag_basis(n_fft, lo, hi)
     from ..kernels.mel_fused import radix_supported
     from ..utils import dispatch
 
@@ -114,16 +117,18 @@ def _framewise_acf(
         and radix_supported(n_fft, hop_length, hi - lo + 1)
     ):
         return _framewise_acf_fused(
-            y, frame_length=frame_length, hop_length=hop_length, lo=lo, hi=hi
+            y, C, frame_length=frame_length, hop_length=hop_length, lo=lo,
+            hi=hi,
         )
     return _framewise_acf_xla(
-        y, frame_length=frame_length, hop_length=hop_length, lo=lo, hi=hi
+        y, C, frame_length=frame_length, hop_length=hop_length, lo=lo, hi=hi
     )
 
 
 @partial(jax.jit, static_argnames=("frame_length", "hop_length", "lo", "hi"))
 def _framewise_acf_xla(
-    y: jax.Array, *, frame_length: int, hop_length: int, lo: int, hi: int
+    y: jax.Array, C: jax.Array, *, frame_length: int, hop_length: int,
+    lo: int, hi: int
 ) -> tuple[jax.Array, jax.Array]:
     frames = frame_signal_batched(y, frame_length, hop_length)
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
@@ -131,7 +136,6 @@ def _framewise_acf_xla(
     frames = jnp.pad(frames, ((0, 0), (0, 0), (0, n_fft - frame_length)))
     power = rfft_power_len(frames, n_fft)
     # restricted inverse: only lag 0 + the search window, as one MXU GEMM
-    C = _acf_lag_basis(n_fft, lo, hi)
     r = jnp.matmul(power, C, precision=MATMUL_PRECISION)
     r0 = r[..., :1]
     valid = r0[..., 0] > 1e-10
@@ -139,9 +143,37 @@ def _framewise_acf_xla(
     return rn, valid
 
 
-@partial(jax.jit, static_argnames=("frame_length", "hop_length", "lo", "hi"))
+@table_cache("acf_window", maxsize=8)
+def _acf_window_table(W: int, n_fft: int) -> np.ndarray:
+    """Boxcar over the frame, zeros over the transform's zero-pad region."""
+    w = np.zeros(n_fft, np.float64)
+    w[:W] = 1.0
+    return w
+
+
+@partial(jax.jit, static_argnames=("frame_length", "hop_length"))
+def _acf_prep(y: jax.Array, *, frame_length: int, hop_length: int):
+    """Global-mean removal + tail pad for the fused path.
+
+    The centered-frame ACF is EXACTLY invariant under any constant shift of
+    the signal (per-frame centering absorbs it), but the fused path's
+    post-hoc centering algebra subtracts m-terms of the same magnitude as
+    the uncentered r(l) — for a large DC offset the centered residual falls
+    below f32 rounding and the result is garbage. Removing the bulk DC
+    first makes the subtraction well-conditioned while leaving the exact
+    answer unchanged.
+    """
+    B, L = y.shape
+    F = 1 + (L - frame_length) // hop_length
+    n_fft = _next_pow2(2 * frame_length - 1)
+    Lp = (F - 1) * hop_length + n_fft
+    yc = y - jnp.mean(y, axis=-1, keepdims=True)
+    return yc, jnp.pad(yc, ((0, 0), (0, Lp - L)))
+
+
 def _framewise_acf_fused(
-    y: jax.Array, *, frame_length: int, hop_length: int, lo: int, hi: int
+    y: jax.Array, C: jax.Array, *, frame_length: int, hop_length: int,
+    lo: int, hi: int
 ) -> tuple[jax.Array, jax.Array]:
     """Framewise restricted ACF entirely inside the fused radix kernel.
 
@@ -154,31 +186,42 @@ def _framewise_acf_fused(
         r'(l) = r(l) - m*(2S - P_l - Q_l) + (W - l) m^2,   m = S/W
     where S is the frame sum, P_l / Q_l the sums of its first / last ``l``
     samples — all from hop-row sums and (hi-1)-wide head/tail cumsums, so
-    nothing W-sized is ever gathered.
+    nothing W-sized is ever gathered. The bulk DC is removed first
+    (:func:`_acf_prep`) so the subtraction is well-conditioned for signals
+    with large offsets.
+
+    Not jitted at this level: ``melspectrogram_pallas`` manages its own jit
+    with the twiddle/basis tables as HBM-resident arguments; an outer jit
+    would re-capture them (and the lag basis) as per-executable constants.
     """
     from ..kernels.mel_fused import melspectrogram_pallas
 
-    B, L = y.shape
     W = frame_length
     n_fft = _next_pow2(2 * W - 1)
-    F = 1 + (L - W) // hop_length
-    nl = hi - lo
-
-    win = jnp.concatenate(
-        [jnp.ones(W, REAL_DTYPE), jnp.zeros(n_fft - W, REAL_DTYPE)]
-    )
-    fb = _acf_lag_basis(n_fft, lo, hi)  # (n_bins, 1 + nl), device f32
-    Lp = (F - 1) * hop_length + n_fft
-    ypad = jnp.pad(y, ((0, 0), (0, Lp - L)))
+    win = _acf_window_table(W, n_fft)
+    yc, ypad = _acf_prep(y, frame_length=W, hop_length=hop_length)
     raw = melspectrogram_pallas(
-        ypad, win, fb, n_fft=n_fft, hop_length=hop_length, center=False,
+        ypad, win, C, n_fft=n_fft, hop_length=hop_length, center=False,
         pad_mode="constant", power=2.0,
     )  # (B, 1 + nl, F)
+    return _acf_center_correct(
+        yc, ypad, raw, frame_length=W, hop_length=hop_length, lo=lo, hi=hi
+    )
+
+
+@partial(jax.jit, static_argnames=("frame_length", "hop_length", "lo", "hi"))
+def _acf_center_correct(
+    yc: jax.Array, ypad: jax.Array, raw: jax.Array, *, frame_length: int,
+    hop_length: int, lo: int, hi: int
+) -> tuple[jax.Array, jax.Array]:
+    B, L = yc.shape
+    W = frame_length
+    F = 1 + (L - W) // hop_length
     r = jnp.swapaxes(raw, 1, 2)  # (B, F, 1 + nl)
 
     # frame sums S via hop-row sums (W = C'*hop exactly, gate-checked)
     Cp = W // hop_length
-    R = Lp // hop_length
+    R = ypad.shape[1] // hop_length
     rs = ypad.reshape(B, R, hop_length).sum(axis=-1)  # (B, R)
     S = rs[:, :F]
     for c in range(1, Cp):
@@ -187,7 +230,7 @@ def _framewise_acf_fused(
 
     # P_l / Q_l from (hi-1)-wide head and tail cumsums (short, f32-safe)
     hw = hi - 1
-    heads = frame_signal_batched(y, hw, hop_length)[:, :F]
+    heads = frame_signal_batched(yc, hw, hop_length)[:, :F]
     Pc = jnp.cumsum(heads, axis=-1)  # P_l at column l-1
     tails = frame_signal_batched(ypad[:, W - hw :], hw, hop_length)[:, :F]
     Qc = jnp.cumsum(tails[..., ::-1], axis=-1)  # Q_l at column l-1

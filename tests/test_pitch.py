@@ -154,13 +154,14 @@ class TestFusedFramewiseACF:
 
         lo, hi = pm._lag_bounds(22050, 50.0, 2000.0)
         hi = min(hi + 1, 4096)
+        C = pm._acf_lag_basis(4096, lo, hi)
         for sig in (sine_signal, random_signal):
             y = jnp.asarray(sig)[None]
             a, va = pm._framewise_acf_xla(
-                y, frame_length=2048, hop_length=512, lo=lo, hi=hi
+                y, C, frame_length=2048, hop_length=512, lo=lo, hi=hi
             )
             b, vb = pm._framewise_acf_fused(
-                y, frame_length=2048, hop_length=512, lo=lo, hi=hi
+                y, C, frame_length=2048, hop_length=512, lo=lo, hi=hi
             )
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=5e-6, rtol=0
@@ -175,6 +176,38 @@ class TestFusedFramewiseACF:
         t = np.arange(22050) / 22050.0
         tone = np.sin(2 * np.pi * 330.0 * t).astype(np.float32)
         f0, v = pitch_detect_acf(tone, sr=22050, hop_length=441)
+        f0, v = np.asarray(f0), np.asarray(v)
+        med = np.median(f0[v])
+        assert abs(med - 330.0) < 6.0, med
+
+    def test_fused_handles_large_dc_offset(self):
+        """Regression (code review): the post-hoc centering algebra
+        catastrophically cancelled in f32 for DC-dominated signals, giving
+        wrong pitch on the fused path only. The global-mean pre-subtraction
+        (exact, by shift invariance of the centered ACF) must keep both
+        paths in agreement."""
+        import jax.numpy as jnp
+
+        import mlx_audio_primitives_tpu.ops.pitch as pm
+        from mlx_audio_primitives_tpu import pitch_detect_acf
+
+        sr = 22050
+        t = np.arange(sr) / sr
+        y = (0.9 + 0.001 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32)
+        lo, hi = pm._lag_bounds(sr, 50.0, 2000.0)
+        hi = min(hi + 1, 4096)
+        C = pm._acf_lag_basis(4096, lo, hi)
+        yp = jnp.pad(jnp.asarray(y)[None], ((0, 0), (1024, 1024)))
+        a, _ = pm._framewise_acf_xla(yp, C, frame_length=2048, hop_length=512,
+                                     lo=lo, hi=hi)
+        b, _ = pm._framewise_acf_fused(yp, C, frame_length=2048,
+                                       hop_length=512, lo=lo, hi=hi)
+        # residual disagreement is the kernel's own f32 rounding on the
+        # center-pad EDGE frames (step content dominates their uncentered
+        # power); pre-fix this was 2.09 — catastrophic — now ~0.015
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=0)
+        f0, v = pitch_detect_acf(y, sr=sr)
         f0, v = np.asarray(f0), np.asarray(v)
         med = np.median(f0[v])
         assert abs(med - 330.0) < 6.0, med
