@@ -211,3 +211,43 @@ class TestFusedFramewiseACF:
         f0, v = np.asarray(f0), np.asarray(v)
         med = np.median(f0[v])
         assert abs(med - 330.0) < 6.0, med
+
+    @pytest.mark.parametrize(
+        "frame_length,hop,fmin,fmax",
+        [(2048, 512, 50.0, 2000.0), (2048, 256, 80.0, 1000.0),
+         (1024, 256, 60.0, 800.0), (1024, 128, 100.0, 3000.0),
+         (512, 128, 150.0, 2000.0), (4096, 512, 40.0, 500.0)],
+    )
+    def test_fused_equals_xla_config_sweep(self, frame_length, hop, fmin, fmax):
+        """Fused-vs-XLA agreement across the radix gate's admissible configs
+        (interpret mode on CPU), guarding the centering algebra for every
+        (C', lo, hi) combination — not just the librosa defaults."""
+        import jax.numpy as jnp
+
+        import mlx_audio_primitives_tpu.ops.pitch as pm
+
+        sr = 22050
+        n_fft = pm._next_pow2(2 * frame_length - 1)
+        lo, hi = pm._lag_bounds(sr, fmin, fmax)
+        hi = min(hi + 1, n_fft)
+        from mlx_audio_primitives_tpu.kernels.mel_fused import radix_supported
+
+        if not (n_fft % hop == 0 and frame_length % hop == 0
+                and hi - 1 <= frame_length
+                and radix_supported(n_fft, hop, hi - lo + 1)):
+            pytest.skip("outside the fused gate")
+        rng = np.random.default_rng(frame_length + hop)
+        t = np.arange(3 * frame_length) / sr
+        y = (np.sin(2 * np.pi * 220.0 * t)
+             + 0.2 * rng.standard_normal(t.size)).astype(np.float32)
+        yd = jnp.asarray(y)[None]
+        C = pm._acf_lag_basis(n_fft, lo, hi)
+        a, va = pm._framewise_acf_xla(
+            yd, C, frame_length=frame_length, hop_length=hop, lo=lo, hi=hi
+        )
+        b, vb = pm._framewise_acf_fused(
+            yd, C, frame_length=frame_length, hop_length=hop, lo=lo, hi=hi
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=0)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
