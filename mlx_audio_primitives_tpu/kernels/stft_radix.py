@@ -162,14 +162,14 @@ def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ):
     def kernel(sig_hbm, w_ref, t_ref, b_ref, out_ref, sig_scr, sem):
         cur = _double_buffered_rows(sig_hbm, sig_scr, sem, CB, FBb, FBk, GJ)
 
-        reals, imags = [], []
-        for _g, xr, xi in _radix_group_spectra(
+        G = NC * R2
+        for g, xr, xi in _radix_group_spectra(
             cur, w_ref, t_ref, b_ref, C, R2, NC, FBb
         ):
-            reals.append(xr)
-            imags.append(xi)
-        # one full-block store, same pattern as the mel kernel
-        out_ref[:] = jnp.concatenate(reals + imags, axis=-1)
+            # store each group's 128-lane slices as produced: no full-width
+            # concat buffer in VMEM, and stores overlap the next group's GEMMs
+            out_ref[..., g * LANE : (g + 1) * LANE] = xr
+            out_ref[..., (G + g) * LANE : (G + g + 1) * LANE] = xi
 
     return kernel
 
