@@ -70,7 +70,7 @@ from .ops import (
     stft,
     zero_crossing_rate,
 )
-from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel/MFCC)
+from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel/MFCC/Pitch)
 
 
 def __getattr__(name: str):  # pragma: no cover - lazy flag resolution

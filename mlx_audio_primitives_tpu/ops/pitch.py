@@ -299,10 +299,20 @@ def pitch_detect_acf(
     search, valid = _framewise_acf(
         y, frame_length=frame_length, hop_length=hop_length, lo=lo, hi=hi
     )
-    L = search.shape[-1]
+    f0, voiced = _pick_f0(search, valid, sr=sr, min_lag=min_lag,
+                          threshold=threshold)
+    return (f0[0], voiced[0]) if input_is_1d else (f0, voiced)
 
-    # Vectorized "first local peak above threshold" (reference's loop
-    # `pitch.py:228-243`): interior local-max mask, argmax gives first True.
+
+def _pick_f0(
+    search: jax.Array, valid: jax.Array, *, sr: int, min_lag: int,
+    threshold: float
+) -> tuple[jax.Array, jax.Array]:
+    """Vectorized "first local peak above threshold" over the ACF window
+    (reference's loop `pitch.py:228-243`): interior local-max mask, argmax
+    gives the first True; global max above threshold as fallback. Shared by
+    :func:`pitch_detect_acf` and :class:`~.streaming.StreamingPitch`."""
+    L = search.shape[-1]
     if L >= 3:
         mid, left, right = search[..., 1:-1], search[..., :-2], search[..., 2:]
         peak_mask = (mid > left) & (mid > right) & (mid > threshold)
@@ -318,7 +328,7 @@ def pitch_detect_acf(
     idx = jnp.where(has_peak, first_peak, g_idx)
     voiced = valid & (has_peak | g_ok)
     f0 = jnp.where(voiced, sr / jnp.maximum(min_lag + idx, 1), 0.0).astype(REAL_DTYPE)
-    return (f0[0], voiced[0]) if input_is_1d else (f0, voiced)
+    return f0, voiced
 
 
 def periodicity(

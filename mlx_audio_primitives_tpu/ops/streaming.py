@@ -299,3 +299,71 @@ class StreamingMFCC:
 
     def reset(self) -> None:
         self.stft.reset()
+
+
+class StreamingPitch:
+    """Chunked ACF pitch tracking: per push of ``(B, k*hop)`` samples, the
+    last ``frame_length - hop`` carried samples complete the overlapping
+    frames, yielding exactly ``k`` (f0, voiced) estimates.
+
+    Matches the offline :func:`~.pitch.pitch_detect_acf` with
+    ``center=False`` frame-for-frame once the carry holds real signal
+    (silence-primed startup, like :class:`StreamingSTFT`); the offline op's
+    ``center=True`` default instead pads ``frame_length // 2`` zeros, so
+    its frame GRID is shifted by ``frame_length/2 - (frame_length - hop)``
+    samples relative to the stream.
+    """
+
+    def __init__(
+        self,
+        sr: int = 22050,
+        fmin: float = 50.0,
+        fmax: float = 2000.0,
+        frame_length: int = 2048,
+        hop_length: int = 512,
+        threshold: float = 0.1,
+        batch: int = 1,
+    ):
+        from .pitch import _lag_bounds
+
+        if fmin >= fmax:
+            raise ValueError(f"fmin ({fmin}) must be less than fmax ({fmax})")
+        hop_length = _valid_hop(hop_length, frame_length)
+        self.sr, self.threshold = sr, threshold
+        self.frame_length, self.hop_length = frame_length, hop_length
+        self.min_lag, max_lag = _lag_bounds(sr, fmin, fmax)
+        self._lo = self.min_lag
+        self._hi = min(max_lag + 1, frame_length + 1)
+        self.batch = batch
+        self.reset()
+
+    def reset(self) -> None:
+        self._carry = jnp.zeros(
+            (self.batch, self.frame_length - self.hop_length), REAL_DTYPE
+        )
+
+    def push(self, chunk: ArrayLike) -> tuple[jax.Array, jax.Array]:
+        """``(B, k*hop)`` samples -> ``(f0, voiced)`` each ``(B, k)``."""
+        from .pitch import _framewise_acf, _pick_f0
+
+        chunk = jnp.asarray(chunk, REAL_DTYPE)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        if chunk.shape[0] != self.batch or chunk.shape[1] % self.hop_length:
+            raise ValueError(
+                f"chunk must be ({self.batch}, k*{self.hop_length}); got "
+                f"{chunk.shape}"
+            )
+        ext = jnp.concatenate([self._carry, chunk], axis=1)
+        keep = self.frame_length - self.hop_length  # may be 0 (hop == frame)
+        self._carry = ext[:, ext.shape[1] - keep:]
+        if self._hi <= self._lo:
+            k = chunk.shape[1] // self.hop_length
+            z = jnp.zeros((self.batch, k), REAL_DTYPE)
+            return z, z.astype(bool)
+        search, valid = _framewise_acf(
+            ext, frame_length=self.frame_length, hop_length=self.hop_length,
+            lo=self._lo, hi=self._hi,
+        )
+        return _pick_f0(search, valid, sr=self.sr, min_lag=self.min_lag,
+                        threshold=self.threshold)

@@ -235,3 +235,65 @@ class TestStreamingEdgeCases:
             StreamingSTFT(n_fft=256, hop_length=0)
         with pytest.raises(ValueError):
             StreamingISTFT(n_fft=256, hop_length=512)
+
+
+class TestStreamingPitch:
+    """StreamingPitch == offline pitch_detect_acf(center=False) frame for
+    frame, modulo the grid shift of the silence-primed carry: stream frame
+    j covers samples [j*hop - (frame-hop), j*hop + hop), so offline frame 0
+    is stream frame C'-1 (C' = frame/hop)."""
+
+    def test_matches_offline_uncentered(self):
+        from mlx_audio_primitives_tpu import pitch_detect_acf
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingPitch
+
+        sr, frame, hop = 22050, 2048, 512
+        t = np.arange(4 * frame) / sr
+        y = (np.sin(2 * np.pi * 220.0 * t)
+             + 0.05 * np.random.default_rng(0).standard_normal(t.size)
+             ).astype(np.float32)
+
+        sp = StreamingPitch(sr=sr, frame_length=frame, hop_length=hop)
+        f0s, vs = [], []
+        chunk = 4 * hop
+        for i in range(0, len(y), chunk):
+            f0, v = sp.push(y[None, i : i + chunk])
+            f0s.append(np.asarray(f0))
+            vs.append(np.asarray(v))
+        f0_s = np.concatenate(f0s, axis=1)[0]
+        v_s = np.concatenate(vs, axis=1)[0]
+
+        f0_o, v_o = pitch_detect_acf(y, sr=sr, frame_length=frame,
+                                     hop_length=hop, center=False)
+        f0_o, v_o = np.asarray(f0_o), np.asarray(v_o)
+        shift = frame // hop - 1
+        n = len(f0_o)
+        avail = min(n, f0_s.shape[0] - shift)
+        np.testing.assert_allclose(f0_s[shift : shift + avail], f0_o[:avail],
+                                   atol=1e-3)
+        np.testing.assert_array_equal(v_s[shift : shift + avail], v_o[:avail])
+
+    def test_detects_tone_and_resets(self):
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingPitch
+
+        sr = 22050
+        t = np.arange(8192) / sr
+        tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+        sp = StreamingPitch(sr=sr)
+        f0, v = sp.push(tone[None, : 8 * 512])
+        f0, v = np.asarray(f0)[0], np.asarray(v)[0]
+        # frames past the silence-primed carry hear the tone
+        assert v[-3:].all()
+        np.testing.assert_allclose(f0[-3:], 440.0, atol=12.0)
+        sp.reset()
+        f0b, _ = sp.push(tone[None, : 8 * 512])
+        np.testing.assert_array_equal(np.asarray(f0b)[0], f0)
+
+    def test_chunk_validation(self):
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingPitch
+
+        sp = StreamingPitch()
+        with pytest.raises(ValueError):
+            sp.push(np.zeros((1, 513), np.float32))
+        with pytest.raises(ValueError):
+            StreamingPitch(fmin=500.0, fmax=100.0)
