@@ -406,6 +406,46 @@ def bench_fallback() -> list[BenchmarkResult]:
     return run_fallback()
 
 
+def bench_streaming() -> list[BenchmarkResult]:
+    """Per-push latency of the chunked frontends — the serving number a
+    realtime pipeline cares about (wall clock per push incl. dispatch, NOT
+    slope-amortized: a stream dispatches one push at a time)."""
+    import time as _time
+
+    from mlx_audio_primitives_tpu.ops.streaming import (
+        StreamingLogMel,
+        StreamingPitch,
+    )
+
+    out = []
+    rng = np.random.default_rng(0)
+    for name, make, hop, k in [
+        ("StreamingLogMel push (4 frames)",
+         lambda: StreamingLogMel(sr=SR, n_fft=2048, hop_length=512), 512, 4),
+        ("StreamingPitch push (4 frames)",
+         lambda: StreamingPitch(sr=SR, frame_length=2048, hop_length=512),
+         512, 4),
+    ]:
+        s = make()
+        chunk = rng.standard_normal((1, k * hop)).astype(np.float32)
+        for _ in range(3):  # warm the executable + tables
+            jax.block_until_ready(jax.tree.leaves(s.push(chunk)))
+        times = []
+        for _ in range(20):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(jax.tree.leaves(s.push(chunk)))
+            times.append(_time.perf_counter() - t0)
+        t = float(np.median(times))
+        rt = (k * hop / SR) / t  # x realtime per stream
+        out.append(
+            BenchmarkResult(
+                name=name, time_ms=t * 1e3,
+                extra={"x_realtime_per_stream": rt},
+            )
+        )
+    return out
+
+
 # Insertion order = execution order for "run everything": cheap, headline
 # suites first, the compile-heavy comparison suites (pallas, fallback) last —
 # a flaky remote TPU attachment that drops mid-run then still yields the
@@ -421,6 +461,7 @@ ALL_SUITES = {
     "resample": bench_resample,
     "griffinlim": bench_griffinlim,
     "features": bench_features,
+    "streaming": bench_streaming,
     "pallas": bench_pallas,
     "fallback": bench_fallback,
 }

@@ -1,4 +1,4 @@
-"""Streaming (chunked) STFT / ISTFT / log-mel.
+"""Streaming (chunked) STFT / ISTFT / log-mel / MFCC / pitch.
 
 The reference lists "Streaming support — process audio in chunks" as future
 work (reference `ARCHITECTURE.md:536-540`); its only streaming hooks are the
@@ -301,6 +301,23 @@ class StreamingMFCC:
         self.stft.reset()
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "frame_length", "hop_length", "lo", "hi", "sr", "min_lag", "threshold",
+    ),
+)
+def _pitch_step(
+    ext, C, *, frame_length, hop_length, lo, hi, sr, min_lag, threshold
+):
+    from .pitch import _framewise_acf_xla, _pick_f0
+
+    search, valid = _framewise_acf_xla(
+        ext, C, frame_length=frame_length, hop_length=hop_length, lo=lo, hi=hi
+    )
+    return _pick_f0(search, valid, sr=sr, min_lag=min_lag, threshold=threshold)
+
+
 class StreamingPitch:
     """Chunked ACF pitch tracking: per push of ``(B, k*hop)`` samples, the
     last ``frame_length - hop`` carried samples complete the overlapping
@@ -344,7 +361,7 @@ class StreamingPitch:
 
     def push(self, chunk: ArrayLike) -> tuple[jax.Array, jax.Array]:
         """``(B, k*hop)`` samples -> ``(f0, voiced)`` each ``(B, k)``."""
-        from .pitch import _framewise_acf, _pick_f0
+        from .pitch import _acf_lag_basis, _next_pow2
 
         chunk = jnp.asarray(chunk, REAL_DTYPE)
         if chunk.ndim == 1:
@@ -361,9 +378,13 @@ class StreamingPitch:
             k = chunk.shape[1] // self.hop_length
             z = jnp.zeros((self.batch, k), REAL_DTYPE)
             return z, z.astype(bool)
-        search, valid = _framewise_acf(
-            ext, frame_length=self.frame_length, hop_length=self.hop_length,
-            lo=self._lo, hi=self._hi,
+        n_fft = _next_pow2(2 * self.frame_length - 1)
+        C = _acf_lag_basis(n_fft, self._lo, self._hi)
+        # the XLA ACF path in ONE jit: per-push latency is dispatch-bound
+        # at streaming chunk sizes, so fewer dispatches beats the fused
+        # kernel's (3-call) throughput advantage
+        return _pitch_step(
+            ext, C, frame_length=self.frame_length,
+            hop_length=self.hop_length, lo=self._lo, hi=self._hi,
+            sr=self.sr, min_lag=self.min_lag, threshold=self.threshold,
         )
-        return _pick_f0(search, valid, sr=self.sr, min_lag=self.min_lag,
-                        threshold=self.threshold)
