@@ -131,6 +131,7 @@ def _framewise_acf_xla(
     lo: int, hi: int
 ) -> tuple[jax.Array, jax.Array]:
     frames = frame_signal_batched(y, frame_length, hop_length)
+    praw = jnp.sum(frames * frames, axis=-1)  # uncentered power, noise ref
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     n_fft = _next_pow2(2 * frame_length - 1)
     frames = jnp.pad(frames, ((0, 0), (0, 0), (0, n_fft - frame_length)))
@@ -138,8 +139,15 @@ def _framewise_acf_xla(
     # restricted inverse: only lag 0 + the search window, as one MXU GEMM
     r = jnp.matmul(power, C, precision=MATMUL_PRECISION)
     r0 = r[..., :1]
-    valid = r0[..., 0] > 1e-10
+    # noise-floor gate: the centered residual of a constant frame is pure
+    # mean-subtraction rounding, whose power scales as eps^2 * praw (the
+    # direct computation squares the per-sample eps*|x| residue) — an
+    # absolute 1e-10 alone passed amp~1 constant frames (r0 ~ 1.8e-10) and
+    # normalized rounding noise to confident ~1.0 ACF values
+    eps = jnp.asarray(np.finfo(np.float32).eps, REAL_DTYPE)
+    valid = r0[..., 0] > jnp.maximum(1e-10, 64.0 * eps * eps * praw)
     rn = r[..., 1:] / jnp.maximum(r0, 1e-10)
+    rn = jnp.where(valid[..., None], rn, 0.0)
     return rn, valid
 
 
@@ -238,14 +246,23 @@ def _acf_center_correct(
     Q = Qc[..., lo - 1 : hi - 1]
 
     lags = jnp.arange(lo, hi, dtype=REAL_DTYPE)
-    r0 = r[..., 0] - S * S / W
+    r_raw = r[..., 0]
+    r0 = r_raw - S * S / W
     rl = (
         r[..., 1:]
         - m[..., None] * (2.0 * S[..., None] - P - Q)
         + (W - lags) * (m * m)[..., None]
     )
-    valid = r0 > 1e-10
+    # noise-floor gate RELATIVE to the uncentered power: a frame whose
+    # centered energy is within ~32 eps of its raw power is pure f32
+    # cancellation residue (piecewise-constant audio with zero global mean
+    # defeats the _acf_prep conditioning), and normalizing by it would
+    # manufacture confident garbage — the XLA path's directly-computed r0
+    # handles these frames via the absolute threshold alone
+    eps = jnp.asarray(np.finfo(np.float32).eps, REAL_DTYPE)
+    valid = r0 > jnp.maximum(1e-10, 32.0 * eps * r_raw)
     rn = rl / jnp.maximum(r0[..., None], 1e-10)
+    rn = jnp.where(valid[..., None], rn, 0.0)
     return rn, valid
 
 

@@ -41,12 +41,12 @@ from .stft import _get_padded_window
 ArrayLike = Any
 
 
-def _valid_hop(hop_length: int | None, n_fft: int) -> int:
+def _valid_hop(hop_length: int | None, n_fft: int, name: str = "n_fft") -> int:
     """Validate/default the hop (``or`` would silently rewrite hop=0)."""
     hop = n_fft // 4 if hop_length is None else hop_length
     if not 0 < hop <= n_fft:
         raise ValueError(
-            f"hop_length must be in (0, n_fft]; got {hop} with n_fft={n_fft}"
+            f"hop_length must be in (0, {name}]; got {hop} with {name}={n_fft}"
         )
     return hop
 
@@ -308,14 +308,20 @@ class StreamingMFCC:
     ),
 )
 def _pitch_step(
-    ext, C, *, frame_length, hop_length, lo, hi, sr, min_lag, threshold
+    carry, chunk, C, *, frame_length, hop_length, lo, hi, sr, min_lag,
+    threshold
 ):
     from .pitch import _framewise_acf_xla, _pick_f0
 
+    ext = jnp.concatenate([carry, chunk], axis=1)
+    keep = frame_length - hop_length  # may be 0 (hop == frame)
+    new_carry = ext[:, ext.shape[1] - keep:]
     search, valid = _framewise_acf_xla(
         ext, C, frame_length=frame_length, hop_length=hop_length, lo=lo, hi=hi
     )
-    return _pick_f0(search, valid, sr=sr, min_lag=min_lag, threshold=threshold)
+    f0, voiced = _pick_f0(search, valid, sr=sr, min_lag=min_lag,
+                          threshold=threshold)
+    return f0, voiced, new_carry
 
 
 class StreamingPitch:
@@ -345,7 +351,7 @@ class StreamingPitch:
 
         if fmin >= fmax:
             raise ValueError(f"fmin ({fmin}) must be less than fmax ({fmax})")
-        hop_length = _valid_hop(hop_length, frame_length)
+        hop_length = _valid_hop(hop_length, frame_length, name="frame_length")
         self.sr, self.threshold = sr, threshold
         self.frame_length, self.hop_length = frame_length, hop_length
         self.min_lag, max_lag = _lag_bounds(sr, fmin, fmax)
@@ -366,25 +372,32 @@ class StreamingPitch:
         chunk = jnp.asarray(chunk, REAL_DTYPE)
         if chunk.ndim == 1:
             chunk = chunk[None]
-        if chunk.shape[0] != self.batch or chunk.shape[1] % self.hop_length:
+        if (
+            chunk.shape[0] != self.batch
+            or chunk.shape[1] == 0
+            or chunk.shape[1] % self.hop_length
+        ):
             raise ValueError(
-                f"chunk must be ({self.batch}, k*{self.hop_length}); got "
-                f"{chunk.shape}"
+                f"chunk must be ({self.batch}, k*{self.hop_length}) with "
+                f"k >= 1; got {chunk.shape}"
             )
-        ext = jnp.concatenate([self._carry, chunk], axis=1)
-        keep = self.frame_length - self.hop_length  # may be 0 (hop == frame)
-        self._carry = ext[:, ext.shape[1] - keep:]
         if self._hi <= self._lo:
+            # degenerate lag window: still advance the carry
+            ext = jnp.concatenate([self._carry, chunk], axis=1)
+            keep = self.frame_length - self.hop_length
+            self._carry = ext[:, ext.shape[1] - keep:]
             k = chunk.shape[1] // self.hop_length
             z = jnp.zeros((self.batch, k), REAL_DTYPE)
             return z, z.astype(bool)
         n_fft = _next_pow2(2 * self.frame_length - 1)
         C = _acf_lag_basis(n_fft, self._lo, self._hi)
-        # the XLA ACF path in ONE jit: per-push latency is dispatch-bound
-        # at streaming chunk sizes, so fewer dispatches beats the fused
-        # kernel's (3-call) throughput advantage
-        return _pitch_step(
-            ext, C, frame_length=self.frame_length,
+        # the whole step — carry concat, XLA ACF, peak pick, next carry —
+        # is ONE jit: per-push latency is dispatch-bound at streaming
+        # chunk sizes, so fewer dispatches beats the fused kernel's
+        # (3-call) throughput advantage
+        f0, voiced, self._carry = _pitch_step(
+            self._carry, chunk, C, frame_length=self.frame_length,
             hop_length=self.hop_length, lo=self._lo, hi=self._hi,
             sr=self.sr, min_lag=self.min_lag, threshold=self.threshold,
         )
+        return f0, voiced

@@ -75,9 +75,12 @@ class TestNativeBarkLinearFilterbanks:
         from mlx_audio_primitives_tpu._native import native_bark_filterbank
         import mlx_audio_primitives_tpu.ops.filterbanks as fbmod
 
+        from mlx_audio_primitives_tpu import _native as nat_mod
+
+        if not hasattr(nat_mod._lib, "mapt_bark_filterbank"):
+            pytest.skip("stale native build lacks the bark builder symbol")
         nat = native_bark_filterbank(22050, 1024, 24, 0.0, 11025.0, formula, norm)
-        if nat is None:
-            pytest.skip("stale native build lacks the bark builder")
+        assert nat is not None  # symbol present => a None is a real failure
         bmin = fbmod.hz_to_bark(np.array([0.0]), formula=formula)[0]
         bmax = fbmod.hz_to_bark(np.array([11025.0]), formula=formula)[0]
         pts = fbmod.bark_to_hz(np.linspace(bmin, bmax, 26), formula=formula)
@@ -92,9 +95,12 @@ class TestNativeBarkLinearFilterbanks:
         from mlx_audio_primitives_tpu._native import native_linear_filterbank
         import mlx_audio_primitives_tpu.ops.filterbanks as fbmod
 
+        from mlx_audio_primitives_tpu import _native as nat_mod
+
+        if not hasattr(nat_mod._lib, "mapt_linear_filterbank"):
+            pytest.skip("stale native build lacks the linear builder symbol")
         nat = native_linear_filterbank(16000, 512, 64, 100.0, 8000.0, norm)
-        if nat is None:
-            pytest.skip("stale native build lacks the linear builder")
+        assert nat is not None
         ref = fbmod._triangular_filterbank(
             np.linspace(100.0, 8000.0, 66), 16000, 512, 64, norm
         )

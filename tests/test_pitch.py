@@ -251,3 +251,33 @@ class TestFusedFramewiseACF:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=0)
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    def test_constant_frames_unvoiced_both_paths(self):
+        """Regression (code review round 2): piecewise-constant audio with
+        ZERO global mean defeats the DC pre-conditioning, and the old
+        absolute r0 > 1e-10 gate let f32 rounding noise through as
+        confident ~1.0 ACF values — on BOTH paths (the XLA path's direct
+        r0 for an amp-0.9 constant frame is ~1.8e-10). The noise floors
+        are now relative: eps^2 * praw (direct) / eps * r_raw (fused)."""
+        import jax.numpy as jnp
+
+        import mlx_audio_primitives_tpu.ops.pitch as pm
+        from mlx_audio_primitives_tpu import pitch_detect_acf
+
+        y = np.concatenate(
+            [np.full(22050, 0.9), np.full(22050, -0.9)]
+        ).astype(np.float32)
+        lo, hi = pm._lag_bounds(22050, 50.0, 2000.0)
+        hi = min(hi + 1, 4096)
+        C = pm._acf_lag_basis(4096, lo, hi)
+        yd = jnp.asarray(y)[None]
+        _, va = pm._framewise_acf_xla(yd, C, frame_length=2048,
+                                      hop_length=512, lo=lo, hi=hi)
+        _, vb = pm._framewise_acf_fused(yd, C, frame_length=2048,
+                                        hop_length=512, lo=lo, hi=hi)
+        va, vb = np.asarray(va)[0], np.asarray(vb)[0]
+        # only the handful of frames containing the step edge are voiced
+        assert va.sum() <= 6 and vb.sum() <= 6, (va.sum(), vb.sum())
+        f0, v = pitch_detect_acf(y, sr=22050)
+        v = np.asarray(v)
+        assert v.mean() < 0.15, v.mean()

@@ -296,4 +296,8 @@ class TestStreamingPitch:
         with pytest.raises(ValueError):
             sp.push(np.zeros((1, 513), np.float32))
         with pytest.raises(ValueError):
+            sp.push(np.zeros((1, 0), np.float32))
+        with pytest.raises(ValueError):
             StreamingPitch(fmin=500.0, fmax=100.0)
+        with pytest.raises(ValueError, match="frame_length"):
+            StreamingPitch(frame_length=2048, hop_length=4096)
