@@ -226,6 +226,40 @@ class TestCheckpoint:
         assert len(r["x"].sharding.device_set) == 8
         np.testing.assert_array_equal(np.asarray(r["x"]), np.asarray(x))
 
+    def test_restore_onto_different_topology(self, tmp_path):
+        """A checkpoint saved on one mesh reloads onto a DIFFERENT mesh and
+        sharding spec (the resume-after-rescale story): Orbax reshards to
+        the target's NamedSharding on load."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mlx_audio_primitives_tpu.models import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+        from mlx_audio_primitives_tpu.models.checkpoint import HAS_ORBAX
+        from mlx_audio_primitives_tpu.parallel import make_mesh
+
+        if not HAS_ORBAX:
+            pytest.skip("orbax not available")
+        mesh8 = make_mesh(n_data=8, n_time=1)
+        x = jax.device_put(
+            jnp.arange(64.0).reshape(8, 8), NamedSharding(mesh8, P("data"))
+        )
+        path = str(tmp_path / "rescale")
+        save_checkpoint(path, {"x": x, "step": 1})
+        mesh42 = make_mesh(n_data=4, n_time=2)
+        tgt = {
+            "x": jax.device_put(
+                jnp.zeros((8, 8)), NamedSharding(mesh42, P("data", "time"))
+            ),
+            "step": 0,
+        }
+        r = restore_checkpoint(path, target=tgt)
+        assert r["x"].sharding.spec == P("data", "time")
+        np.testing.assert_array_equal(
+            np.asarray(r["x"]), np.arange(64.0).reshape(8, 8)
+        )
+
     def test_resume_training_continues_descent(self, tmp_path):
         """Save mid-training, restore, and confirm the loss keeps falling —
         the actual resume contract, not just array equality."""
