@@ -12,8 +12,6 @@ The reference sweeps lengths [8000..176400] x batches [1..32] x n_mels
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 

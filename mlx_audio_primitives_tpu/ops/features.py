@@ -31,7 +31,7 @@ from .._config import REAL_DTYPE
 from ..kernels.precise_math import exp10, log10
 from ..utils.validation import validate_positive, validate_range
 from ._frames import frame_signal_batched
-from .stft import magnitude, magnitude_spectrogram, stft
+from .stft import magnitude_spectrogram
 
 ArrayLike = Any
 
