@@ -47,6 +47,28 @@ ArrayLike = Any
 _PAD_MODES = ("constant", "reflect", "edge")
 
 
+@jax.custom_vjp
+def _squeeze0(x: jax.Array) -> jax.Array:
+    """``x[0]`` of a size-1 leading axis with an exact reshape adjoint.
+
+    The automatic transpose of complex indexing lowers to a complex pad
+    that some TPU runtimes reject at execution (UNIMPLEMENTED, killing the
+    client session); with the batch axis known to be exactly 1, the
+    adjoint is simply ``ct[None]``."""
+    return x[0]
+
+
+def _squeeze0_fwd(x):
+    return x[0], None
+
+
+def _squeeze0_bwd(_res, ct):
+    return (ct[None],)
+
+
+_squeeze0.defvjp(_squeeze0_fwd, _squeeze0_bwd)
+
+
 def _resolve_fft_mode(fft_mode: str, n_fft: int) -> str:
     """Resolve the transform path.
 
@@ -326,7 +348,7 @@ def stft(
             y, win, n_fft=n_fft, hop_length=hop_length, center=center,
             pad_mode=pad_mode,
         )
-        return out[0] if input_is_1d else out
+        return _squeeze0(out) if input_is_1d else out
 
     out = _stft_core(
         y,
@@ -339,7 +361,7 @@ def stft(
         fft_mode=fft_mode_r,
     )
     out = jnp.swapaxes(out, 1, 2)  # (B, n_bins, F) — librosa convention
-    return out[0] if input_is_1d else out
+    return _squeeze0(out) if input_is_1d else out
 
 
 @partial(
