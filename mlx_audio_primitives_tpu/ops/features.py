@@ -89,6 +89,7 @@ def _moments_fused(
         return None
     if not (
         dispatch.resolve_use_pallas(None, default_on_tpu=True)
+        and not dispatch.is_batch_traced(y)
         and radix_supported(n_fft, hop_length, 2)
     ):
         return None

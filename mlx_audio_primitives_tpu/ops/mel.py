@@ -239,6 +239,7 @@ def melspectrogram(
     # fft_mode pins the XLA pipeline unless use_pallas=True overrides.
     pallas_ok = (
         _dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+        and not _dispatch.is_batch_traced(y)
         and (fft_mode == "auto" or use_pallas is True)
         and power in (1.0, 2.0)
         and radix_supported(n_fft, hop_length, n_mels)

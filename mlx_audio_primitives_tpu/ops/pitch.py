@@ -110,6 +110,7 @@ def _framewise_acf(
 
     if (
         dispatch.resolve_use_pallas(None, default_on_tpu=True)
+        and not dispatch.is_batch_traced(y)
         and n_fft % hop_length == 0
         and frame_length % hop_length == 0
         and lo >= 1

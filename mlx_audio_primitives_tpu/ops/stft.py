@@ -279,6 +279,7 @@ def magnitude_spectrogram(
 
     if (
         dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+        and not dispatch.is_batch_traced(y)
         and stft_radix_supported(n_fft, hop_length)
     ):
         # |stft| via the fused radix kernel with the half-traffic
@@ -338,6 +339,7 @@ def stft(
 
     pallas_ok = (
         dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+        and not dispatch.is_batch_traced(y)
         and (fft_mode == "auto" or use_pallas is True)
         and stft_radix_supported(n_fft, hop_length)
     )
@@ -479,7 +481,9 @@ def istft(
     from ..kernels.istft_fused import istft_fused_supported
     from ..kernels.overlap_add import ola_supported
 
-    want_pallas = dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+    want_pallas = dispatch.resolve_use_pallas(
+        use_pallas, default_on_tpu=True
+    ) and not dispatch.is_batch_traced(S)
     if (
         want_pallas
         and (fft_mode == "auto" or use_pallas is True)

@@ -78,6 +78,20 @@ def resolve_use_pallas(flag: bool | None, default_on_tpu: bool = False) -> bool:
     return False
 
 
+def is_batch_traced(*arrays) -> bool:
+    """True when any argument is under a ``jax.vmap`` batching trace.
+
+    The fused kernels' Pallas lowering rejects the batching rule's block
+    shapes, so vmapped calls route to the XLA path instead of erroring.
+    (Covers direct vmap of the public ops; a vmap OVER a jit boundary
+    batches the already-traced jaxpr and cannot be detected here — the
+    public ops accept a leading batch axis natively, which is both faster
+    and always safe.)"""
+    from jax._src.interpreters import batching
+
+    return any(isinstance(a, batching.BatchTracer) for a in arrays)
+
+
 def pallas_interpret_mode() -> bool:
     """Pallas kernels run in interpreter mode off-TPU (CPU test stand-in)."""
     return not is_tpu()

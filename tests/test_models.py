@@ -160,3 +160,37 @@ class TestTrainableLogMelFrontend:
         }
         out = fe.apply(params_wide, y)  # must not raise
         assert out.shape[0] == 2 and out.shape[1] == wide
+
+
+class TestVmapDispatchGate:
+    def test_is_batch_traced_detector(self):
+        """The fused-kernel gates must see through vmap: Pallas rejects the
+        batching rule's block shapes, so vmapped calls take the XLA path
+        (verified equal to native batching at 3e-7 on the real chip)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mlx_audio_primitives_tpu.utils.dispatch import is_batch_traced
+
+        seen = []
+
+        def probe(x):
+            seen.append(is_batch_traced(x))
+            return x * 2.0
+
+        jax.vmap(probe)(jnp.ones((2, 4)))
+        assert seen == [True]
+        assert not is_batch_traced(jnp.ones((2, 4)))
+        assert not is_batch_traced(np.ones(3))
+
+    def test_vmap_over_pitch(self, sine_signal):
+        import jax
+
+        from mlx_audio_primitives_tpu import pitch_detect_acf
+
+        y = np.stack([sine_signal, sine_signal])
+        f0v = jax.vmap(lambda yy: pitch_detect_acf(yy, sr=22050)[0])(
+            np.asarray(y)
+        )
+        f0n, _ = pitch_detect_acf(y, sr=22050)
+        np.testing.assert_allclose(np.asarray(f0v), np.asarray(f0n))
