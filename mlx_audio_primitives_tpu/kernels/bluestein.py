@@ -142,7 +142,7 @@ def _irfft_paired(icfft, X: jax.Array, n: int) -> jax.Array:
     return out.reshape(*lead, n)
 
 
-@jax.custom_vjp
+@jax.custom_jvp
 def rfft_packed(x: jax.Array) -> jax.Array:
     """rfft over the last axis via pair-packed complex FFT (~1.6x on TPU).
 
@@ -150,24 +150,19 @@ def rfft_packed(x: jax.Array) -> jax.Array:
     transform count. Measured 0.536 -> 0.328 ms for (2816, 2048) f32 on v5e
     at 2.8e-7 relative accuracy.
 
-    Custom VJP: the packed formulation's automatic transpose lowers to an
-    op some TPU runtimes lack (UNIMPLEMENTED at execution); rfft is linear,
-    so the backward rides plain ``jnp.fft.rfft``'s own (working) VJP.
+    Custom JVP: the packed formulation's automatic transpose lowers to an
+    op some TPU runtimes lack (UNIMPLEMENTED at execution). rfft is linear,
+    so the tangent rule is plain ``jnp.fft.rfft`` — forward mode works, and
+    reverse mode transposes that plain rule (whose adjoint the runtime
+    accepts) instead of the packed graph.
     """
     return _rfft_paired(lambda z: jnp.fft.fft(z, axis=-1), x, x.shape[-1])
 
 
-def _rfft_packed_fwd(x):
-    return rfft_packed(x), x.shape[-1]
-
-
-def _rfft_packed_bwd(n, ct):
-    zeros = jnp.zeros(ct.shape[:-1] + (n,), jnp.real(ct).dtype)
-    _, vjp = jax.vjp(lambda xx: jnp.fft.rfft(xx, axis=-1), zeros)
-    return vjp(ct)
-
-
-rfft_packed.defvjp(_rfft_packed_fwd, _rfft_packed_bwd)
+@rfft_packed.defjvp
+def _rfft_packed_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return rfft_packed(x), jnp.fft.rfft(t, axis=-1)
 
 
 def packed_power_rows(Z: jax.Array, n: int) -> jax.Array:
@@ -252,25 +247,18 @@ def rfft_len(x: jax.Array, n: int) -> jax.Array:
     return fft_bluestein(x, n=n)[..., : n // 2 + 1]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
 def irfft_packed(X: jax.Array, n: int) -> jax.Array:
     """irfft via pair-packed complex inverse FFT (dual of :func:`rfft_packed`).
 
-    Custom VJP for the same reason as :func:`rfft_packed`."""
+    Custom JVP for the same reason as :func:`rfft_packed`."""
     return _irfft_paired(lambda Z: jnp.fft.ifft(Z, axis=-1), X, n)
 
 
-def _irfft_packed_fwd(X, n):
-    return irfft_packed(X, n), None
-
-
-def _irfft_packed_bwd(n, _res, ct):
-    zeros = jnp.zeros(ct.shape[:-1] + (n // 2 + 1,), jnp.complex64)
-    _, vjp = jax.vjp(lambda XX: jnp.fft.irfft(XX, n=n, axis=-1), zeros)
-    return vjp(ct)
-
-
-irfft_packed.defvjp(_irfft_packed_fwd, _irfft_packed_bwd)
+@irfft_packed.defjvp
+def _irfft_packed_jvp(n, primals, tangents):
+    (X,), (t,) = primals, tangents
+    return irfft_packed(X, n), jnp.fft.irfft(t, n=n, axis=-1)
 
 
 def irfft_len(X: jax.Array, n: int) -> jax.Array:

@@ -237,18 +237,8 @@ def stft_pallas_grouped(
         )
     T = _twiddle_table(n_fft, hop_length)
     Bt = _basis_table(hop_length)
-    from .bluestein import _DFT_MATMUL_MAX
-    from .dft import forward_basis
-
-    # real rDFT basis for the all-real backward (see _stft_grouped_vjp_fn);
-    # zeros sentinel above the dense-GEMM cap selects the complex-rfft bwd
-    FB = (
-        forward_basis(n_fft)
-        if n_fft <= _DFT_MATMUL_MAX
-        else jnp.zeros((1, 1), jnp.float32)
-    )
     return _stft_grouped_vjp_fn(n_fft, hop_length, center, pad_mode)(
-        y, win, T, Bt, FB
+        y, win, T, Bt
     )
 
 
@@ -266,13 +256,13 @@ def _stft_grouped_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: st
         _stft_radix_core, n_fft=n_fft, hop_length=hop_length, center=center,
         pad_mode=pad_mode,
     )
-    n_bins = n_fft // 2 + 1
-    # keep the maps as NUMPY in this lru-cached closure: a jnp.asarray here
-    # would capture whatever trace first builds the factory (e.g. inside
-    # griffinlim's fori_loop) and leak its tracer into every later caller
-    kmap, sgn = _group_maps(n_fft, hop_length)
 
-    def xla_ref_complex(y, win):
+    def xla_ref(y, win):
+        # plain jnp.fft.rfft (NOT the packed path): its transpose is the
+        # plain-rfft adjoint, which restrictive TPU runtimes accept —
+        # verified on-chip up to n_fft=8192 (the session-killing transposes
+        # were the packed FFT's and the complex-slice squeeze's, both fixed
+        # at their sources)
         from ..ops._frames import frame_signal_batched
 
         if center:
@@ -281,38 +271,18 @@ def _stft_grouped_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: st
         frames = frame_signal_batched(y, n_fft, hop_length) * win
         return group_spectrum(jnp.fft.rfft(frames, axis=-1), n_fft, hop_length)
 
-    def xla_ref_real(y, win, FB):
-        # ALL-REAL composition: rDFT as one GEMM against the [cos|-sin]
-        # basis, group gather on the real planes. The complex variant's
-        # transpose chain hits an op some TPU runtimes reject at execution
-        # (UNIMPLEMENTED, killing the client session); every op here —
-        # matmul, gather, concat — has a plain real transpose.
-        from ..ops._frames import frame_signal_batched
-
-        if center:
-            pad = n_fft // 2
-            y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
-        frames = frame_signal_batched(y, n_fft, hop_length) * win
-        out = jnp.matmul(frames, FB, precision=MATMUL_PRECISION)
-        xr = out[..., :n_bins][:, :, kmap]
-        xi = out[..., n_bins:][:, :, kmap] * sgn
-        return jnp.concatenate([xr, xi], axis=-1)
-
     @jax.custom_vjp
-    def f(y, win, T, Bt, FB):
+    def f(y, win, T, Bt):
         return kern(y, win, T, Bt)
 
-    def fwd(y, win, T, Bt, FB):
-        return kern(y, win, T, Bt), (y, win, T, Bt, FB)
+    def fwd(y, win, T, Bt):
+        return kern(y, win, T, Bt), (y, win, T, Bt)
 
     def bwd(res, ct):
-        y, win, T, Bt, FB = res
-        if FB.shape[0] == n_fft:  # real basis available (n_fft <= GEMM cap)
-            _, vjp = jax.vjp(lambda yy, ww: xla_ref_real(yy, ww, FB), y, win)
-        else:
-            _, vjp = jax.vjp(xla_ref_complex, y, win)
+        y, win, T, Bt = res
+        _, vjp = jax.vjp(xla_ref, y, win)
         dy, dw = vjp(ct)
-        return dy, dw, jnp.zeros_like(T), jnp.zeros_like(Bt), jnp.zeros_like(FB)
+        return dy, dw, jnp.zeros_like(T), jnp.zeros_like(Bt)
 
     f.defvjp(fwd, bwd)
     return f

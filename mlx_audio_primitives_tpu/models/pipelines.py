@@ -155,6 +155,7 @@ class TrainableLogMelFrontend:
         fb_t = jnp.asarray(params["fb_t"], dtype=REAL_DTYPE)
         if (
             dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+            and not dispatch.is_batch_traced(y, fb_t)
             and radix_supported(self.n_fft, self.hop_length, fb_t.shape[1])
         ):
             mel = melspectrogram_pallas(

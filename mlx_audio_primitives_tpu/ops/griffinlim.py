@@ -318,7 +318,9 @@ def griffinlim(
 
     # same tier policy as stft()/istft(): an explicit fft_mode pins the XLA
     # transforms (the OLA kernel tier still applies) unless use_pallas=True
-    want = _dispatch.resolve_use_pallas(use_pallas, default_on_tpu=True)
+    want = _dispatch.resolve_use_pallas(
+        use_pallas, default_on_tpu=True
+    ) and not _dispatch.is_batch_traced(S)
     if (
         want
         and (fft_mode == "auto" or use_pallas is True)

@@ -47,26 +47,14 @@ ArrayLike = Any
 _PAD_MODES = ("constant", "reflect", "edge")
 
 
-@jax.custom_vjp
 def _squeeze0(x: jax.Array) -> jax.Array:
-    """``x[0]`` of a size-1 leading axis with an exact reshape adjoint.
+    """Drop the size-1 leading axis as a RESHAPE (``lax.squeeze``).
 
-    The automatic transpose of complex indexing lowers to a complex pad
+    ``x[0]`` lowers to a gather whose automatic transpose is a complex pad
     that some TPU runtimes reject at execution (UNIMPLEMENTED, killing the
-    client session); with the batch axis known to be exactly 1, the
-    adjoint is simply ``ct[None]``."""
-    return x[0]
-
-
-def _squeeze0_fwd(x):
-    return x[0], None
-
-
-def _squeeze0_bwd(_res, ct):
-    return (ct[None],)
-
-
-_squeeze0.defvjp(_squeeze0_fwd, _squeeze0_bwd)
+    client session); squeeze's transpose is a reshape, safe in both autodiff
+    modes."""
+    return jax.lax.squeeze(x, (0,))
 
 
 def _resolve_fft_mode(fft_mode: str, n_fft: int) -> str:

@@ -83,13 +83,28 @@ def is_batch_traced(*arrays) -> bool:
 
     The fused kernels' Pallas lowering rejects the batching rule's block
     shapes, so vmapped calls route to the XLA path instead of erroring.
-    (Covers direct vmap of the public ops; a vmap OVER a jit boundary
-    batches the already-traced jaxpr and cannot be detected here — the
-    public ops accept a leading batch axis natively, which is both faster
-    and always safe.)"""
-    from jax._src.interpreters import batching
+    Walks the tracer stack (a ``vmap(grad(f))`` argument is a JVPTracer
+    wrapping a BatchTracer) by NAME, avoiding any private-module import.
+    (A vmap OVER a jit boundary batches the already-traced jaxpr and
+    cannot be detected here — the public ops accept a leading batch axis
+    natively, which is both faster and always safe.)"""
+    import jax
 
-    return any(isinstance(a, batching.BatchTracer) for a in arrays)
+    def walk(a) -> bool:
+        for _ in range(16):
+            if not isinstance(a, jax.core.Tracer):
+                return False
+            if type(a).__name__ == "BatchTracer":
+                return True
+            nxt = getattr(a, "primal", None)
+            if nxt is None:
+                nxt = getattr(a, "val", None)
+            if nxt is None or nxt is a:
+                return False
+            a = nxt
+        return False
+
+    return any(walk(a) for a in arrays)
 
 
 def pallas_interpret_mode() -> bool:
