@@ -247,7 +247,7 @@ def melspectrogram(
     if pallas_ok:
         from ..kernels.mel_fused import melspectrogram_pallas
 
-        out = melspectrogram_pallas(
+        out = _dispatch.try_pallas(lambda: melspectrogram_pallas(
             y,
             win,
             fb.T,
@@ -256,8 +256,9 @@ def melspectrogram(
             center=center,
             pad_mode=pad_mode,
             power=float(power),
-        )
-        return out[0] if input_is_1d else out
+        ))
+        if out is not None:
+            return out[0] if input_is_1d else out
 
     n_frames_est = 1 + (y.shape[1] + (n_fft if center else 0) - n_fft) // hop_length
     if fft_mode == "auto":

@@ -334,11 +334,12 @@ def stft(
     if pallas_ok:
         from ..kernels.stft_radix import stft_pallas
 
-        out = stft_pallas(
+        out = dispatch.try_pallas(lambda: stft_pallas(
             y, win, n_fft=n_fft, hop_length=hop_length, center=center,
             pad_mode=pad_mode,
-        )
-        return _squeeze0(out) if input_is_1d else out
+        ))
+        if out is not None:
+            return _squeeze0(out) if input_is_1d else out
 
     out = _stft_core(
         y,

@@ -107,6 +107,21 @@ def is_batch_traced(*arrays) -> bool:
     return any(walk(a) for a in arrays)
 
 
+def try_pallas(fn):
+    """Run a fused-kernel branch, returning None under forward-mode autodiff.
+
+    The kernels' custom_vjp supports reverse mode only; jax raises a
+    specific TypeError at trace time for jvp/jacfwd. Catching exactly that
+    lets the caller fall back to the XLA path so forward-mode works over
+    every public op (any other TypeError propagates)."""
+    try:
+        return fn()
+    except TypeError as e:
+        if "forward-mode autodiff" in str(e):
+            return None
+        raise
+
+
 def pallas_interpret_mode() -> bool:
     """Pallas kernels run in interpreter mode off-TPU (CPU test stand-in)."""
     return not is_tpu()

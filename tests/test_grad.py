@@ -275,3 +275,40 @@ class TestPackedFFTVJP:
         np.testing.assert_allclose(
             np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-2
         )
+
+
+class TestForwardModeFallback:
+    """jvp/jacfwd over ops whose gate selects the Pallas kernel must fall
+    back to the XLA path at trace time (custom_vjp supports reverse mode
+    only; dispatch.try_pallas catches exactly jax's forward-mode
+    TypeError)."""
+
+    def test_jvp_through_mel_and_stft(self):
+        import jax
+        import jax.numpy as jnp
+
+        import mlx_audio_primitives_tpu as ap
+
+        y = jnp.asarray(
+            np.random.default_rng(0).standard_normal(8192).astype(np.float32)
+        )
+        t = jnp.ones_like(y)
+        f = lambda yy: jnp.sum(
+            ap.melspectrogram(yy, n_mels=32, n_fft=512, hop_length=128,
+                              use_pallas=True)
+        )
+        _, jv = jax.jvp(f, (y,), (t,))
+        assert np.isfinite(float(jv))
+        g = lambda yy: jnp.sum(
+            jnp.abs(ap.stft(yy, n_fft=512, hop_length=128, use_pallas=True))
+            ** 2
+        )
+        _, jv2 = jax.jvp(g, (y,), (t,))
+        assert np.isfinite(float(jv2))
+        # jvp agrees with the XLA path's jvp (same math)
+        gx = lambda yy: jnp.sum(
+            jnp.abs(ap.stft(yy, n_fft=512, hop_length=128, use_pallas=False))
+            ** 2
+        )
+        _, jv3 = jax.jvp(gx, (y,), (t,))
+        np.testing.assert_allclose(float(jv2), float(jv3), rtol=1e-5)
