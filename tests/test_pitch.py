@@ -68,6 +68,45 @@ class TestAutocorrelation:
     def test_default_full_lag(self, short_signal):
         assert autocorrelation(short_signal).shape == (1024,)
 
+    @pytest.mark.parametrize(
+        "n,max_lag",
+        [
+            (22050, 512),   # chunked path (n >= Nc, small lag window)
+            (22050, 37),    # tiny lag window, Nc floor at 2048
+            (8192, 600),    # Nc = 8192 boundary: n == n_chunk exactly
+            (6000, 512),    # below the n >= n_chunk gate -> direct path
+            (4096, 2048),   # max_lag == n//2 boundary
+            (30000, 4096),  # _ACF_CHUNK_MAX_LAG ceiling
+        ],
+    )
+    @pytest.mark.parametrize("center", [True, False])
+    def test_chunked_matches_direct(self, n, max_lag, center):
+        """The overlap-save dispatch is numerics-only: whichever path the
+        gate picks must agree with the direct Wiener-Khinchin core."""
+        from mlx_audio_primitives_tpu.ops.pitch import _autocorrelation_core
+
+        rng = np.random.default_rng(7)
+        y = rng.standard_normal((3, n)).astype(np.float32)
+        got = np.asarray(autocorrelation(y, max_lag=max_lag, center=center))
+        want = np.asarray(
+            _autocorrelation_core(
+                y, max_lag=max_lag, normalize=True, center=center
+            )
+        )
+        assert got.shape == want.shape == (3, max_lag)
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_chunked_unnormalized_matches_direct(self):
+        from mlx_audio_primitives_tpu.ops.pitch import _autocorrelation_core
+
+        rng = np.random.default_rng(8)
+        y = (10.0 * rng.standard_normal((2, 22050))).astype(np.float32)
+        got = np.asarray(autocorrelation(y, max_lag=300, normalize=False))
+        want = np.asarray(
+            _autocorrelation_core(y, max_lag=300, normalize=False, center=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
+
 
 class TestPitchDetect:
     def test_sine_440(self, sine_signal):
