@@ -142,6 +142,18 @@ def _irfft_paired(icfft, X: jax.Array, n: int) -> jax.Array:
     return out.reshape(*lead, n)
 
 
+def _has_vma(x) -> bool:
+    """True when ``x`` carries varying-manual-axes (inside a vma-tracked
+    shard_map). jax 0.9's custom_jvp linearization drops vma from the stored
+    output avals, so transposing the packed FFTs there raises a cotangent
+    type mismatch — callers route to the plain jnp.fft ops instead, whose
+    native autodiff is vma-aware."""
+    try:
+        return bool(jax.typeof(x).vma)
+    except Exception:
+        return False
+
+
 @jax.custom_jvp
 def rfft_packed(x: jax.Array) -> jax.Array:
     """rfft over the last axis via pair-packed complex FFT (~1.6x on TPU).
@@ -219,7 +231,7 @@ def rfft_power_len(x: jax.Array, n: int) -> jax.Array:
     """
     if n & (n - 1) == 0:
         rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
-        if rows >= 2:
+        if rows >= 2 and not _has_vma(x):
             return rfft_power_packed(x)
     S = rfft_len(x, n)
     return jnp.real(S) ** 2 + jnp.imag(S) ** 2
@@ -235,7 +247,7 @@ def rfft_len(x: jax.Array, n: int) -> jax.Array:
     """
     if n & (n - 1) == 0:
         rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
-        if rows >= 2:
+        if rows >= 2 and not _has_vma(x):
             return rfft_packed(x)
         return jnp.fft.rfft(x, axis=-1)
     if n <= _DFT_MATMUL_MAX:
@@ -265,7 +277,7 @@ def irfft_len(X: jax.Array, n: int) -> jax.Array:
     """irfft producing real output of length ``n`` from (..., n//2+1) bins."""
     if n & (n - 1) == 0:
         rows = int(np.prod(X.shape[:-1])) if X.ndim > 1 else 1
-        if rows >= 2:
+        if rows >= 2 and not _has_vma(X):
             return irfft_packed(X, n)
         return jnp.fft.irfft(X, n=n, axis=-1)
     if n <= _DFT_MATMUL_MAX:

@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .._config import MATMUL_PRECISION
 from ..utils.cache import table_cache
-from ..utils.dispatch import pallas_interpret_mode
+from ..utils.dispatch import pallas_interpret_mode, vma_struct
 from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, radix_shape_ok, round_up
 from .mel_fused import _coef, _double_buffered_rows, _omega
 from .stft_radix import _natural_maps, group_spectrum
@@ -330,7 +330,7 @@ def _istft_grouped_core(
         _istft_kernel_factory(
             CB, RB, C, R2, NC, hop_length, FBk, RT_pad // RB
         ),
-        out_shape=jax.ShapeDtypeStruct((B, RT_pad, hop_length), jnp.float32),
+        out_shape=vma_struct((B, RT_pad, hop_length), jnp.float32, xg_p),
         grid=(B // CB, RT_pad // RB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .._config import MATMUL_PRECISION
 from ..utils.cache import table_cache
-from ..utils.dispatch import pallas_interpret_mode
+from ..utils.dispatch import pallas_interpret_mode, vma_struct
 from .block_policy import LANE, MAX_RADIX, SUBLANE, VMEM_BUDGET, radix_shape_ok, round_up
 
 _MAX_RADIX = MAX_RADIX  # C, R2 <= 8 => n_fft <= 8192 with hop >= 128
@@ -358,8 +358,23 @@ def melspectrogram_xla(
         pad = n_fft // 2
         y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
     frames = frame_signal_batched(y, n_fft, hop_length) * win
-    spec = jnp.fft.rfft(frames, axis=-1)
-    p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    n_bins = n_fft // 2 + 1
+    from .bluestein import _DFT_MATMUL_MAX, _has_vma
+
+    if _has_vma(frames) and n_fft <= _DFT_MATMUL_MAX:
+        # Inside a vma-tracked shard_map (the tensor-parallel train step),
+        # reverse mode through jnp.fft.rfft fails: jax's fft transpose rule
+        # linearizes against a vma-less dummy aval and rejects the varying
+        # cotangent. The DFT-GEMM spectrum differentiates as plain matmuls,
+        # which are vma-aware.
+        from .dft import forward_basis
+
+        out = jnp.matmul(frames, forward_basis(n_fft),
+                         precision=MATMUL_PRECISION)
+        p = out[..., :n_bins] ** 2 + out[..., n_bins:] ** 2
+    else:
+        spec = jnp.fft.rfft(frames, axis=-1)
+        p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     if power == 1:
         p = jnp.sqrt(p)
     return jnp.swapaxes(
@@ -486,7 +501,7 @@ def _mel_radix_core(
         _mel_radix_kernel_factory(
             CB, FBb, C, R2, NC, hop_length, FBk, power, F_pad // FBb
         ),
-        out_shape=jax.ShapeDtypeStruct((B, F_pad, n_mels), jnp.float32),
+        out_shape=vma_struct((B, F_pad, n_mels), jnp.float32, sig2d, fbf),
         grid=(B // CB, F_pad // FBb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),

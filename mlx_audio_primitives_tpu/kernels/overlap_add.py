@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .._config import WINDOW_SUM_EPSILON
-from ..utils.dispatch import pallas_interpret_mode
+from ..utils.dispatch import pallas_interpret_mode, vma_struct
 from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, round_up
 from .mel_fused import _double_buffered_rows
 
@@ -155,7 +155,7 @@ def overlap_add_pallas(
 
     out = pl.pallas_call(
         _ola_kernel_factory(CB, RB, C, hop_length, FBk, NFP, RT_pad // RB),
-        out_shape=jax.ShapeDtypeStruct((B, RT_pad, hop_length), jnp.float32),
+        out_shape=vma_struct((B, RT_pad, hop_length), jnp.float32, fw_p),
         grid=(B // CB, RT_pad // RB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),

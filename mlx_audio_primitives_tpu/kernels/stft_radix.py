@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .._config import MATMUL_PRECISION
-from ..utils.dispatch import pallas_interpret_mode
+from ..utils.dispatch import pallas_interpret_mode, vma_struct
 from .block_policy import LANE, SUBLANE, VMEM_BUDGET, radix_shape_ok, round_up
 from .mel_fused import (
     _basis_table,
@@ -330,7 +330,9 @@ def _stft_radix_core(
         _stft_radix_kernel_factory(
             CB, FBb, C, R2, NC, hop_length, FBk, F_pad // FBb
         ),
-        out_shape=jax.ShapeDtypeStruct((B, F_pad, 2 * G * LANE), jnp.float32),
+        # vma_struct: under vma-tracked shard_map the output must carry the
+        # operands' varying axes; degrades to a plain struct outside
+        out_shape=vma_struct((B, F_pad, 2 * G * LANE), jnp.float32, sig2d),
         grid=(B // CB, F_pad // FBb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),

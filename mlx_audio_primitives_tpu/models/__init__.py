@@ -16,6 +16,11 @@ from .pipelines import (
     init_classifier_params,
     make_sharded_train_step,
 )
+from .tensor_parallel import (
+    make_tp_train_step,
+    tp_param_sharding,
+    tp_param_specs,
+)
 from .presets import (
     PRESETS,
     music_logmel,
@@ -36,6 +41,9 @@ __all__ = [
     "audio_classifier_apply",
     "batch_sharding",
     "make_convnet_train_step",
+    "make_tp_train_step",
+    "tp_param_specs",
+    "tp_param_sharding",
     "save_checkpoint",
     "restore_checkpoint",
     "HAS_ORBAX",

@@ -3,10 +3,12 @@ time-axis (sequence-parallel) sharded STFT/mel with ICI halo exchange."""
 
 from .mesh import (
     DATA_AXIS,
+    MODEL_AXIS,
     TIME_AXIS,
     batch_sharding,
     batch_time_sharding,
     make_mesh,
+    make_tp_mesh,
     replicated,
 )
 from .sharding import data_parallel, shard_batch
@@ -19,7 +21,9 @@ from .time_shard import (
 __all__ = [
     "DATA_AXIS",
     "TIME_AXIS",
+    "MODEL_AXIS",
     "make_mesh",
+    "make_tp_mesh",
     "batch_sharding",
     "batch_time_sharding",
     "replicated",

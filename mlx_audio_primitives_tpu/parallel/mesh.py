@@ -15,6 +15,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 TIME_AXIS = "time"
+MODEL_AXIS = "model"
 
 
 def make_mesh(
@@ -67,6 +68,49 @@ def make_mesh(
             pass
     arr = np.asarray(devices[: n_data * n_time]).reshape(n_data, n_time)
     return Mesh(arr, (DATA_AXIS, TIME_AXIS))
+
+
+def make_tp_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh for tensor-parallel training.
+
+    ``data`` is the batch axis as in :func:`make_mesh`; ``model`` shards
+    parameter tensors (conv channels, classifier columns) Megatron-style —
+    activations cross it via ``psum`` / ``all_gather`` on ICI (see
+    `models/tensor_parallel.py`). A separate constructor rather than a third
+    axis on :func:`make_mesh` keeps the dp x sp mesh shape stable for the
+    sharded DSP ops, which know nothing about parameters.
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if n_model < 1:
+        raise ValueError(f"n_model must be >= 1, got {n_model}")
+    if n_data is None:
+        if len(devices) % n_model != 0:
+            raise ValueError(
+                f"{len(devices)} devices do not divide evenly over "
+                f"n_model={n_model}; pass n_data explicitly"
+            )
+        n_data = len(devices) // n_model
+    if n_data < 1:
+        raise ValueError(f"n_data must be >= 1, got {n_data}")
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"have {len(devices)}"
+        )
+    if devices == list(jax.devices()) and n_data * n_model == len(devices):
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh((n_data, n_model))
+            return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        except Exception:
+            pass
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -125,3 +125,28 @@ def try_pallas(fn):
 def pallas_interpret_mode() -> bool:
     """Pallas kernels run in interpreter mode off-TPU (CPU test stand-in)."""
     return not is_tpu()
+
+
+def vma_struct(shape, dtype, *operands):
+    """``jax.ShapeDtypeStruct`` for a pallas_call output, carrying the union
+    of the operands' varying-manual-axes.
+
+    Inside a ``shard_map`` with vma tracking on (the jax 0.9 default), every
+    value is typed with the mesh axes it varies over, and ``pallas_call``
+    refuses a plain ShapeDtypeStruct (vma=None). Outside shard_map the union
+    is empty and this degrades to the plain struct, so the fused kernels can
+    use it unconditionally."""
+    import jax
+
+    vma: frozenset = frozenset()
+    for op in operands:
+        try:
+            v = jax.typeof(op).vma
+        except Exception:
+            v = None
+        if v:
+            vma |= frozenset(v)
+    try:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    except TypeError:  # jax without the vma parameter
+        return jax.ShapeDtypeStruct(shape, dtype)
