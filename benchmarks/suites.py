@@ -415,16 +415,20 @@ def bench_streaming() -> list[BenchmarkResult]:
     from mlx_audio_primitives_tpu.ops.streaming import (
         StreamingLogMel,
         StreamingPitch,
+        StreamingResample,
     )
 
     out = []
     rng = np.random.default_rng(0)
-    for name, make, hop, k in [
+    for name, make, hop, k, rate in [
         ("StreamingLogMel push (4 frames)",
-         lambda: StreamingLogMel(sr=SR, n_fft=2048, hop_length=512), 512, 4),
+         lambda: StreamingLogMel(sr=SR, n_fft=2048, hop_length=512), 512, 4,
+         SR),
         ("StreamingPitch push (4 frames)",
          lambda: StreamingPitch(sr=SR, frame_length=2048, hop_length=512),
-         512, 4),
+         512, 4, SR),
+        ("StreamingResample push (44.1k->16k, 20 ms)",
+         lambda: StreamingResample(up=160, down=441), 441, 2, 44100),
     ]:
         s = make()
         chunk = rng.standard_normal((1, k * hop)).astype(np.float32)
@@ -436,7 +440,7 @@ def bench_streaming() -> list[BenchmarkResult]:
             jax.block_until_ready(jax.tree.leaves(s.push(chunk)))
             times.append(_time.perf_counter() - t0)
         t = float(np.median(times))
-        rt = (k * hop / SR) / t  # x realtime per stream
+        rt = (k * hop / rate) / t  # x realtime per stream
         out.append(
             BenchmarkResult(
                 name=name, time_ms=t * 1e3,

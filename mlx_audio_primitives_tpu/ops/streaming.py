@@ -1,4 +1,4 @@
-"""Streaming (chunked) STFT / ISTFT / log-mel / MFCC / pitch.
+"""Streaming (chunked) STFT / ISTFT / log-mel / MFCC / pitch / resample.
 
 The reference lists "Streaming support — process audio in chunks" as future
 work (reference `ARCHITECTURE.md:536-540`); its only streaming hooks are the
@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from .._config import MATMUL_PRECISION, REAL_DTYPE, WINDOW_SUM_EPSILON
 from ..kernels.bluestein import irfft_len, rfft_len
+from ..utils.validation import validate_positive
 from .convert import power_to_db
 from ._frames import frame_signal_batched, overlap_add, window_envelope
 from .mel import mel_filterbank
@@ -401,3 +402,125 @@ class StreamingPitch:
             sr=self.sr, min_lag=self.min_lag, threshold=self.threshold,
         )
         return f0, voiced
+
+
+# ---------------------------------------------------------------------------
+# streaming polyphase resampling
+
+
+@partial(jax.jit, static_argnames=("up", "down", "W", "drop"))
+def _resample_step(
+    carry: jax.Array, chunk: jax.Array, Kt: jax.Array, *,
+    up: int, down: int, W: int, drop: int
+) -> tuple[jax.Array, jax.Array]:
+    """One streaming polyphase step: carry ``(B, W - down)`` + chunk
+    ``(B, k*down)`` -> (new carry, ``(B, k*up - drop)`` output samples)."""
+    ext = jnp.concatenate([carry, chunk], axis=1)
+    frames = frame_signal_batched(ext, W, down)  # (B, k, W)
+    flat = jnp.matmul(
+        frames, Kt, precision=jax.lax.Precision.HIGHEST
+    ).reshape(chunk.shape[0], -1)
+    keep = W - down
+    return ext[:, ext.shape[1] - keep:], flat[:, drop:]
+
+
+class StreamingResample:
+    """Chunked polyphase resampling with the offline filter, exactly.
+
+    The polyphase geometry streams with no approximation: the offline
+    left extension (``Lpmax - 1`` zeros) IS the initial carry, each pushed
+    ``k * down`` input samples complete exactly ``k`` hop-``down`` frames
+    (one MXU GEMM -> ``k * up`` output samples), and the filter's group
+    delay means the final ``m0`` outputs need ``ceil(m0/up)`` frames of
+    zero right-extension — emitted by :meth:`flush`. The concatenation of
+    all pushes plus the flush equals
+    ``resample_poly(y, up, down, padtype='constant')`` over the full
+    signal to f32 rounding (identical frames and kernel; only the GEMM's
+    reduction tiling differs between the chunked and offline shapes).
+
+    Only the 'constant' (zero) boundary semantics can stream — every other
+    scipy padtype depends on signal ends or global statistics the stream
+    has not seen.
+
+    >>> r = StreamingResample(up=160, down=441, batch=1)  # 44.1k -> 16k
+    >>> outs = [r.push(c) for c in chunks]                # (1, k*441) each
+    >>> outs.append(r.flush())
+    """
+
+    def __init__(self, up: int, down: int, batch: int = 1):
+        import math as _math
+
+        from .resample import _polyphase_geometry, _polyphase_kernel
+
+        validate_positive(up, "up")
+        validate_positive(down, "down")
+        g = _math.gcd(up, down)
+        self.up, self.down = up // g, down // g
+        self.batch = batch
+        if self.up == 1 and self.down == 1:
+            self.W = self.m0 = 0
+            self.Kt = None
+        else:
+            _, Lpmax, W, m0 = _polyphase_geometry(self.up, self.down)
+            self.W, self.m0 = W, m0
+            self.Kt = _polyphase_kernel(self.up, self.down)
+        self.reset()
+
+    def reset(self) -> None:
+        self._started = False
+        if self.Kt is not None:
+            self._carry = jnp.zeros(
+                (self.batch, self.W - self.down), REAL_DTYPE
+            )
+
+    def push(self, chunk: ArrayLike) -> jax.Array:
+        """``(B, k*down)`` input samples -> resampled output samples.
+
+        Every push yields ``k*up`` samples, except the first, which yields
+        ``k*up - m0`` (the filter's group delay); the first chunk must
+        therefore satisfy ``k*up > m0`` (~10 output samples — any real
+        streaming chunk clears it).
+        """
+        chunk = jnp.asarray(chunk, REAL_DTYPE)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        if self.Kt is None:  # up == down: identity stream
+            return chunk
+        if (
+            chunk.shape[0] != self.batch
+            or chunk.shape[1] == 0
+            or chunk.shape[1] % self.down
+        ):
+            raise ValueError(
+                f"chunk must be ({self.batch}, k*{self.down}) with k >= 1; "
+                f"got {chunk.shape}"
+            )
+        drop = 0
+        if not self._started:
+            drop = self.m0
+            if chunk.shape[1] // self.down * self.up <= drop:
+                raise ValueError(
+                    f"first chunk must produce more than m0={self.m0} output "
+                    f"samples; push at least "
+                    f"{(self.m0 // self.up + 1) * self.down} input samples"
+                )
+            self._started = True
+        self._carry, out = _resample_step(
+            self._carry, chunk, self.Kt, up=self.up, down=self.down,
+            W=self.W, drop=drop,
+        )
+        return out
+
+    def flush(self) -> jax.Array:
+        """Final ``(B, m0)`` output samples (zero right-extension); resets."""
+        if self.Kt is None:
+            return jnp.zeros((self.batch, 0), REAL_DTYPE)
+        E = -(-self.m0 // self.up)  # frames of zero-extension needed
+        zeros = jnp.zeros((self.batch, E * self.down), REAL_DTYPE)
+        _, out = _resample_step(
+            self._carry, zeros, self.Kt, up=self.up, down=self.down,
+            W=self.W, drop=0,
+        )
+        out = out[:, : self.m0]
+        self.reset()
+        return out

@@ -301,3 +301,86 @@ class TestStreamingPitch:
             StreamingPitch(fmin=500.0, fmax=100.0)
         with pytest.raises(ValueError, match="frame_length"):
             StreamingPitch(frame_length=2048, hop_length=4096)
+
+
+class TestStreamingResample:
+    @pytest.mark.parametrize(
+        "up,down",
+        [(160, 441), (441, 160), (2, 3), (3, 2), (1, 4), (4, 1), (320, 882)],
+    )
+    def test_matches_offline_constant(self, up, down):
+        """pushes + flush == resample_poly(..., padtype='constant') exactly."""
+        from mlx_audio_primitives_tpu import resample_poly
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingResample
+
+        import math
+
+        g = math.gcd(up, down)
+        dn = down // g
+        rng = np.random.default_rng(0)
+        chunk = 16 * dn  # big enough that the first push clears m0 for up=1
+        n = 6 * chunk
+        y = rng.standard_normal((2, n)).astype(np.float32)
+
+        r = StreamingResample(up=up, down=down, batch=2)
+        outs = [np.asarray(r.push(y[:, i : i + chunk])) for i in range(0, n, chunk)]
+        outs.append(np.asarray(r.flush()))
+        got = np.concatenate(outs, axis=1)
+        want = np.asarray(resample_poly(y, up, down, padtype="constant"))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-6)
+
+    def test_variable_chunk_sizes(self):
+        from mlx_audio_primitives_tpu import resample_poly
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingResample
+
+        rng = np.random.default_rng(1)
+        up, down = 160, 441
+        sizes = [4 * 441, 441, 2 * 441, 7 * 441]
+        y = rng.standard_normal((1, sum(sizes))).astype(np.float32)
+        r = StreamingResample(up=up, down=down, batch=1)
+        outs, pos = [], 0
+        for s in sizes:
+            outs.append(np.asarray(r.push(y[:, pos : pos + s])))
+            pos += s
+        outs.append(np.asarray(r.flush()))
+        got = np.concatenate(outs, axis=1)
+        want = np.asarray(resample_poly(y, up, down, padtype="constant"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-6)
+
+    def test_identity_stream(self):
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingResample
+
+        r = StreamingResample(up=3, down=3)
+        y = np.ones((1, 32), np.float32)
+        np.testing.assert_array_equal(np.asarray(r.push(y)), y)
+        assert r.flush().shape == (1, 0)
+
+    def test_validation(self):
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingResample
+
+        r = StreamingResample(up=160, down=441)
+        with pytest.raises(ValueError, match="k\\*441"):
+            r.push(np.zeros((1, 100), np.float32))
+        with pytest.raises(ValueError, match="first chunk"):
+            # 441 input samples -> 160 output < m0 is impossible here
+            # (m0 ~ 11), so use a tiny ratio where one chunk can't clear m0
+            r2 = StreamingResample(up=1, down=50)
+            r2.push(np.zeros((1, 50), np.float32))
+
+    def test_reset_after_flush(self):
+        from mlx_audio_primitives_tpu import resample_poly
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingResample
+
+        rng = np.random.default_rng(2)
+        y = rng.standard_normal((1, 10 * 441)).astype(np.float32)
+        r = StreamingResample(up=160, down=441)
+        first = np.concatenate(
+            [np.asarray(r.push(y)), np.asarray(r.flush())], axis=1
+        )
+        second = np.concatenate(
+            [np.asarray(r.push(y)), np.asarray(r.flush())], axis=1
+        )
+        np.testing.assert_array_equal(first, second)
+        want = np.asarray(resample_poly(y, 160, 441, padtype="constant"))
+        np.testing.assert_allclose(first, want, rtol=1e-5, atol=2e-6)
