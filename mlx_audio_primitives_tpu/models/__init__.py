@@ -16,6 +16,13 @@ from .pipelines import (
     init_classifier_params,
     make_sharded_train_step,
 )
+from .pipeline_parallel import (
+    deep_classifier_apply,
+    init_deep_classifier_params,
+    make_pp_train_step,
+    pp_param_sharding,
+    pp_param_specs,
+)
 from .tensor_parallel import (
     make_tp_train_step,
     tp_param_sharding,
@@ -44,6 +51,11 @@ __all__ = [
     "make_tp_train_step",
     "tp_param_specs",
     "tp_param_sharding",
+    "make_pp_train_step",
+    "pp_param_specs",
+    "pp_param_sharding",
+    "init_deep_classifier_params",
+    "deep_classifier_apply",
     "save_checkpoint",
     "restore_checkpoint",
     "HAS_ORBAX",

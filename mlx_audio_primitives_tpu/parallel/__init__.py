@@ -4,10 +4,12 @@ time-axis (sequence-parallel) sharded STFT/mel with ICI halo exchange."""
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    STAGE_AXIS,
     TIME_AXIS,
     batch_sharding,
     batch_time_sharding,
     make_mesh,
+    make_pp_mesh,
     make_tp_mesh,
     replicated,
 )
@@ -22,8 +24,10 @@ __all__ = [
     "DATA_AXIS",
     "TIME_AXIS",
     "MODEL_AXIS",
+    "STAGE_AXIS",
     "make_mesh",
     "make_tp_mesh",
+    "make_pp_mesh",
     "batch_sharding",
     "batch_time_sharding",
     "replicated",

@@ -16,6 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 TIME_AXIS = "time"
 MODEL_AXIS = "model"
+STAGE_AXIS = "stage"
 
 
 def make_mesh(
@@ -111,6 +112,25 @@ def make_tp_mesh(
             pass
     arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_pp_mesh(n_stage: int, devices: list | None = None) -> Mesh:
+    """Build a 1-D ``(stage,)`` mesh for pipeline-parallel training.
+
+    Devices are taken in enumeration order so stage ``i`` hands activations
+    to stage ``i+1`` over a single ICI hop on real hardware (see
+    `models/pipeline_parallel.py`).
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if n_stage < 1:
+        raise ValueError(f"n_stage must be >= 1, got {n_stage}")
+    if n_stage > len(devices):
+        raise ValueError(
+            f"pipeline of {n_stage} stages needs {n_stage} devices, "
+            f"have {len(devices)}"
+        )
+    arr = np.asarray(devices[:n_stage])
+    return Mesh(arr, (STAGE_AXIS,))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
