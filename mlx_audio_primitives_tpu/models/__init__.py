@@ -28,6 +28,14 @@ from .tensor_parallel import (
     tp_param_sharding,
     tp_param_specs,
 )
+from .expert_parallel import (
+    ep_batch_sharding,
+    init_moe_classifier_params,
+    make_ep_train_step,
+    moe_classifier_apply,
+    moe_param_sharding,
+    moe_param_specs,
+)
 from .presets import (
     PRESETS,
     music_logmel,
@@ -54,6 +62,12 @@ __all__ = [
     "make_pp_train_step",
     "pp_param_specs",
     "pp_param_sharding",
+    "make_ep_train_step",
+    "moe_param_specs",
+    "moe_param_sharding",
+    "moe_classifier_apply",
+    "init_moe_classifier_params",
+    "ep_batch_sharding",
     "init_deep_classifier_params",
     "deep_classifier_apply",
     "save_checkpoint",

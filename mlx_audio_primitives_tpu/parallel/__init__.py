@@ -3,11 +3,13 @@ time-axis (sequence-parallel) sharded STFT/mel with ICI halo exchange."""
 
 from .mesh import (
     DATA_AXIS,
+    EXPERT_AXIS,
     MODEL_AXIS,
     STAGE_AXIS,
     TIME_AXIS,
     batch_sharding,
     batch_time_sharding,
+    make_ep_mesh,
     make_mesh,
     make_pp_mesh,
     make_tp_mesh,
@@ -25,9 +27,11 @@ __all__ = [
     "TIME_AXIS",
     "MODEL_AXIS",
     "STAGE_AXIS",
+    "EXPERT_AXIS",
     "make_mesh",
     "make_tp_mesh",
     "make_pp_mesh",
+    "make_ep_mesh",
     "batch_sharding",
     "batch_time_sharding",
     "replicated",

@@ -17,6 +17,7 @@ DATA_AXIS = "data"
 TIME_AXIS = "time"
 MODEL_AXIS = "model"
 STAGE_AXIS = "stage"
+EXPERT_AXIS = "expert"
 
 
 def make_mesh(
@@ -112,6 +113,50 @@ def make_tp_mesh(
             pass
     arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_ep_mesh(
+    n_data: int | None = None,
+    n_expert: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ``(data, expert)`` mesh for expert-parallel (MoE) training.
+
+    ``data`` is the batch axis; ``expert`` shards the EXPERT STACK of a
+    mixture-of-experts layer — each device in an expert group holds
+    ``n_experts / n_expert`` experts, and routed tokens travel to their
+    expert's device over ICI via ``all_to_all`` (see
+    `models/expert_parallel.py`). Like :func:`make_tp_mesh`, this is its own
+    constructor so the dp x sp mesh used by the sharded DSP ops keeps its
+    shape.
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if n_expert < 1:
+        raise ValueError(f"n_expert must be >= 1, got {n_expert}")
+    if n_data is None:
+        if len(devices) % n_expert != 0:
+            raise ValueError(
+                f"{len(devices)} devices do not divide evenly over "
+                f"n_expert={n_expert}; pass n_data explicitly"
+            )
+        n_data = len(devices) // n_expert
+    if n_data < 1:
+        raise ValueError(f"n_data must be >= 1, got {n_data}")
+    if n_data * n_expert > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_expert} needs {n_data * n_expert} devices, "
+            f"have {len(devices)}"
+        )
+    if devices == list(jax.devices()) and n_data * n_expert == len(devices):
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh((n_data, n_expert))
+            return Mesh(arr, (DATA_AXIS, EXPERT_AXIS))
+        except Exception:
+            pass
+    arr = np.asarray(devices[: n_data * n_expert]).reshape(n_data, n_expert)
+    return Mesh(arr, (DATA_AXIS, EXPERT_AXIS))
 
 
 def make_pp_mesh(n_stage: int, devices: list | None = None) -> Mesh:
