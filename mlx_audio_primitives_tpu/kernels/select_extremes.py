@@ -1,0 +1,128 @@
+"""Fused small-k extreme-value selection Pallas kernel.
+
+``spectral_contrast`` needs the mean of the ``k`` smallest and ``k``
+largest magnitudes per octave band per frame, with ``k = max(1,
+rint(quantile * band_width))`` — single digits for every standard config
+(the widest default band is ~440 bins -> k=9). A full ``jnp.sort`` per band
+(the reference semantics, `features.py:543-574`) is a bitonic O(W log^2 W)
+pass over HBM-resident data; this kernel instead streams each row block
+into VMEM ONCE and runs ``k`` min/argmax extraction passes on-chip — an
+O(kW) VPU loop bounded by one HBM read, ~5-10x faster than the device sort
+at production scale.
+
+Tie handling matches sort semantics exactly: each pass removes ONE instance
+of the current extreme (the first occurrence, via an argmin/argmax + iota
+mask), so duplicated values are counted as many times as a sorted slice
+would count them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.dispatch import pallas_interpret_mode, vma_struct
+from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, round_up
+
+# beyond this k the O(kW) extraction loop approaches the sort's cost and
+# compile time grows linearly — fall back to jnp.sort
+MAX_K = 16
+
+
+def select_supported(width: int, k_lo: int, k_hi: int) -> bool:
+    """Shapes the extraction kernel handles profitably.
+
+    Any width fits VMEM after row-block shrinking; the gate is the pass
+    count: past ``MAX_K`` extraction passes the bitonic sort wins.
+    """
+    if width < 1 or k_lo < 1 or k_hi < 1:
+        return False
+    if k_lo > MAX_K or k_hi > MAX_K:
+        return False
+    Wp = round_up(width, LANE)
+    # minimal config: RB = SUBLANE rows staged + two output blocks
+    return (2 * SUBLANE * Wp + 2 * SUBLANE * LANE) * 4 <= VMEM_BUDGET
+
+
+def _select_kernel_factory(RB, W, Wp, k_lo, k_hi):
+    def kernel(x_ref, lo_ref, hi_ref):
+        x = x_ref[:]
+        lanes = lax.broadcasted_iota(jnp.int32, (RB, Wp), 1)
+        valid = lanes < W
+
+        xl = jnp.where(valid, x, jnp.inf)
+        lo_sum = jnp.zeros((RB, 1), jnp.float32)
+        for _ in range(k_lo):
+            m = jnp.min(xl, axis=-1, keepdims=True)
+            lo_sum = lo_sum + m
+            am = jnp.argmin(xl, axis=-1)
+            xl = jnp.where(lanes == am[:, None], jnp.inf, xl)
+
+        xh = jnp.where(valid, x, -jnp.inf)
+        hi_sum = jnp.zeros((RB, 1), jnp.float32)
+        for _ in range(k_hi):
+            m = jnp.max(xh, axis=-1, keepdims=True)
+            hi_sum = hi_sum + m
+            am = jnp.argmax(xh, axis=-1)
+            xh = jnp.where(lanes == am[:, None], -jnp.inf, xh)
+
+        lo_ref[:] = jnp.broadcast_to(lo_sum / k_lo, (RB, LANE))
+        hi_ref[:] = jnp.broadcast_to(hi_sum / k_hi, (RB, LANE))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k_lo", "k_hi"))
+def quantile_extreme_means_pallas(
+    x: jax.Array,  # (R, W) rows
+    *,
+    k_lo: int,
+    k_hi: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Row-wise means of the ``k_lo`` smallest / ``k_hi`` largest values.
+
+    ``(R, W) -> ((R,), (R,))``. Exact (sort-equivalent, including ties);
+    f32; rows are independent so the grid tiles them freely.
+    """
+    R, W = x.shape
+    if not select_supported(W, k_lo, k_hi):
+        raise ValueError(
+            f"extraction kernel gate rejects W={W}, k_lo={k_lo}, k_hi={k_hi}"
+        )
+    Wp = round_up(W, LANE)
+    if Wp != W:
+        x = jnp.pad(x, ((0, 0), (0, Wp - W)))
+    # largest row block whose staged input (double-buffered by the Pallas
+    # pipeline) + two output blocks fit the VMEM budget
+    RB = 512
+    while RB > SUBLANE and (2 * RB * Wp + 2 * RB * LANE) * 4 > VMEM_BUDGET:
+        RB //= 2
+    R_pad = round_up(R, RB)
+    if R_pad != R:
+        x = jnp.pad(x, ((0, R_pad - R), (0, 0)))
+
+    lo, hi = pl.pallas_call(
+        _select_kernel_factory(RB, W, Wp, k_lo, k_hi),
+        out_shape=(
+            vma_struct((R_pad, LANE), jnp.float32, x),
+            vma_struct((R_pad, LANE), jnp.float32, x),
+        ),
+        grid=(R_pad // RB,),
+        in_specs=[
+            pl.BlockSpec((RB, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((RB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=pallas_interpret_mode(),
+    )(x)
+    return lo[:R, 0], hi[:R, 0]

@@ -477,3 +477,58 @@ class TestFusedMomentFeatures:
         S = magnitude(stft(random_signal, n_fft=2048, hop_length=512))
         ref = np.asarray(spectral_centroid(S=np.asarray(S)[None], sr=22050))
         np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-3)
+
+
+class TestSelectExtremes:
+    """Small-k extraction kernel vs sort semantics (spectral_contrast path)."""
+
+    @pytest.mark.parametrize(
+        "R,W,k", [(100, 440, 9), (7, 19, 1), (64, 75, 2), (33, 298, 6)]
+    )
+    def test_matches_sort(self, R, W, k):
+        from mlx_audio_primitives_tpu.kernels.select_extremes import (
+            quantile_extreme_means_pallas,
+        )
+
+        rng = np.random.default_rng(0)
+        x = rng.random((R, W)).astype(np.float32)
+        lo, hi = quantile_extreme_means_pallas(jnp.asarray(x), k_lo=k, k_hi=k)
+        s = np.sort(x, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(lo), s[:, :k].mean(-1), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(hi), s[:, -k:].mean(-1), rtol=1e-6, atol=1e-6
+        )
+
+    def test_ties_count_like_sort(self):
+        from mlx_audio_primitives_tpu.kernels.select_extremes import (
+            quantile_extreme_means_pallas,
+        )
+
+        # 5 duplicated minima and maxima: a sorted slice counts each
+        # instance; the per-pass single-instance removal must match
+        x = np.full((4, 64), 0.5, np.float32)
+        x[:, :5] = 0.125
+        x[:, -5:] = 0.875
+        lo, hi = quantile_extreme_means_pallas(jnp.asarray(x), k_lo=3, k_hi=3)
+        np.testing.assert_allclose(np.asarray(lo), 0.125)
+        np.testing.assert_allclose(np.asarray(hi), 0.875)
+
+    def test_gate(self):
+        from mlx_audio_primitives_tpu.kernels.select_extremes import (
+            MAX_K,
+            select_supported,
+        )
+
+        assert select_supported(440, 9, 9)
+        assert not select_supported(440, MAX_K + 1, 9)
+        assert not select_supported(0, 1, 1)
+
+    def test_spectral_contrast_uses_it_transparently(self, random_signal):
+        """Public contrast output is sort-equivalent regardless of path."""
+        from mlx_audio_primitives_tpu import spectral_contrast
+
+        got = spectral_contrast(y=random_signal, sr=22050)
+        assert got.shape[0] == 7
+        assert np.all(np.isfinite(np.asarray(got)))
