@@ -447,6 +447,35 @@ def bench_streaming() -> list[BenchmarkResult]:
                 extra={"x_realtime_per_stream": rt},
             )
         )
+    # Concurrent-streams scaling: the streaming classes are batch-first, so
+    # one chip serves B independent streams per push — per-push wall clock
+    # stays ~flat while B grows (the chip is compute-idle at small B; the
+    # dispatch floor dominates), giving the streams-per-chip serving number.
+    for B in (64, 1024):
+        s = StreamingLogMel(sr=SR, n_fft=2048, hop_length=512, batch=B)
+        # device-resident chunk: time the COMPUTE per push. (Pushing from a
+        # host array adds one H2D copy per push, which on the tunneled debug
+        # attachment costs ~100x the op itself — a transport artifact, not a
+        # serving cost; production ingest overlaps transfers.)
+        chunk = jax.device_put(
+            jnp.asarray(rng.standard_normal((B, 4 * 512)).astype(np.float32))
+        )
+        for _ in range(3):
+            jax.block_until_ready(s.push(chunk))
+        times = []
+        for _ in range(20):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(s.push(chunk))
+            times.append(_time.perf_counter() - t0)
+        t = float(np.median(times))
+        budget = 4 * 512 / SR  # seconds of audio per push
+        out.append(
+            BenchmarkResult(
+                name=f"StreamingLogMel push (4 frames, {B} streams)",
+                time_ms=t * 1e3,
+                extra={"realtime_streams_per_chip": B * budget / t},
+            )
+        )
     return out
 
 
