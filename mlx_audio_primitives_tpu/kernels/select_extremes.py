@@ -44,6 +44,10 @@ def select_supported(width: int, k_lo: int, k_hi: int) -> bool:
         return False
     if k_lo > MAX_K or k_hi > MAX_K:
         return False
+    # more extractions than values would read the inf padding; the sort
+    # path clamps its slice instead (numpy semantics) — route there
+    if k_lo > width or k_hi > width:
+        return False
     Wp = round_up(width, LANE)
     # minimal config: RB = SUBLANE rows staged + two output blocks
     return (2 * SUBLANE * Wp + 2 * SUBLANE * LANE) * 4 <= VMEM_BUDGET
@@ -77,7 +81,51 @@ def _select_kernel_factory(RB, W, Wp, k_lo, k_hi):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k_lo", "k_hi"))
+def _extreme_masks_xla(
+    x: jax.Array, k_lo: int, k_hi: int
+) -> tuple[jax.Array, jax.Array]:
+    """Selection masks of the k smallest / largest per row, first-occurrence
+    tie order (= the kernel's extraction order = XLA's stable sort), in
+    plain XLA — the VJP rule's workhorse."""
+    lanes = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    xl, xh = x, x
+    mask_lo = jnp.zeros(x.shape, x.dtype)
+    mask_hi = jnp.zeros(x.shape, x.dtype)
+    for _ in range(k_lo):
+        sel = lanes == jnp.argmin(xl, axis=-1)[:, None]
+        mask_lo = mask_lo + sel
+        xl = jnp.where(sel, jnp.inf, xl)
+    for _ in range(k_hi):
+        sel = lanes == jnp.argmax(xh, axis=-1)[:, None]
+        mask_hi = mask_hi + sel
+        xh = jnp.where(sel, -jnp.inf, xh)
+    return mask_lo, mask_hi
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _quantile_extreme_means(x, k_lo, k_hi):
+    return _quantile_extreme_means_impl(x, k_lo=k_lo, k_hi=k_hi)
+
+
+def _qem_fwd(x, k_lo, k_hi):
+    return _quantile_extreme_means_impl(x, k_lo=k_lo, k_hi=k_hi), x
+
+
+def _qem_bwd(k_lo, k_hi, x, cts):
+    # d(mean of k selected)/dx = mask/k at the selected positions — same
+    # cotangent a sorted-slice mean would route (stable sort ties = the
+    # extraction's first-occurrence ties). Rebuilt in XLA: the kernel body
+    # itself needs no transpose rule.
+    g_lo, g_hi = cts
+    mask_lo, mask_hi = _extreme_masks_xla(x, k_lo, k_hi)
+    return (
+        mask_lo * (g_lo[:, None] / k_lo) + mask_hi * (g_hi[:, None] / k_hi),
+    )
+
+
+_quantile_extreme_means.defvjp(_qem_fwd, _qem_bwd)
+
+
 def quantile_extreme_means_pallas(
     x: jax.Array,  # (R, W) rows
     *,
@@ -87,8 +135,19 @@ def quantile_extreme_means_pallas(
     """Row-wise means of the ``k_lo`` smallest / ``k_hi`` largest values.
 
     ``(R, W) -> ((R,), (R,))``. Exact (sort-equivalent, including ties);
-    f32; rows are independent so the grid tiles them freely.
+    f32; rows are independent so the grid tiles them freely. Differentiable
+    (custom VJP; the backward rebuilds the selection masks in plain XLA).
     """
+    return _quantile_extreme_means(x, k_lo, k_hi)
+
+
+@partial(jax.jit, static_argnames=("k_lo", "k_hi"))
+def _quantile_extreme_means_impl(
+    x: jax.Array,
+    *,
+    k_lo: int,
+    k_hi: int,
+) -> tuple[jax.Array, jax.Array]:
     R, W = x.shape
     if not select_supported(W, k_lo, k_hi):
         raise ValueError(

@@ -3,6 +3,7 @@
 fallback). On CPU these run the kernels in interpret mode (SURVEY.md §4
 "TPU translation")."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -532,3 +533,38 @@ class TestSelectExtremes:
         got = spectral_contrast(y=random_signal, sr=22050)
         assert got.shape[0] == 7
         assert np.all(np.isfinite(np.asarray(got)))
+
+    def test_gate_rejects_k_above_width(self):
+        from mlx_audio_primitives_tpu.kernels.select_extremes import (
+            select_supported,
+        )
+
+        # quantile ~1.0 on a narrow band: n_quantile can exceed the post-
+        # drop width; the kernel must route to the clamping sort path
+        assert not select_supported(10, 11, 11)
+        assert select_supported(10, 10, 10)
+
+    def test_gradient_matches_sort_formulation(self):
+        from mlx_audio_primitives_tpu.kernels.select_extremes import (
+            quantile_extreme_means_pallas,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((6, 40)).astype(np.float32))
+        k = 3
+
+        def via_kernel(v):
+            lo, hi = quantile_extreme_means_pallas(v, k_lo=k, k_hi=k)
+            return jnp.sum(lo * 2.0 - hi)
+
+        def via_sort(v):
+            s = jnp.sort(v, axis=-1)
+            return jnp.sum(
+                jnp.mean(s[:, :k], -1) * 2.0 - jnp.mean(s[:, -k:], -1)
+            )
+
+        g_kernel = jax.grad(via_kernel)(x)
+        g_sort = jax.grad(via_sort)(x)
+        np.testing.assert_allclose(
+            np.asarray(g_kernel), np.asarray(g_sort), rtol=1e-6, atol=1e-7
+        )
