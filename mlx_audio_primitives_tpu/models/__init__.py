@@ -32,9 +32,13 @@ from .expert_parallel import (
     ep_batch_sharding,
     init_moe_classifier_params,
     make_ep_train_step,
+    make_ep_tp_train_step,
+    moe_batch_sharding,
     moe_classifier_apply,
     moe_param_sharding,
     moe_param_specs,
+    moe_tp_param_sharding,
+    moe_tp_param_specs,
 )
 from .presets import (
     PRESETS,
@@ -63,9 +67,13 @@ __all__ = [
     "pp_param_specs",
     "pp_param_sharding",
     "make_ep_train_step",
+    "make_ep_tp_train_step",
     "moe_param_specs",
     "moe_param_sharding",
+    "moe_tp_param_specs",
+    "moe_tp_param_sharding",
     "moe_classifier_apply",
+    "moe_batch_sharding",
     "init_moe_classifier_params",
     "ep_batch_sharding",
     "init_deep_classifier_params",

@@ -48,7 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .._config import MATMUL_PRECISION
-from ..parallel.mesh import DATA_AXIS, EXPERT_AXIS
+from ..parallel.mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 from .pipelines import TrainableLogMelFrontend
 
 ArrayLike = Any
@@ -378,3 +378,185 @@ def make_ep_train_step(
 def ep_batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for ``(batch, ...)`` arrays: batch over BOTH ep mesh axes."""
     return NamedSharding(mesh, P((DATA_AXIS, EXPERT_AXIS)))
+
+
+# ---------------------------------------------------------------------------
+# dp x ep x tp: Megatron-sharded experts on a (data, expert, model) mesh
+
+
+def moe_tp_param_specs() -> dict[str, Any]:
+    """PartitionSpec tree for the 3-axis mesh: expert stacks shard over
+    'expert' AND each expert FFN shards over 'model' — ``w1`` column-parallel
+    (hidden dim), ``w2`` row-parallel (hidden dim), ``b2`` replicated over
+    'model' (added once, after the psum)."""
+    return {
+        "frontend": {"fb_t": P()},
+        "router": {"w": P(), "b": P()},
+        "experts": {
+            "w1": P(EXPERT_AXIS, None, MODEL_AXIS),
+            "b1": P(EXPERT_AXIS, MODEL_AXIS),
+            "w2": P(EXPERT_AXIS, MODEL_AXIS, None),
+            "b2": P(EXPERT_AXIS),
+        },
+        "head": {"w": P(), "b": P()},
+    }
+
+
+def moe_tp_param_sharding(mesh: Mesh) -> dict[str, Any]:
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        moe_tp_param_specs(),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def moe_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch over ('data','expert'); replicated over 'model' (each model
+    shard sees the same tokens — Megatron activations)."""
+    return NamedSharding(mesh, P((DATA_AXIS, EXPERT_AXIS)))
+
+
+def make_ep_tp_train_step(
+    mesh: Mesh,
+    frontend: TrainableLogMelFrontend,
+    n_classes: int = 10,
+    n_experts: int = 4,
+    d_hidden: int = 64,
+    capacity_factor: float = 1.25,
+    aux_coef: float = 0.01,
+    lr: float = 1e-2,
+    use_pallas: bool | None = None,
+):
+    """SGD step of the MoE classifier on a ``(data, expert, model)`` mesh.
+
+    The composition production MoE blocks use: tokens shard over
+    ('data','expert') and replicate over 'model'; routing + dispatch +
+    ``all_to_all`` work exactly as in :func:`make_ep_train_step`; INSIDE
+    each expert the FFN is Megatron-sharded — ``w1`` column-parallel (each
+    model shard computes a hidden slice), ``w2`` row-parallel with a
+    ``psum`` over 'model' completing the contraction, ``b2`` added once
+    after the reduction.
+
+    Gradient accounting (``check_vma=False``): each device seeds its local
+    loss; the loss is REPLICATED over 'model' (post-psum compute), so every
+    leaf's local grad is one of ``n_model`` identical copies of the 'model'
+    contribution. The per-spec collectives below make every leaf the global
+    batch-mean gradient — verified leaf-by-leaf against the dense step in
+    ``tests/test_expert_parallel.py``.
+    """
+    n_ep = mesh.shape[EXPERT_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+    n_tp = mesh.shape[MODEL_AXIS]
+    n_tok_dev = n_ep * n_data  # devices holding distinct tokens
+    if n_experts % n_ep != 0:
+        raise ValueError(
+            f"n_experts={n_experts} not divisible by the expert axis ({n_ep})"
+        )
+    if d_hidden % n_tp != 0:
+        raise ValueError(
+            f"d_hidden={d_hidden} not divisible by the model axis ({n_tp})"
+        )
+    specs = moe_tp_param_specs()
+
+    def body(params, y_local, labels_local):
+        def loss_fn(p):
+            feats = frontend.apply(
+                p["frontend"], y_local, use_pallas=use_pallas
+            )
+            x = _tokens_from_feats(feats)
+            Bl, F, d = x.shape
+            x = x.reshape(Bl * F, d)
+            capacity = moe_capacity(Bl * F, n_experts, capacity_factor)
+            dispatch, combine, aux = _route_tokens(
+                x, p["router"], n_experts, capacity
+            )
+            expert_in = jnp.einsum(
+                "tec,td->ecd", dispatch, x, precision=MATMUL_PRECISION
+            )
+            expert_in = lax.all_to_all(
+                expert_in, EXPERT_AXIS, split_axis=0, concat_axis=1, tiled=True
+            )
+            e = p["experts"]
+            # column-parallel first matmul: local hidden slice
+            h = jax.nn.relu(
+                jnp.einsum(
+                    "ecd,edh->ech", expert_in, e["w1"],
+                    precision=MATMUL_PRECISION,
+                )
+                + e["b1"][:, None, :]
+            )
+            # row-parallel second matmul: psum over 'model' completes it
+            out_partial = jnp.einsum(
+                "ech,ehd->ecd", h, e["w2"], precision=MATMUL_PRECISION
+            )
+            expert_out = (
+                lax.psum(out_partial, MODEL_AXIS) + e["b2"][:, None, :]
+            )
+            expert_out = lax.all_to_all(
+                expert_out, EXPERT_AXIS, split_axis=1, concat_axis=0,
+                tiled=True,
+            )
+            moe_out = jnp.einsum(
+                "tec,ecd->td", combine, expert_out, precision=MATMUL_PRECISION
+            )
+            tokens = (x + moe_out).reshape(Bl, F, d)
+            pooled = jnp.mean(tokens, axis=1)
+            head = p["head"]
+            logits = (
+                jnp.matmul(pooled, head["w"], precision=MATMUL_PRECISION)
+                + head["b"]
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, labels_local[:, None], axis=-1
+            )[:, 0]
+            return jnp.mean(nll) + aux_coef * aux
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+
+        def finish(g, s):
+            # Model-sharded expert leaves (w1/b1/w2): the psum transpose
+            # hands each model shard the full out-cotangent, so its local
+            # grad is its true slice for this expert row (summed over row
+            # peers by the a2a transpose); complete over 'data' only.
+            if s in (
+                P(EXPERT_AXIS, None, MODEL_AXIS),
+                P(EXPERT_AXIS, MODEL_AXIS),
+                P(EXPERT_AXIS, MODEL_AXIS, None),
+            ):
+                # the psum's transpose SUMS the n_tp identical out-cotangent
+                # copies into each model shard (measured: grads exactly
+                # n_tp x the dense step without this) — one uniform / n_tp
+                # restores the true slice gradient; then complete over 'data'
+                return lax.psum(g, DATA_AXIS) / (n_tok_dev * n_tp)
+            if s == P(EXPERT_AXIS):
+                # b2 sits after the psum: every model shard computes the
+                # identical full grad — pmean over 'model' is a consistency
+                # no-op; complete over 'data'
+                return lax.psum(lax.pmean(g, MODEL_AXIS), DATA_AXIS) / n_tok_dev
+            # replicated leaves (frontend/router/head): local to this
+            # device's tokens, identical over 'model'
+            return lax.psum(lax.pmean(g, MODEL_AXIS),
+                            (DATA_AXIS, EXPERT_AXIS)) / n_tok_dev
+
+        grads = jax.tree.map(finish, grads, specs)
+        return lax.pmean(loss, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS)), grads
+
+    sharded_body = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            specs,
+            P((DATA_AXIS, EXPERT_AXIS)),
+            P((DATA_AXIS, EXPERT_AXIS)),
+        ),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
+
+    def step(params, y, labels):
+        loss, grads = sharded_body(params, y, labels)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    return step

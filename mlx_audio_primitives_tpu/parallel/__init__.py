@@ -11,6 +11,7 @@ from .mesh import (
     batch_time_sharding,
     make_ep_mesh,
     make_mesh,
+    make_moe_mesh,
     make_pp_mesh,
     make_tp_mesh,
     replicated,
@@ -32,6 +33,7 @@ __all__ = [
     "make_tp_mesh",
     "make_pp_mesh",
     "make_ep_mesh",
+    "make_moe_mesh",
     "batch_sharding",
     "batch_time_sharding",
     "replicated",

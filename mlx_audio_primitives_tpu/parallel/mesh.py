@@ -159,6 +159,39 @@ def make_ep_mesh(
     return Mesh(arr, (DATA_AXIS, EXPERT_AXIS))
 
 
+def make_moe_mesh(
+    n_data: int,
+    n_expert: int,
+    n_model: int,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a 3-axis ``(data, expert, model)`` mesh — the production MoE
+    topology: batch over 'data', expert stacks over 'expert', and each
+    expert's FFN additionally Megatron-sharded over 'model' (see
+    `models/expert_parallel.py::make_ep_tp_train_step`)."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    for name, v in (("n_data", n_data), ("n_expert", n_expert),
+                    ("n_model", n_model)):
+        if v < 1:
+            raise ValueError(f"{name} must be >= 1, got {v}")
+    n = n_data * n_expert * n_model
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_expert}x{n_model} needs {n} devices, "
+            f"have {len(devices)}"
+        )
+    if devices == list(jax.devices()) and n == len(devices):
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh((n_data, n_expert, n_model))
+            return Mesh(arr, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS))
+        except Exception:
+            pass
+    arr = np.asarray(devices[:n]).reshape(n_data, n_expert, n_model)
+    return Mesh(arr, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS))
+
+
 def make_pp_mesh(n_stage: int, devices: list | None = None) -> Mesh:
     """Build a 1-D ``(stage,)`` mesh for pipeline-parallel training.
 

@@ -186,3 +186,105 @@ def test_make_ep_mesh_validation():
         make_ep_mesh(8, 2, devices=jax.devices())  # 16 > 8
     mesh = make_ep_mesh(n_expert=2, devices=jax.devices())
     assert mesh.shape == {"data": 4, "expert": 2}
+
+
+# ---------------------------------------------------------------------------
+# dp x ep x tp: Megatron-sharded experts on the 3-axis mesh
+
+from mlx_audio_primitives_tpu.models.expert_parallel import (  # noqa: E402
+    make_ep_tp_train_step,
+    moe_batch_sharding,
+    moe_tp_param_sharding,
+    moe_tp_param_specs,
+)
+from mlx_audio_primitives_tpu.parallel.mesh import make_moe_mesh  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "n_data,n_expert,n_model",
+    [(2, 2, 2), (1, 4, 2), (1, 2, 4), (2, 1, 4), (8, 1, 1), (1, 1, 8)],
+)
+def test_ep_tp_step_matches_dense(n_data, n_expert, n_model):
+    n_dev = n_data * n_expert * n_model
+    if n_dev > len(jax.devices()):
+        pytest.skip("needs more virtual devices")
+    mesh = make_moe_mesh(
+        n_data, n_expert, n_model, devices=jax.devices()[:n_dev]
+    )
+    frontend = _frontend()
+    params = init_moe_classifier_params(
+        frontend, 8, n_experts=N_EXPERTS, d_hidden=D_HIDDEN
+    )
+    y, labels = _data(batch=8, n_classes=8)
+
+    step = jax.jit(
+        make_ep_tp_train_step(
+            mesh, frontend, n_classes=8, n_experts=N_EXPERTS,
+            d_hidden=D_HIDDEN, capacity_factor=CF, aux_coef=AUX,
+            use_pallas=False,
+        )
+    )
+    new_p, loss = step(params, y, labels)
+    # the 'model' axis never splits tokens: routing groups = data x expert
+    want, loss_dense = _dense_step(
+        frontend, params, y, labels, n_groups=n_data * n_expert
+    )
+    np.testing.assert_allclose(float(loss), float(loss_dense), rtol=1e-5)
+    fd = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(want)
+    )
+    for key, leaf in jax.tree_util.tree_leaves_with_path(new_p):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(fd[jax.tree_util.keystr(key)]),
+            rtol=2e-4, atol=2e-6,
+            err_msg=f"leaf {jax.tree_util.keystr(key)} diverged",
+        )
+
+
+def test_ep_tp_step_descends_with_sharded_placement():
+    mesh = make_moe_mesh(2, 2, 2, devices=jax.devices()[:8])
+    frontend = _frontend()
+    params = init_moe_classifier_params(
+        frontend, 8, n_experts=N_EXPERTS, d_hidden=D_HIDDEN, seed=5
+    )
+    params = jax.tree.map(jax.device_put, params, moe_tp_param_sharding(mesh))
+    y, labels = _data(batch=16, n_classes=8, seed=5)
+    y = jax.device_put(y, moe_batch_sharding(mesh))
+
+    step = jax.jit(
+        make_ep_tp_train_step(
+            mesh, frontend, n_classes=8, n_experts=N_EXPERTS,
+            d_hidden=D_HIDDEN, lr=3e-2, use_pallas=False,
+        )
+    )
+    losses = []
+    for _ in range(8):
+        params, loss = step(params, y, labels)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_ep_tp_validation():
+    mesh = make_moe_mesh(1, 2, 2, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="n_experts"):
+        make_ep_tp_train_step(mesh, _frontend(), n_experts=3)
+    with pytest.raises(ValueError, match="d_hidden"):
+        make_ep_tp_train_step(mesh, _frontend(), n_experts=4, d_hidden=33)
+    with pytest.raises(ValueError):
+        make_moe_mesh(2, 2, 4, devices=jax.devices())  # 16 > 8
+
+
+def test_moe_tp_specs_match_param_tree():
+    frontend = _frontend()
+    params = init_moe_classifier_params(frontend, 8)
+    specs = moe_tp_param_specs()
+    assert jax.tree_util.tree_structure(
+        jax.tree.map(lambda _: 0, params)
+    ) == jax.tree_util.tree_structure(
+        jax.tree.map(
+            lambda _: 0, specs,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+        )
+    )
