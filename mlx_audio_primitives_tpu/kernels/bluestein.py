@@ -154,6 +154,40 @@ def _has_vma(x) -> bool:
         return False
 
 
+@jax.custom_vjp
+def rfft_vma_safe(x: jax.Array) -> jax.Array:
+    """``jnp.fft.rfft`` with a transpose-free backward, usable under vma.
+
+    Inside a vma-tracked ``shard_map`` (check_vma=True, jax 0.9), reverse
+    mode through ``jnp.fft.rfft`` fails: the fft transpose rule linearizes
+    against a vma-less dummy aval and rejects the varying cotangent
+    (``TypeError: cotangent type does not match function output``). A
+    ``custom_vjp`` never transposes — its backward is the closed-form rfft
+    adjoint ``x_bar = n * Re(ifft(pad(conj(ct), n)))`` computed with a
+    *forward* fft, which vma handles fine. Exact vs jax's own rfft VJP
+    (0.0 max err on CPU). Reverse mode only; jvp callers should use the
+    plain op.
+    """
+    return jnp.fft.rfft(x, axis=-1)
+
+
+def _rfft_vma_safe_fwd(x):
+    # the zero-size residual carries n and the input dtype as STATIC aval
+    # facts (residual leaves must be jax types, not raw ints/dtypes)
+    return rfft_vma_safe(x), jnp.zeros((0, x.shape[-1]), x.dtype)
+
+
+def _rfft_vma_safe_bwd(res, ct):
+    n = res.shape[1]
+    n_bins = n // 2 + 1
+    pad = [(0, 0)] * (ct.ndim - 1) + [(0, n - n_bins)]
+    xbar = n * jnp.real(jnp.fft.ifft(jnp.pad(jnp.conj(ct), pad), axis=-1))
+    return (xbar.astype(res.dtype),)
+
+
+rfft_vma_safe.defvjp(_rfft_vma_safe_fwd, _rfft_vma_safe_bwd)
+
+
 @jax.custom_jvp
 def rfft_packed(x: jax.Array) -> jax.Array:
     """rfft over the last axis via pair-packed complex FFT (~1.6x on TPU).

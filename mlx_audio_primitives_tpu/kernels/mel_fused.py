@@ -359,7 +359,7 @@ def melspectrogram_xla(
         y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
     frames = frame_signal_batched(y, n_fft, hop_length) * win
     n_bins = n_fft // 2 + 1
-    from .bluestein import _DFT_MATMUL_MAX, _has_vma
+    from .bluestein import _DFT_MATMUL_MAX, _has_vma, rfft_vma_safe
 
     if _has_vma(frames) and n_fft <= _DFT_MATMUL_MAX:
         # Inside a vma-tracked shard_map (the tensor-parallel train step),
@@ -372,6 +372,12 @@ def melspectrogram_xla(
         out = jnp.matmul(frames, forward_basis(n_fft),
                          precision=MATMUL_PRECISION)
         p = out[..., :n_bins] ** 2 + out[..., n_bins:] ** 2
+    elif _has_vma(frames):
+        # n_fft past the dense-basis budget (4096 < n_fft <= 8192): same vma
+        # transpose problem, fixed with the transpose-free custom-vjp rfft
+        # instead of a 268 MB DFT basis.
+        spec = rfft_vma_safe(frames)
+        p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     else:
         spec = jnp.fft.rfft(frames, axis=-1)
         p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2

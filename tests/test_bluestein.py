@@ -399,3 +399,44 @@ class TestDispatchPolicy:
         y = np.zeros(22050, np.float32)  # 44 rows < 256
         melspectrogram(y, n_fft=2048, hop_length=512, n_mels=32)
         assert not called.get("six")
+
+
+class TestVmaSafeRfft:
+    """rfft_vma_safe: jnp.fft.rfft with a transpose-free custom-vjp backward."""
+
+    def test_forward_matches_plain_rfft(self):
+        import jax.numpy as jnp
+
+        from mlx_audio_primitives_tpu.kernels.bluestein import rfft_vma_safe
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((5, 6000)).astype(np.float32)
+        got = rfft_vma_safe(jnp.asarray(x))
+        want = np.fft.rfft(x.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-3)
+
+    @pytest.mark.parametrize("n", [64, 63, 6000])
+    def test_backward_matches_plain_rfft_vjp(self, n):
+        """The closed-form adjoint equals jax's own rfft VJP exactly
+        (both real- and imaginary-sensitive losses, even and odd n)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mlx_audio_primitives_tpu.kernels.bluestein import rfft_vma_safe
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+
+        def loss(fft_fn, x):
+            S = fft_fn(x)
+            return (
+                jnp.sum(jnp.abs(S) ** 2)
+                + jnp.sum(jnp.real(S) * 0.3)
+                - jnp.sum(jnp.imag(S) * 0.7)
+            )
+
+        g_plain = jax.grad(lambda x: loss(lambda v: jnp.fft.rfft(v, axis=-1), x))(x)
+        g_safe = jax.grad(lambda x: loss(rfft_vma_safe, x))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_safe), np.asarray(g_plain), rtol=1e-6, atol=1e-6
+        )

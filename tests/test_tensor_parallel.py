@@ -111,6 +111,38 @@ def test_tp_step_descends_with_sharded_placement():
     assert losses[-1] < losses[0]
 
 
+def test_tp_step_large_nfft_vma_safe_rfft():
+    """n_fft past the dense-DFT budget (4096): the vma branch of
+    melspectrogram_xla must use the transpose-free custom-vjp rfft — plain
+    jnp.fft.rfft's transpose rule rejects varying cotangents under
+    check_vma shard_map (regression: this config used to crash)."""
+    mesh = make_tp_mesh(2, 2, devices=jax.devices()[:4])
+    frontend = TrainableLogMelFrontend(
+        sr=SR, n_fft=8192, hop_length=2048, n_mels=32
+    )
+    params = init_audio_classifier_params(frontend, 8, channels=(8, 16))
+    y, labels = _data(batch=4, n=9216, n_classes=8)
+
+    step = jax.jit(
+        make_tp_train_step(mesh, frontend, n_classes=8, channels=(8, 16),
+                           use_pallas=False)
+    )
+    new_tp, loss_tp = step(params, y, labels)
+    want, loss_1d = _single_device_step(frontend, params, y, labels)
+    np.testing.assert_allclose(float(loss_tp), float(loss_1d), rtol=1e-5)
+    flat_1d = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(want)
+    )
+    for key, leaf in jax.tree_util.tree_leaves_with_path(new_tp):
+        np.testing.assert_allclose(
+            np.asarray(leaf),
+            np.asarray(flat_1d[jax.tree_util.keystr(key)]),
+            rtol=2e-4, atol=2e-6,
+            err_msg=f"leaf {jax.tree_util.keystr(key)} diverged",
+        )
+
+
 def test_tp_specs_match_param_tree():
     frontend = _frontend()
     params = init_audio_classifier_params(frontend, 8, channels=(8, 16))
