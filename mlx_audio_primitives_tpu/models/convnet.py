@@ -38,6 +38,33 @@ ArrayLike = Any
 _CONV_DIMS = ("NCHW", "OIHW", "NCHW")
 
 
+def standardize_features(feats: jax.Array) -> jax.Array:
+    """Per-sample standardization over the (n_mels, frames) axes.
+
+    The shared first stage of every classifier body in ``models/`` (dp, tp,
+    pp, and MoE variants all normalize features identically)."""
+    x = feats.astype(jnp.float32)
+    mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
+    std = jnp.std(x, axis=(-2, -1), keepdims=True)
+    return (x - mean) / (std + 1e-5)
+
+
+def make_sgd_step(sharded_body, lr: float, validate=None):
+    """Close a ``(params, y, labels) -> (loss, grads)`` sharded body into the
+    SGD update shared by every ``make_*_train_step`` factory. ``validate``
+    (optional) gets the global batch array before tracing, for clear shape
+    errors."""
+
+    def step(params, y, labels):
+        if validate is not None:
+            validate(y)
+        loss, grads = sharded_body(params, y, labels)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    return step
+
+
 def init_convnet_params(
     n_classes: int,
     channels: tuple[int, ...] = (16, 32),
@@ -79,11 +106,7 @@ def convnet_apply(params: dict, feats: jax.Array) -> jax.Array:
     global average pool -> linear head. Static shapes throughout; the whole
     body jits into a handful of MXU convolutions.
     """
-    x = feats.astype(jnp.float32)
-    mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
-    std = jnp.std(x, axis=(-2, -1), keepdims=True)
-    x = (x - mean) / (std + 1e-5)
-    x = x[:, None, :, :]  # (B, 1, n_mels, F)
+    x = standardize_features(feats)[:, None, :, :]  # (B, 1, n_mels, F)
     i = 0
     while f"conv{i}" in params:
         layer = params[f"conv{i}"]
@@ -182,9 +205,4 @@ def make_convnet_train_step(
         check_vma=False,
     )
 
-    def step(params, y, labels):
-        loss, grads = sharded_body(params, y, labels)
-        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-        return new_params, loss
-
-    return step
+    return make_sgd_step(sharded_body, lr)

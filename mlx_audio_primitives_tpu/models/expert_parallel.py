@@ -49,6 +49,8 @@ from jax import shard_map
 
 from .._config import MATMUL_PRECISION
 from ..parallel.mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
+from ..parallel.sharding import sharding_tree
+from .convnet import make_sgd_step, standardize_features
 from .pipelines import TrainableLogMelFrontend
 
 ArrayLike = Any
@@ -127,11 +129,7 @@ def moe_param_specs() -> dict[str, Any]:
 
 def moe_param_sharding(mesh: Mesh) -> dict[str, Any]:
     """NamedSharding tree for placing the global params on an ep mesh."""
-    return jax.tree.map(
-        lambda spec: NamedSharding(mesh, spec),
-        moe_param_specs(),
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    return sharding_tree(mesh, moe_param_specs())
 
 
 def moe_capacity(
@@ -143,11 +141,7 @@ def moe_capacity(
 
 def _tokens_from_feats(feats: jax.Array) -> jax.Array:
     """``(B, n_mels, F)`` dB features -> standardized ``(B, F, d)`` tokens."""
-    x = feats.astype(jnp.float32)
-    mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
-    std = jnp.std(x, axis=(-2, -1), keepdims=True)
-    x = (x - mean) / (std + 1e-5)
-    return jnp.swapaxes(x, -2, -1)
+    return jnp.swapaxes(standardize_features(feats), -2, -1)
 
 
 def _route_tokens(
@@ -203,6 +197,62 @@ def _expert_ffn(
         )
         + experts["b2"][:, None, :]
     )
+
+
+def _moe_sharded_loss(
+    p: dict,
+    y_local: jax.Array,
+    labels_local: jax.Array,
+    *,
+    frontend: TrainableLogMelFrontend,
+    n_experts: int,
+    capacity_factor: float,
+    aux_coef: float,
+    use_pallas: bool | None,
+    expert_fn,
+) -> jax.Array:
+    """Shard-local MoE classifier loss (runs INSIDE shard_map).
+
+    The body shared by :func:`make_ep_train_step` and
+    :func:`make_ep_tp_train_step`: frontend -> tokens -> Switch routing ->
+    dispatch einsum -> ``all_to_all`` to the experts' devices ->
+    ``expert_fn(expert_in, p['experts'])`` -> ``all_to_all`` home -> combine
+    -> residual -> pooled head -> batch-mean NLL + aux. Only the expert-FFN
+    body differs between the two steps (plain stacked FFN vs
+    Megatron-sharded), so it is the one pluggable piece.
+    """
+    feats = frontend.apply(p["frontend"], y_local, use_pallas=use_pallas)
+    x = _tokens_from_feats(feats)  # (B_l, F, d)
+    Bl, F, d = x.shape
+    x = x.reshape(Bl * F, d)
+    capacity = moe_capacity(Bl * F, n_experts, capacity_factor)
+    dispatch, combine, aux = _route_tokens(
+        x, p["router"], n_experts, capacity
+    )
+    expert_in = jnp.einsum(
+        "tec,td->ecd", dispatch, x, precision=MATMUL_PRECISION
+    )  # (E, C, d)
+    # tokens -> their experts' devices: (E, C, d) -> (E/n_ep, n_ep*C, d)
+    expert_in = lax.all_to_all(
+        expert_in, EXPERT_AXIS, split_axis=0, concat_axis=1, tiled=True
+    )
+    expert_out = expert_fn(expert_in, p["experts"])
+    # processed tokens -> home devices: back to (E, C, d)
+    expert_out = lax.all_to_all(
+        expert_out, EXPERT_AXIS, split_axis=1, concat_axis=0, tiled=True
+    )
+    moe_out = jnp.einsum(
+        "tec,ecd->td", combine, expert_out, precision=MATMUL_PRECISION
+    )
+    tokens = (x + moe_out).reshape(Bl, F, d)
+    pooled = jnp.mean(tokens, axis=1)
+    head = p["head"]
+    logits = (
+        jnp.matmul(pooled, head["w"], precision=MATMUL_PRECISION) + head["b"]
+    )
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels_local[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll) + aux_coef * aux
 
 
 def _moe_layer_dense_group(
@@ -298,43 +348,12 @@ def make_ep_train_step(
 
     def body(params, y_local, labels_local):
         def loss_fn(p):
-            feats = frontend.apply(
-                p["frontend"], y_local, use_pallas=use_pallas
+            return _moe_sharded_loss(
+                p, y_local, labels_local,
+                frontend=frontend, n_experts=n_experts,
+                capacity_factor=capacity_factor, aux_coef=aux_coef,
+                use_pallas=use_pallas, expert_fn=_expert_ffn,
             )
-            x = _tokens_from_feats(feats)  # (B_l, F, d)
-            Bl, F, d = x.shape
-            x = x.reshape(Bl * F, d)
-            capacity = moe_capacity(Bl * F, n_experts, capacity_factor)
-            dispatch, combine, aux = _route_tokens(
-                x, p["router"], n_experts, capacity
-            )
-            expert_in = jnp.einsum(
-                "tec,td->ecd", dispatch, x, precision=MATMUL_PRECISION
-            )  # (E, C, d)
-            # tokens -> their experts' devices: (E, C, d) -> (E/n_ep, n_ep*C, d)
-            expert_in = lax.all_to_all(
-                expert_in, EXPERT_AXIS, split_axis=0, concat_axis=1, tiled=True
-            )
-            expert_out = _expert_ffn(expert_in, p["experts"])
-            # processed tokens -> home devices: back to (E, C, d)
-            expert_out = lax.all_to_all(
-                expert_out, EXPERT_AXIS, split_axis=1, concat_axis=0, tiled=True
-            )
-            moe_out = jnp.einsum(
-                "tec,ecd->td", combine, expert_out, precision=MATMUL_PRECISION
-            )
-            tokens = (x + moe_out).reshape(Bl, F, d)
-            pooled = jnp.mean(tokens, axis=1)
-            head = p["head"]
-            logits = (
-                jnp.matmul(pooled, head["w"], precision=MATMUL_PRECISION)
-                + head["b"]
-            )
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(
-                logp, labels_local[:, None], axis=-1
-            )[:, 0]
-            return jnp.mean(nll) + aux_coef * aux
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # Backward of the local loss: the all_to_all transpose already
@@ -367,12 +386,12 @@ def make_ep_train_step(
         check_vma=False,
     )
 
-    def step(params, y, labels):
-        loss, grads = sharded_body(params, y, labels)
-        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-        return new_params, loss
-
-    return step
+    return make_sgd_step(
+        sharded_body, lr,
+        validate=lambda y: validate_ep_shapes(
+            n_ep, n_experts, y.shape[0], n_dev
+        ),
+    )
 
 
 def ep_batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -403,11 +422,7 @@ def moe_tp_param_specs() -> dict[str, Any]:
 
 
 def moe_tp_param_sharding(mesh: Mesh) -> dict[str, Any]:
-    return jax.tree.map(
-        lambda spec: NamedSharding(mesh, spec),
-        moe_tp_param_specs(),
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    return sharding_tree(mesh, moe_tp_param_specs())
 
 
 def moe_batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -458,59 +473,30 @@ def make_ep_tp_train_step(
         )
     specs = moe_tp_param_specs()
 
+    def _tp_expert_ffn(expert_in, e):
+        # Megatron-sharded expert FFN: w1 column-parallel (local hidden
+        # slice), w2 row-parallel with a psum over 'model' completing the
+        # contraction, b2 added once after the reduction.
+        h = jax.nn.relu(
+            jnp.einsum(
+                "ecd,edh->ech", expert_in, e["w1"],
+                precision=MATMUL_PRECISION,
+            )
+            + e["b1"][:, None, :]
+        )
+        out_partial = jnp.einsum(
+            "ech,ehd->ecd", h, e["w2"], precision=MATMUL_PRECISION
+        )
+        return lax.psum(out_partial, MODEL_AXIS) + e["b2"][:, None, :]
+
     def body(params, y_local, labels_local):
         def loss_fn(p):
-            feats = frontend.apply(
-                p["frontend"], y_local, use_pallas=use_pallas
+            return _moe_sharded_loss(
+                p, y_local, labels_local,
+                frontend=frontend, n_experts=n_experts,
+                capacity_factor=capacity_factor, aux_coef=aux_coef,
+                use_pallas=use_pallas, expert_fn=_tp_expert_ffn,
             )
-            x = _tokens_from_feats(feats)
-            Bl, F, d = x.shape
-            x = x.reshape(Bl * F, d)
-            capacity = moe_capacity(Bl * F, n_experts, capacity_factor)
-            dispatch, combine, aux = _route_tokens(
-                x, p["router"], n_experts, capacity
-            )
-            expert_in = jnp.einsum(
-                "tec,td->ecd", dispatch, x, precision=MATMUL_PRECISION
-            )
-            expert_in = lax.all_to_all(
-                expert_in, EXPERT_AXIS, split_axis=0, concat_axis=1, tiled=True
-            )
-            e = p["experts"]
-            # column-parallel first matmul: local hidden slice
-            h = jax.nn.relu(
-                jnp.einsum(
-                    "ecd,edh->ech", expert_in, e["w1"],
-                    precision=MATMUL_PRECISION,
-                )
-                + e["b1"][:, None, :]
-            )
-            # row-parallel second matmul: psum over 'model' completes it
-            out_partial = jnp.einsum(
-                "ech,ehd->ecd", h, e["w2"], precision=MATMUL_PRECISION
-            )
-            expert_out = (
-                lax.psum(out_partial, MODEL_AXIS) + e["b2"][:, None, :]
-            )
-            expert_out = lax.all_to_all(
-                expert_out, EXPERT_AXIS, split_axis=1, concat_axis=0,
-                tiled=True,
-            )
-            moe_out = jnp.einsum(
-                "tec,ecd->td", combine, expert_out, precision=MATMUL_PRECISION
-            )
-            tokens = (x + moe_out).reshape(Bl, F, d)
-            pooled = jnp.mean(tokens, axis=1)
-            head = p["head"]
-            logits = (
-                jnp.matmul(pooled, head["w"], precision=MATMUL_PRECISION)
-                + head["b"]
-            )
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(
-                logp, labels_local[:, None], axis=-1
-            )[:, 0]
-            return jnp.mean(nll) + aux_coef * aux
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
 
@@ -554,9 +540,9 @@ def make_ep_tp_train_step(
         check_vma=False,
     )
 
-    def step(params, y, labels):
-        loss, grads = sharded_body(params, y, labels)
-        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-        return new_params, loss
-
-    return step
+    return make_sgd_step(
+        sharded_body, lr,
+        validate=lambda y: validate_ep_shapes(
+            n_ep, n_experts, y.shape[0], n_tok_dev
+        ),
+    )

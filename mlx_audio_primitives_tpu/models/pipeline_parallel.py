@@ -33,12 +33,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from .._config import MATMUL_PRECISION
 from ..parallel.mesh import STAGE_AXIS
-from .convnet import _CONV_DIMS
+from ..parallel.sharding import sharding_tree
+from .convnet import _CONV_DIMS, make_sgd_step, standardize_features
 from .pipelines import TrainableLogMelFrontend
 
 ArrayLike = Any
@@ -99,20 +100,12 @@ def pp_param_specs() -> dict[str, Any]:
 
 def pp_param_sharding(mesh: Mesh) -> dict[str, Any]:
     """NamedSharding tree for placing the global params on a pp mesh."""
-    return jax.tree.map(
-        lambda spec: NamedSharding(mesh, spec),
-        pp_param_specs(),
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    return sharding_tree(mesh, pp_param_specs())
 
 
 def _stem_apply(stem: dict, feats: jax.Array) -> jax.Array:
     """dB features -> ``(B, width, H, W)`` activations (standardize + conv)."""
-    x = feats.astype(jnp.float32)
-    mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
-    std = jnp.std(x, axis=(-2, -1), keepdims=True)
-    x = (x - mean) / (std + 1e-5)
-    x = x[:, None, :, :]
+    x = standardize_features(feats)[:, None, :, :]
     x = lax.conv_general_dilated(
         x, stem["w"], window_strides=(2, 2), padding="SAME",
         dimension_numbers=_CONV_DIMS, precision=MATMUL_PRECISION,
@@ -252,9 +245,4 @@ def make_pp_train_step(
         out_specs=(P(), specs),
     )
 
-    def step(params, y, labels):
-        loss, grads = sharded_body(params, y, labels)
-        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-        return new_params, loss
-
-    return step
+    return make_sgd_step(sharded_body, lr)

@@ -31,12 +31,13 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from .._config import MATMUL_PRECISION
 from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
-from .convnet import _CONV_DIMS
+from ..parallel.sharding import sharding_tree
+from .convnet import _CONV_DIMS, make_sgd_step, standardize_features
 from .pipelines import TrainableLogMelFrontend
 
 ArrayLike = Any
@@ -89,24 +90,16 @@ def tp_param_sharding(
     mesh: Mesh, channels: tuple[int, ...]
 ) -> dict[str, Any]:
     """NamedSharding tree for placing the global params on a tp mesh."""
-    return jax.tree.map(
-        lambda spec: NamedSharding(mesh, spec),
-        tp_param_specs(channels),
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    return sharding_tree(mesh, tp_param_specs(channels))
 
 
 def _tp_convnet_apply(
-    net: dict, feats: jax.Array, n_model: int, n_layers: int
+    net: dict, feats: jax.Array, n_layers: int
 ) -> jax.Array:
     """Shard-local classifier body: feats ``(B_l, n_mels, F)`` -> logits
     ``(B_l, n_classes)`` (full, after the head's all_gather). Runs INSIDE
     shard_map; ``net`` leaves arrive as this device's slices."""
-    x = feats.astype(jnp.float32)
-    mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
-    std = jnp.std(x, axis=(-2, -1), keepdims=True)
-    x = (x - mean) / (std + 1e-5)
-    x = x[:, None, :, :]
+    x = standardize_features(feats)[:, None, :, :]
     sharded = False  # are activations currently channel-sharded?
     for i in range(n_layers):
         layer = net[f"conv{i}"]
@@ -164,7 +157,7 @@ def make_tp_train_step(
     def body(params, y_local, labels_local):
         def loss_fn(p):
             feats = frontend.apply(p["frontend"], y_local, use_pallas=use_pallas)
-            logits = _tp_convnet_apply(p["net"], feats, n_model, n_layers)
+            logits = _tp_convnet_apply(p["net"], feats, n_layers)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels_local[:, None], axis=-1)[:, 0]
             return jnp.mean(nll)
@@ -192,9 +185,4 @@ def make_tp_train_step(
         out_specs=(P(), specs),
     )
 
-    def step(params, y, labels):
-        loss, grads = sharded_body(params, y, labels)
-        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-        return new_params, loss
-
-    return step
+    return make_sgd_step(sharded_body, lr)

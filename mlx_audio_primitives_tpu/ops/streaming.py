@@ -408,10 +408,10 @@ class StreamingPitch:
 # streaming polyphase resampling
 
 
-@partial(jax.jit, static_argnames=("up", "down", "W", "drop"))
+@partial(jax.jit, static_argnames=("down", "W", "drop"))
 def _resample_step(
     carry: jax.Array, chunk: jax.Array, Kt: jax.Array, *,
-    up: int, down: int, W: int, drop: int
+    down: int, W: int, drop: int
 ) -> tuple[jax.Array, jax.Array]:
     """One streaming polyphase step: carry ``(B, W - down)`` + chunk
     ``(B, k*down)`` -> (new carry, ``(B, k*up - drop)`` output samples)."""
@@ -461,7 +461,7 @@ class StreamingResample:
             self.W = self.m0 = 0
             self.Kt = None
         else:
-            _, Lpmax, W, m0 = _polyphase_geometry(self.up, self.down)
+            _, _, W, m0 = _polyphase_geometry(self.up, self.down)
             self.W, self.m0 = W, m0
             self.Kt = _polyphase_kernel(self.up, self.down)
         self.reset()
@@ -506,8 +506,7 @@ class StreamingResample:
                 )
             self._started = True
         self._carry, out = _resample_step(
-            self._carry, chunk, self.Kt, up=self.up, down=self.down,
-            W=self.W, drop=drop,
+            self._carry, chunk, self.Kt, down=self.down, W=self.W, drop=drop,
         )
         return out
 
@@ -518,8 +517,7 @@ class StreamingResample:
         E = -(-self.m0 // self.up)  # frames of zero-extension needed
         zeros = jnp.zeros((self.batch, E * self.down), REAL_DTYPE)
         _, out = _resample_step(
-            self._carry, zeros, self.Kt, up=self.up, down=self.down,
-            W=self.W, drop=0,
+            self._carry, zeros, self.Kt, down=self.down, W=self.W, drop=0,
         )
         out = out[:, : self.m0]
         self.reset()

@@ -5,9 +5,17 @@ process groups anywhere). Multi-chip support is therefore a TPU-native
 *extension*, built the JAX way: a `jax.sharding.Mesh` over ICI with named
 axes, sharding annotations on the batch ('data') and signal-time ('time')
 axes, and XLA-inserted collectives. No NCCL/MPI analog exists or is needed.
+
+All constructors share one grid builder (`_grid_mesh`): validate the dims,
+prefer `mesh_utils.create_device_mesh`'s topology-aware layout when the
+mesh covers exactly the default device set (so axis neighbors are
+ICI-adjacent and ppermute halos / all_to_alls ride single links), and fall
+back to enumeration order for virtual/CPU device sets or explicit lists.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import jax
 import numpy as np
@@ -18,6 +26,51 @@ TIME_AXIS = "time"
 MODEL_AXIS = "model"
 STAGE_AXIS = "stage"
 EXPERT_AXIS = "expert"
+
+
+def _infer_leading(
+    lead_name: str, other: int, other_name: str, devices: list
+) -> int:
+    """Fill an omitted leading dim so the mesh covers every device."""
+    if len(devices) % other != 0:
+        raise ValueError(
+            f"{len(devices)} devices do not divide evenly over "
+            f"{other_name}={other}; pass {lead_name} explicitly"
+        )
+    return len(devices) // other
+
+
+def _grid_mesh(
+    axis_names: tuple[str, ...], dims: tuple[int, ...], devices: list | None
+) -> Mesh:
+    """Shared constructor body: validation + topology-aware device layout."""
+    explicit = devices is not None
+    devices = list(jax.devices()) if devices is None else list(devices)
+    for name, v in zip(axis_names, dims):
+        if v < 1:
+            raise ValueError(f"n_{name} must be >= 1, got {v}")
+    n = int(np.prod(dims))
+    shape_str = "x".join(str(d) for d in dims)
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {shape_str} needs {n} devices, have {len(devices)}"
+        )
+    if n < len(devices):
+        warnings.warn(
+            f"mesh {shape_str} uses {n} of {len(devices)} devices; "
+            "the rest stay idle",
+            stacklevel=3,
+        )
+    if not explicit and n == len(devices):
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh(dims)
+            return Mesh(arr, axis_names)
+        except Exception:
+            pass
+    arr = np.asarray(devices[:n]).reshape(dims)
+    return Mesh(arr, axis_names)
 
 
 def make_mesh(
@@ -32,44 +85,12 @@ def make_mesh(
     shards long signals along the sample axis; STFT-family ops on that axis
     exchange ``n_fft - hop`` halos over ICI (see `time_shard.py`).
     """
-    devices = list(jax.devices()) if devices is None else list(devices)
+    dev_list = list(jax.devices()) if devices is None else list(devices)
     if n_time < 1:
         raise ValueError(f"n_time must be >= 1, got {n_time}")
     if n_data is None:
-        if len(devices) % n_time != 0:
-            raise ValueError(
-                f"{len(devices)} devices do not divide evenly over "
-                f"n_time={n_time}; pass n_data explicitly"
-            )
-        n_data = len(devices) // n_time
-    if n_data < 1:
-        raise ValueError(f"n_data must be >= 1, got {n_data}")
-    if n_data * n_time > len(devices):
-        raise ValueError(
-            f"mesh {n_data}x{n_time} needs {n_data * n_time} devices, "
-            f"have {len(devices)}"
-        )
-    if n_data * n_time < len(devices):
-        import warnings
-
-        warnings.warn(
-            f"mesh {n_data}x{n_time} uses {n_data * n_time} of "
-            f"{len(devices)} devices; the rest stay idle",
-            stacklevel=2,
-        )
-    # Prefer the topology-aware layout so 'time' neighbors are ICI-adjacent
-    # (ppermute halos ride single links); fall back to enumeration order for
-    # virtual/CPU device sets or explicit device lists.
-    if devices == list(jax.devices()) and n_data * n_time == len(devices):
-        try:
-            from jax.experimental import mesh_utils
-
-            arr = mesh_utils.create_device_mesh((n_data, n_time))
-            return Mesh(arr, (DATA_AXIS, TIME_AXIS))
-        except Exception:
-            pass
-    arr = np.asarray(devices[: n_data * n_time]).reshape(n_data, n_time)
-    return Mesh(arr, (DATA_AXIS, TIME_AXIS))
+        n_data = _infer_leading("n_data", n_time, "n_time", dev_list)
+    return _grid_mesh((DATA_AXIS, TIME_AXIS), (n_data, n_time), devices)
 
 
 def make_tp_mesh(
@@ -86,33 +107,12 @@ def make_tp_mesh(
     axis on :func:`make_mesh` keeps the dp x sp mesh shape stable for the
     sharded DSP ops, which know nothing about parameters.
     """
-    devices = list(jax.devices()) if devices is None else list(devices)
+    dev_list = list(jax.devices()) if devices is None else list(devices)
     if n_model < 1:
         raise ValueError(f"n_model must be >= 1, got {n_model}")
     if n_data is None:
-        if len(devices) % n_model != 0:
-            raise ValueError(
-                f"{len(devices)} devices do not divide evenly over "
-                f"n_model={n_model}; pass n_data explicitly"
-            )
-        n_data = len(devices) // n_model
-    if n_data < 1:
-        raise ValueError(f"n_data must be >= 1, got {n_data}")
-    if n_data * n_model > len(devices):
-        raise ValueError(
-            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
-            f"have {len(devices)}"
-        )
-    if devices == list(jax.devices()) and n_data * n_model == len(devices):
-        try:
-            from jax.experimental import mesh_utils
-
-            arr = mesh_utils.create_device_mesh((n_data, n_model))
-            return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
-        except Exception:
-            pass
-    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        n_data = _infer_leading("n_data", n_model, "n_model", dev_list)
+    return _grid_mesh((DATA_AXIS, MODEL_AXIS), (n_data, n_model), devices)
 
 
 def make_ep_mesh(
@@ -130,33 +130,12 @@ def make_ep_mesh(
     constructor so the dp x sp mesh used by the sharded DSP ops keeps its
     shape.
     """
-    devices = list(jax.devices()) if devices is None else list(devices)
+    dev_list = list(jax.devices()) if devices is None else list(devices)
     if n_expert < 1:
         raise ValueError(f"n_expert must be >= 1, got {n_expert}")
     if n_data is None:
-        if len(devices) % n_expert != 0:
-            raise ValueError(
-                f"{len(devices)} devices do not divide evenly over "
-                f"n_expert={n_expert}; pass n_data explicitly"
-            )
-        n_data = len(devices) // n_expert
-    if n_data < 1:
-        raise ValueError(f"n_data must be >= 1, got {n_data}")
-    if n_data * n_expert > len(devices):
-        raise ValueError(
-            f"mesh {n_data}x{n_expert} needs {n_data * n_expert} devices, "
-            f"have {len(devices)}"
-        )
-    if devices == list(jax.devices()) and n_data * n_expert == len(devices):
-        try:
-            from jax.experimental import mesh_utils
-
-            arr = mesh_utils.create_device_mesh((n_data, n_expert))
-            return Mesh(arr, (DATA_AXIS, EXPERT_AXIS))
-        except Exception:
-            pass
-    arr = np.asarray(devices[: n_data * n_expert]).reshape(n_data, n_expert)
-    return Mesh(arr, (DATA_AXIS, EXPERT_AXIS))
+        n_data = _infer_leading("n_data", n_expert, "n_expert", dev_list)
+    return _grid_mesh((DATA_AXIS, EXPERT_AXIS), (n_data, n_expert), devices)
 
 
 def make_moe_mesh(
@@ -169,27 +148,11 @@ def make_moe_mesh(
     topology: batch over 'data', expert stacks over 'expert', and each
     expert's FFN additionally Megatron-sharded over 'model' (see
     `models/expert_parallel.py::make_ep_tp_train_step`)."""
-    devices = list(jax.devices()) if devices is None else list(devices)
-    for name, v in (("n_data", n_data), ("n_expert", n_expert),
-                    ("n_model", n_model)):
-        if v < 1:
-            raise ValueError(f"{name} must be >= 1, got {v}")
-    n = n_data * n_expert * n_model
-    if n > len(devices):
-        raise ValueError(
-            f"mesh {n_data}x{n_expert}x{n_model} needs {n} devices, "
-            f"have {len(devices)}"
-        )
-    if devices == list(jax.devices()) and n == len(devices):
-        try:
-            from jax.experimental import mesh_utils
-
-            arr = mesh_utils.create_device_mesh((n_data, n_expert, n_model))
-            return Mesh(arr, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS))
-        except Exception:
-            pass
-    arr = np.asarray(devices[:n]).reshape(n_data, n_expert, n_model)
-    return Mesh(arr, (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS))
+    return _grid_mesh(
+        (DATA_AXIS, EXPERT_AXIS, MODEL_AXIS),
+        (n_data, n_expert, n_model),
+        devices,
+    )
 
 
 def make_pp_mesh(n_stage: int, devices: list | None = None) -> Mesh:
@@ -199,15 +162,15 @@ def make_pp_mesh(n_stage: int, devices: list | None = None) -> Mesh:
     to stage ``i+1`` over a single ICI hop on real hardware (see
     `models/pipeline_parallel.py`).
     """
-    devices = list(jax.devices()) if devices is None else list(devices)
+    dev_list = list(jax.devices()) if devices is None else list(devices)
     if n_stage < 1:
         raise ValueError(f"n_stage must be >= 1, got {n_stage}")
-    if n_stage > len(devices):
+    if n_stage > len(dev_list):
         raise ValueError(
             f"pipeline of {n_stage} stages needs {n_stage} devices, "
-            f"have {len(devices)}"
+            f"have {len(dev_list)}"
         )
-    arr = np.asarray(devices[:n_stage])
+    arr = np.asarray(dev_list[:n_stage])
     return Mesh(arr, (STAGE_AXIS,))
 
 

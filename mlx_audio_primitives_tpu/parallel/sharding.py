@@ -18,6 +18,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .mesh import DATA_AXIS, batch_sharding
 
 
+def sharding_tree(mesh: Mesh, specs: Any) -> Any:
+    """Map a PartitionSpec pytree to the matching NamedSharding pytree.
+
+    The one place the spec->sharding conversion lives — every
+    ``*_param_sharding`` helper in ``models/`` delegates here."""
+    from jax.sharding import NamedSharding
+
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def shard_batch(arr: Any, mesh: Mesh) -> jax.Array:
     """Place a ``(batch, ...)`` array with the batch axis over 'data'.
 

@@ -288,3 +288,31 @@ def test_moe_tp_specs_match_param_tree():
             is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
         )
     )
+
+
+def test_ep_step_rejects_indivisible_batch():
+    """The factories' steps call validate_ep_shapes, so a bad batch fails
+    with the clear message rather than a cryptic shard_map error."""
+    import jax
+
+    from mlx_audio_primitives_tpu.models.expert_parallel import (
+        make_ep_train_step,
+    )
+    from mlx_audio_primitives_tpu.models.pipelines import (
+        TrainableLogMelFrontend,
+    )
+    from mlx_audio_primitives_tpu.parallel.mesh import make_ep_mesh
+
+    mesh = make_ep_mesh(2, 2, devices=jax.devices()[:4])
+    fe = TrainableLogMelFrontend(sr=22050, n_fft=256, hop_length=64, n_mels=16)
+    from mlx_audio_primitives_tpu.models.expert_parallel import (
+        init_moe_classifier_params,
+    )
+
+    params = init_moe_classifier_params(fe, 8, n_experts=4)
+    step = make_ep_train_step(mesh, fe, n_classes=8, n_experts=4,
+                              use_pallas=False)
+    y = np.zeros((6, 2048), np.float32)  # 6 % 4 != 0
+    labels = np.zeros((6,), np.int32)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(params, y, labels)
