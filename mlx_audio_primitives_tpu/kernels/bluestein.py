@@ -233,8 +233,11 @@ def packed_power_rows(Z: jax.Array, n: int) -> jax.Array:
     E = jnp.real(Z) ** 2 + jnp.imag(Z) ** 2
     Ef = jnp.concatenate([E[..., :1], E[..., :0:-1]], axis=-1)
     F = jnp.real(Z) * jnp.real(Zf) - jnp.imag(Z) * jnp.imag(Zf)
-    P0 = 0.25 * (E + Ef + 2.0 * F)
-    P1 = 0.25 * (E + Ef - 2.0 * F)
+    # clamp at 0: for near-silent bins E + Ef ~= -/+2F cancels and rounding
+    # can land a few ULP negative — downstream sqrt (magnitude, mel power=1)
+    # and fractional powers would turn that into NaN (seen on pure tones)
+    P0 = jnp.maximum(0.25 * (E + Ef + 2.0 * F), 0.0)
+    P1 = jnp.maximum(0.25 * (E + Ef - 2.0 * F), 0.0)
     half = Z.shape[0]
     return jnp.stack([P0[..., :n_bins], P1[..., :n_bins]], axis=1).reshape(
         2 * half, n_bins

@@ -235,3 +235,19 @@ class TestMagnitudeSpectrogram:
             magnitude_spectrogram(y, n_fft=512, hop_length=0)
         with pytest.raises(ValueError):
             magnitude_spectrogram(y, n_fft=512, hop_length=128, pad_mode="bogus")
+
+    def test_pure_tone_magnitude_is_finite(self, sine_signal):
+        # regression: the packed-power path (`bluestein.packed_power_rows`)
+        # cancels E + Ef -/+ 2F to ~0 on a tone's silent bins; rounding used
+        # to land a few ULP negative and sqrt turned it into NaN
+        from mlx_audio_primitives_tpu import melspectrogram
+        from mlx_audio_primitives_tpu.ops.stft import magnitude_spectrogram
+
+        m = np.asarray(magnitude_spectrogram(sine_signal, n_fft=1024,
+                                             hop_length=256))
+        assert np.isfinite(m).all()
+        # mel power=1 sqrts the same packed powers
+        mel1 = np.asarray(melspectrogram(sine_signal, n_fft=1024,
+                                         hop_length=256, power=1.0,
+                                         use_pallas=False))
+        assert np.isfinite(mel1).all()
