@@ -176,11 +176,21 @@ def run_roofline(configs=None, repeats: int = 2) -> list[RooflineRow]:
             for _ in range(repeats)
         )
         bytes_mel = 4 * (batch * n + batch * n_mels * F)
+        # the mel kernel's GEMMs run 3-pass bf16-split by default
+        # (_config.ANALYSIS_FAST_GEMM) vs HIGHEST's 6 passes: at the same nominal
+        # bf16 MXU peak the executed-FLOP cost is halved
+        from mlx_audio_primitives_tpu import _config as _lib_config
+
+        mel_pass_scale = 0.5 if _lib_config.ANALYSIS_FAST_GEMM else 1.0
         rows.append(
             _bounds_row(
                 "melspectrogram (fused)", cfg, t, bytes_mel,
-                frames * mel_exec_flops_per_frame(n_fft, hop, n_mels),
-                frames * mel_min_flops_per_frame(n_fft, n_mels),
+                frames * mel_exec_flops_per_frame(n_fft, hop, n_mels)
+                * mel_pass_scale,
+                # an ideal implementation could use the same 3-pass GEMMs,
+                # so the speed-of-light bound scales identically
+                frames * mel_min_flops_per_frame(n_fft, n_mels)
+                * mel_pass_scale,
                 frames * radix_vpu_flops_per_frame(n_fft, hop),
             )
         )

@@ -33,6 +33,19 @@ COMPLEX_DTYPE = jnp.complex64
 # ~1e-4..5e-5 parity tolerances (SURVEY.md §7 "Hard parts" #1).
 MATMUL_PRECISION = lax.Precision.HIGHEST
 
+# Fused mel kernel GEMM mode: True = 3-pass bf16-split contractions (each
+# f32 operand split hi/lo into two bfloat16 planes; hi@hi + hi@lo + lo@hi on
+# the native-bf16 MXU — the same scheme lax.Precision.HIGH uses, which Mosaic
+# does not expose inside Pallas). Measured on v5e: ~2x the HIGHEST-precision
+# kernel at 2.7e-5 max relative error vs the f64 oracle — the same accuracy
+# class as the XLA six-step fallback pipeline (2.4e-5) this kernel replaces,
+# and 10x inside the reference's ~1e-4 mel/MFCC parity bar (reference
+# `README.md:436-438`). Reconstruction paths (STFT/ISTFT round-trip <=1e-5),
+# pitch (calibrated ACF noise floors), and spectral_flatness (log-power
+# geometric mean reads the near-silent bins' noise floor) always use HIGHEST
+# regardless.
+ANALYSIS_FAST_GEMM: bool = True
+
 # STFT sizes at or below this threshold are sensible for the DFT-as-matmul
 # path (fft_mode='matmul'). Benchmarked on v5e: XLA's FFT wins at the default
 # HIGHEST matmul precision, the GEMM wins at HIGH/DEFAULT; 'auto' uses FFT.

@@ -104,19 +104,28 @@ def _inv_twiddle_table(n_fft: int, hop: int) -> np.ndarray:
 
 
 
-def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk, GJ):
+def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk, GJ, FAST=False):
     G = NC * R2
 
     def kernel(xg_hbm, w_ref, ib_ref, w2_ref, t_ref, env_ref, out_ref,
                xg_scr, sem):
         cur = _double_buffered_rows(xg_hbm, xg_scr, sem, CB, RB, FBk, GJ)
 
-        def dot(a, b):
-            return jax.lax.dot_general(
-                a, b, (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=MATMUL_PRECISION,
-            )
+        if FAST:
+            # 3-pass bf16-split GEMMs (shared with the forward kernels) —
+            # only analysis consumers (Griffin-Lim's loop) request this;
+            # the public istft keeps HIGHEST for the <=1e-5 round-trip
+            from .mel_fused import _group_dot
+
+            def dot(a, b):
+                return _group_dot(a, b, True)
+        else:
+            def dot(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MATMUL_PRECISION,
+                )
 
         ibr, ibi = ib_ref[0], ib_ref[1]
         # stage A: per-group complex inverse 128-GEMMs, then stage A2
@@ -217,11 +226,17 @@ def istft_pallas_grouped(
     n_fft: int,
     hop_length: int,
     padded_length: int,
+    fast_gemm: bool = False,
 ) -> jax.Array:
     """Fused ISTFT directly from the radix kernels' group layout
     (`stft_radix.py::_group_maps`) — the exact layout
     ``stft_pallas_grouped`` emits, so spectral round-trips (e.g. the
-    Griffin-Lim loop) skip both per-iteration layout gathers."""
+    Griffin-Lim loop) skip both per-iteration layout gathers.
+
+    ``fast_gemm`` defaults to False (HIGHEST GEMMs — the public istft's
+    <=1e-5 round-trip guarantee); Griffin-Lim's loop opts into the 3-pass
+    bf16-split GEMMs, whose ~2.7e-5 spectral noise is far below its
+    convergence error."""
     if not istft_fused_supported(n_fft, hop_length):
         raise ValueError(
             f"fused ISTFT kernel requires pow2 n_fft = C*hop, hop = R2*128 "
@@ -230,13 +245,14 @@ def istft_pallas_grouped(
     IB = _inv_base_table(n_fft)
     W2 = _inv_stage2_table(hop_length)
     T = _inv_twiddle_table(n_fft, hop_length)
-    return _istft_grouped_vjp_fn(n_fft, hop_length, padded_length)(
-        xg, win, env, IB, W2, T
-    )
+    return _istft_grouped_vjp_fn(
+        n_fft, hop_length, padded_length, bool(fast_gemm)
+    )(xg, win, env, IB, W2, T)
 
 
 @lru_cache(maxsize=32)
-def _istft_grouped_vjp_fn(n_fft: int, hop_length: int, padded_length: int):
+def _istft_grouped_vjp_fn(n_fft: int, hop_length: int, padded_length: int,
+                          fast_gemm: bool = False):
     """Kernel forward, XLA-composition backward (pallas_call has no autodiff
     rule; the ISTFT is linear in the spectrum, so the VJP is one XLA inverse).
 
@@ -247,7 +263,7 @@ def _istft_grouped_vjp_fn(n_fft: int, hop_length: int, padded_length: int):
     """
     kern = partial(
         _istft_grouped_core, n_fft=n_fft, hop_length=hop_length,
-        padded_length=padded_length,
+        padded_length=padded_length, fast_gemm=fast_gemm,
     )
     C = n_fft // hop_length
     G = (C // 2 + 1) * (hop_length // LANE)
@@ -284,7 +300,7 @@ def _istft_grouped_vjp_fn(n_fft: int, hop_length: int, padded_length: int):
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "padded_length"),
+    static_argnames=("n_fft", "hop_length", "padded_length", "fast_gemm"),
 )
 def _istft_grouped_core(
     xg: jax.Array,  # (B, F, 2*G*128) group-layout spectrum
@@ -297,6 +313,7 @@ def _istft_grouped_core(
     n_fft: int,
     hop_length: int,
     padded_length: int,
+    fast_gemm: bool = False,
 ) -> jax.Array:
     B, F, _ = xg.shape
     if padded_length < 1:
@@ -328,7 +345,7 @@ def _istft_grouped_core(
 
     out = pl.pallas_call(
         _istft_kernel_factory(
-            CB, RB, C, R2, NC, hop_length, FBk, RT_pad // RB
+            CB, RB, C, R2, NC, hop_length, FBk, RT_pad // RB, fast_gemm
         ),
         out_shape=vma_struct((B, RT_pad, hop_length), jnp.float32, xg_p),
         grid=(B // CB, RT_pad // RB),

@@ -31,11 +31,13 @@ This replaces the round-1 dense chunk-GEMM kernel (O(n_fft^2) MACs/frame,
 0.97 ms) — the Mosaic blocker it documented (no in-kernel ``(N1, N2)``
 reshape) is sidestepped because BOTH decimations use only sublane slices and
 128-aligned lane slices. Measured on v5e (batch-64 x 1 s, n_fft=2048,
-hop=512, n_mels=128, slope-amortized): **0.20 ms at HIGHEST precision vs
-0.40 ms for the XLA six-step pipeline and 0.49 ms for the packed-FFT
-pipeline**, at float32-exact accuracy (3e-7 rel vs the f64 oracle, i.e.
-~100x tighter than the six-step path's 4e-5). It is therefore the
-``use_pallas=None`` auto default on TPU (`ops/mel.py`).
+hop=512, n_mels=128, slope-amortized, same-process A/B): **0.11 ms with the
+default 3-pass bf16-split GEMMs (2.7e-5 max rel vs the f64 oracle — the
+same accuracy class as the XLA six-step pipeline's 2.4e-5, at ~4x its
+0.40 ms) and 0.19 ms at HIGHEST precision (f32-exact, 3e-7 rel)**; the
+packed-FFT pipeline sits at 0.49 ms. It is therefore the
+``use_pallas=None`` auto default on TPU (`ops/mel.py`); see
+:func:`_group_dot` and `_config.ANALYSIS_FAST_GEMM` for the GEMM mode.
 """
 
 from __future__ import annotations
@@ -173,14 +175,43 @@ def _scaled(x, s):
     return -x if s == -1 else x * s
 
 
-def _group_dot(a, b):
+def _bf16_split(x):
+    """f32 -> (hi, lo) bfloat16 planes with ``hi + lo ~= x`` (~16 mantissa
+    bits retained)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_raw(a, b):
     return jax.lax.dot_general(
-        a, b, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 
-def _radix_group_spectra(sig_scr, w_ref, t_ref, b_ref, C, R2, NC, FBb):
+def _group_dot(a, b, fast: bool = False):
+    """Contraction of ``a``'s last axis with ``b``'s first, f32 accumulate.
+
+    ``fast=False``: lax HIGHEST — the 6-pass bf16 emulation, f32-exact.
+    ``fast=True``: manual 3-pass bf16 split (``ah@bh + ah@bl + al@bh`` — the
+    lax.Precision.HIGH scheme, which Mosaic does not expose in Pallas dots),
+    ~2.7e-5 max rel error and ~2x the MXU throughput. Duplicate splits of a
+    reused operand across calls are CSE'd by the compiler.
+    """
+    if not fast:
+        return jax.lax.dot_general(
+            a, b, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
+        )
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
+    return _dot_raw(ah, bh) + _dot_raw(ah, bl) + _dot_raw(al, bh)
+
+
+def _radix_group_spectra(sig_scr, w_ref, t_ref, b_ref, C, R2, NC, FBb,
+                         fast: bool = False):
     """Shared radix body of the fused mel and fused STFT kernels.
 
     Windowed chunks -> radix-C butterfly -> T twiddle -> radix-R2 butterfly
@@ -231,11 +262,11 @@ def _radix_group_spectra(sig_scr, w_ref, t_ref, b_ref, C, R2, NC, FBb):
                     er = _add(er, _scaled(hic[c2], -wi))
                     ei = _add(ei, _scaled(hic[c2], wr))
             br, bi = b_ref[rp, 0], b_ref[rp, 1]
-            xr = _group_dot(er, br)
-            xi = _group_dot(er, bi)
+            xr = _group_dot(er, br, fast)
+            xi = _group_dot(er, bi, fast)
             if ei is not None:
-                xr = xr - _group_dot(ei, bi)
-                xi = xi + _group_dot(ei, br)
+                xr = xr - _group_dot(ei, bi, fast)
+                xi = xi + _group_dot(ei, br, fast)
             yield r * R2 + rp, xr, xi
 
 
@@ -279,25 +310,26 @@ def _double_buffered_rows(sig_hbm, sig_scr, sem, CB, FBb, FBk, GJ):
     return sig_scr.at[slot]
 
 
-def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, POW, GJ):
+def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, POW, GJ, FAST):
     """Kernel: double-buffered row DMA -> shared radix body
     (`_radix_group_spectra`) -> |.|^POW -> mel GEMM per group (nothing
     larger than (CB, FBb, 128) stays live past its mel accumulation).
 
     ``POW`` in {1, 2}: the mirror-folded filterbank stays valid for both
-    since ``|X[N-k]| == |X[k]|`` (magnitudes, not components, are folded)."""
+    since ``|X[N-k]| == |X[k]|`` (magnitudes, not components, are folded).
+    ``FAST`` selects the 3-pass bf16-split GEMMs (see :func:`_group_dot`)."""
 
     def kernel(sig_hbm, w_ref, t_ref, b_ref, fb_ref, out_ref, sig_scr, sem):
         cur = _double_buffered_rows(sig_hbm, sig_scr, sem, CB, FBb, FBk, GJ)
 
         acc = None
         for g, xr, xi in _radix_group_spectra(
-            cur, w_ref, t_ref, b_ref, C, R2, NC, FBb
+            cur, w_ref, t_ref, b_ref, C, R2, NC, FBb, FAST
         ):
             p = xr * xr + xi * xi
             if POW == 1:
                 p = jnp.sqrt(p)
-            acc = _add(acc, _group_dot(p, fb_ref[g]))
+            acc = _add(acc, _group_dot(p, fb_ref[g], FAST))
         out_ref[:] = acc
 
     return kernel
@@ -398,11 +430,19 @@ def melspectrogram_pallas(
     center: bool,
     pad_mode: str,
     power: float = 2.0,
+    fast_gemm: bool | None = None,
 ) -> jax.Array:
     """(B, L) -> (B, n_mels, F) mel spectrogram via the fused kernel.
 
     Requires :func:`radix_supported` and ``power`` in {1, 2}; any window
     array and any filterbank (the folding is an on-device gather).
+
+    ``fast_gemm`` (default: `_config.ANALYSIS_FAST_GEMM`, True) runs the MXU
+    contractions as 3-pass bf16 splits — ~2x the HIGHEST-precision kernel
+    at 2.7e-5 max rel error, the same accuracy class as the XLA six-step
+    fallback (2.4e-5). Pass False for the f32-exact (3e-7) kernel; callers
+    whose downstream calibration assumes f32-exact spectra (pitch's ACF
+    noise floors) do so.
     """
     if not radix_supported(n_fft, hop_length, fb_t.shape[1]):
         raise ValueError(
@@ -422,22 +462,26 @@ def melspectrogram_pallas(
         )
     # device-cached tables fetched outside the jit so they stay resident in
     # HBM as arguments instead of baking into the executable as literals
+    if fast_gemm is None:
+        from .. import _config
+
+        fast_gemm = _config.ANALYSIS_FAST_GEMM
     T = _twiddle_table(n_fft, hop_length)
     Bt = _basis_table(hop_length)
-    return _mel_vjp_fn(n_fft, hop_length, center, pad_mode, int(power))(
-        y, win, fb_t, T, Bt
-    )
+    return _mel_vjp_fn(
+        n_fft, hop_length, center, pad_mode, int(power), bool(fast_gemm)
+    )(y, win, fb_t, T, Bt)
 
 
 @lru_cache(maxsize=32)
 def _mel_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str,
-                power: int):
+                power: int, fast_gemm: bool = False):
     """Kernel forward with an XLA-path backward: pallas_call has no autodiff
     rule, but the pipeline's math is plain XLA, so reverse-mode runs the
     reference composition's VJP (one extra XLA forward per backward pass)."""
     kern = partial(
         _mel_radix_core, n_fft=n_fft, hop_length=hop_length, center=center,
-        pad_mode=pad_mode, power=power,
+        pad_mode=pad_mode, power=power, fast_gemm=fast_gemm,
     )
 
     xla_ref = partial(
@@ -464,7 +508,9 @@ def _mel_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str,
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "center", "pad_mode", "power"),
+    static_argnames=(
+        "n_fft", "hop_length", "center", "pad_mode", "power", "fast_gemm",
+    ),
 )
 def _mel_radix_core(
     y: jax.Array,
@@ -478,6 +524,7 @@ def _mel_radix_core(
     center: bool,
     pad_mode: str,
     power: int = 2,
+    fast_gemm: bool = False,
 ) -> jax.Array:
     B, L = y.shape
     C = n_fft // hop_length
@@ -505,7 +552,8 @@ def _mel_radix_core(
 
     out = pl.pallas_call(
         _mel_radix_kernel_factory(
-            CB, FBb, C, R2, NC, hop_length, FBk, power, F_pad // FBb
+            CB, FBb, C, R2, NC, hop_length, FBk, power, F_pad // FBb,
+            fast_gemm,
         ),
         out_shape=vma_struct((B, F_pad, n_mels), jnp.float32, sig2d, fbf),
         grid=(B // CB, F_pad // FBb),

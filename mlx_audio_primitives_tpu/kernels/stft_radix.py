@@ -134,16 +134,25 @@ def stft_magnitude_pallas(
     hop_length: int,
     center: bool,
     pad_mode: str,
+    fast_gemm: bool | None = None,
 ) -> jax.Array:
     """``|stft(y)|`` (B, n_bins, F) via the fused kernel with a HALF-traffic
     naturalize: magnitudes are formed in the group layout (|X[N-k]| = |X[k]|
     — no sign mask, no imaginary plane), so restoring librosa's bin order is
     ONE real gather instead of the complex spectrum's two-plane gather +
     complex materialization. Measured 2.0x `stft_pallas`+abs at
-    batch-64 x 4 s."""
+    batch-64 x 4 s.
+
+    This is the spectral-feature magnitude path (not a reconstruction path),
+    so ``fast_gemm`` defaults to `_config.ANALYSIS_FAST_GEMM` — 3-pass
+    bf16-split GEMMs at ~2.7e-5 rel, inside the features' ~1e-4 budget."""
+    if fast_gemm is None:
+        from .. import _config
+
+        fast_gemm = _config.ANALYSIS_FAST_GEMM
     xg = stft_pallas_grouped(
         y, win, n_fft=n_fft, hop_length=hop_length, center=center,
-        pad_mode=pad_mode,
+        pad_mode=pad_mode, fast_gemm=fast_gemm,
     )
     C = n_fft // hop_length
     R2 = hop_length // LANE
@@ -155,17 +164,18 @@ def stft_magnitude_pallas(
     return jnp.swapaxes(m[:, :, jnp.asarray(pos)], 1, 2)
 
 
-def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ):
+def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ, FAST=False):
     """Kernel: DMA rows -> shared radix body (`mel_fused._radix_group_spectra`)
     -> write (xr | xi) group blocks; differs from the mel kernel only in the
-    consumer of each group's complex spectrum."""
+    consumer of each group's complex spectrum. ``FAST`` selects the 3-pass
+    bf16-split GEMMs (`mel_fused._group_dot`)."""
 
     def kernel(sig_hbm, w_ref, t_ref, b_ref, out_ref, sig_scr, sem):
         cur = _double_buffered_rows(sig_hbm, sig_scr, sem, CB, FBb, FBk, GJ)
 
         G = NC * R2
         for g, xr, xi in _radix_group_spectra(
-            cur, w_ref, t_ref, b_ref, C, R2, NC, FBb
+            cur, w_ref, t_ref, b_ref, C, R2, NC, FBb, FAST
         ):
             # store each group's 128-lane slices as produced: no full-width
             # concat buffer in VMEM, and stores overlap the next group's GEMMs
@@ -216,6 +226,7 @@ def stft_pallas_grouped(
     hop_length: int,
     center: bool,
     pad_mode: str,
+    fast_gemm: bool = False,
 ) -> jax.Array:
     """(B, L) -> float32 (B, F, 2*G*128) STFT in the kernel's native group
     layout (see :func:`_group_maps`), skipping the naturalize gather.
@@ -223,6 +234,11 @@ def stft_pallas_grouped(
     The group layout is the exact input layout of the fused inverse kernel
     (`istft_fused.py`), so spectral round-trips (e.g. the Griffin-Lim
     iteration) can stay in it and avoid both per-iteration layout gathers.
+
+    ``fast_gemm`` defaults to False (f32-exact HIGHEST GEMMs): the public
+    ``stft`` rides this path and carries the round-trip <=1e-5 guarantee.
+    Analysis consumers with ~1e-4 budgets (the feature magnitude path,
+    Griffin-Lim's loop) opt into the 3-pass bf16-split GEMMs explicitly.
     """
     if not stft_radix_supported(n_fft, hop_length):
         raise ValueError(
@@ -237,13 +253,14 @@ def stft_pallas_grouped(
         )
     T = _twiddle_table(n_fft, hop_length)
     Bt = _basis_table(hop_length)
-    return _stft_grouped_vjp_fn(n_fft, hop_length, center, pad_mode)(
-        y, win, T, Bt
-    )
+    return _stft_grouped_vjp_fn(
+        n_fft, hop_length, center, pad_mode, bool(fast_gemm)
+    )(y, win, T, Bt)
 
 
 @lru_cache(maxsize=32)
-def _stft_grouped_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str):
+def _stft_grouped_vjp_fn(n_fft: int, hop_length: int, center: bool,
+                         pad_mode: str, fast_gemm: bool = False):
     """Kernel forward, XLA-composition backward (the STFT is linear, so the
     VJP is one XLA transform; pallas_call itself has no autodiff rule).
 
@@ -254,7 +271,7 @@ def _stft_grouped_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: st
     """
     kern = partial(
         _stft_radix_core, n_fft=n_fft, hop_length=hop_length, center=center,
-        pad_mode=pad_mode,
+        pad_mode=pad_mode, fast_gemm=fast_gemm,
     )
 
     def xla_ref(y, win):
@@ -290,7 +307,7 @@ def _stft_grouped_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: st
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "center", "pad_mode"),
+    static_argnames=("n_fft", "hop_length", "center", "pad_mode", "fast_gemm"),
 )
 def _stft_radix_core(
     y: jax.Array,
@@ -302,6 +319,7 @@ def _stft_radix_core(
     hop_length: int,
     center: bool,
     pad_mode: str,
+    fast_gemm: bool = False,
 ) -> jax.Array:
     """Kernel driver: (B, L) -> group-layout float32 (B, F, 2*G*128)."""
     B, L = y.shape
@@ -328,7 +346,7 @@ def _stft_radix_core(
 
     out = pl.pallas_call(
         _stft_radix_kernel_factory(
-            CB, FBb, C, R2, NC, hop_length, FBk, F_pad // FBb
+            CB, FBb, C, R2, NC, hop_length, FBk, F_pad // FBb, fast_gemm
         ),
         # vma_struct: under vma-tracked shard_map the output must carry the
         # operands' varying axes; degrades to a plain struct outside

@@ -41,7 +41,8 @@ def _get_frequencies(sr: int, n_fft: int) -> jax.Array:
 
 
 def _compute_spectrogram(
-    y, S, n_fft, hop_length, win_length, window, center, pad_mode, power=1.0
+    y, S, n_fft, hop_length, win_length, window, center, pad_mode, power=1.0,
+    fast_gemm=None,
 ) -> jax.Array:
     """S-or-y input protocol (librosa style; reference `features.py:24-54`).
 
@@ -64,6 +65,7 @@ def _compute_spectrogram(
         window=window,
         center=center,
         pad_mode=pad_mode,
+        fast_gemm=fast_gemm,
     )
     if power != 1.0:
         S = jnp.power(S, power)
@@ -244,9 +246,16 @@ def spectral_flatness(
 
     Reference parity: `features.py:363-442`. Uses the precise log10/exp10
     kernels so the geometric mean keeps ~1e-6 accuracy.
+
+    The magnitude is computed with f32-exact GEMMs (``fast_gemm=False``):
+    the geometric mean takes ``log(power)`` of every bin, so near-silent
+    bins sit at the spectrum's rounding floor — the fused kernel's 3-pass
+    bf16 mode would lift that floor (~2.7e-5 rel vs ~1e-7) above the
+    ``amin`` clamp and shift flatness on tonal signals.
     """
     S = _compute_spectrogram(
-        y, S, n_fft, hop_length, win_length, window, center, pad_mode, power
+        y, S, n_fft, hop_length, win_length, window, center, pad_mode, power,
+        fast_gemm=False,
     )
     is_batched = S.ndim == 3
     if not is_batched:

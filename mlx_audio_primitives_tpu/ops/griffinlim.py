@@ -200,10 +200,15 @@ def _griffinlim_grouped_core(
     # sign) is the magnitude at every group position
     Sg = S[:, :, km]
 
+    # 3-pass bf16-split GEMMs in both per-iteration transforms: their
+    # ~2.7e-5 spectral noise is orders of magnitude below the Griffin-Lim
+    # iteration's own convergence error, and the GEMMs dominate the loop
+    from .._config import ANALYSIS_FAST_GEMM as _fast
+
     def istft_g(xg: jax.Array) -> jax.Array:
         y = istft_pallas_grouped(
             xg, win, env, n_fft=n_fft, hop_length=hop_length,
-            padded_length=padded_length,
+            padded_length=padded_length, fast_gemm=_fast,
         )
         if center:
             return jax.lax.slice_in_dim(y, pad, pad + L_sig, axis=1)
@@ -216,7 +221,7 @@ def _griffinlim_grouped_core(
     def stft_g(y: jax.Array) -> jax.Array:
         xg = stft_pallas_grouped(
             y, win, n_fft=n_fft, hop_length=hop_length, center=center,
-            pad_mode=pad_mode,
+            pad_mode=pad_mode, fast_gemm=_fast,
         )
         # +/-1 frame fixup (static): crop or zero-pad the frame axis to F
         F2 = xg.shape[1]

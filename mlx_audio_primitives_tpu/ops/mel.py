@@ -208,8 +208,10 @@ def melspectrogram(
     single-kernel fused radix path (`kernels/mel_fused.py`) and the XLA
     pipeline; the default (None) auto-selects the kernel on TPU where its
     shape gates admit (pow2 ``n_fft`` divisible by ``hop``, ``hop`` a
-    multiple of 128, ``power=2``) — it measures ~2x faster than the XLA
-    six-step pipeline at float32-exact accuracy.
+    multiple of 128, ``power`` in {1, 2}) — with the default 3-pass
+    bf16-split GEMMs (`_config.ANALYSIS_FAST_GEMM`) it measures ~4x the XLA
+    six-step pipeline in the same ~2.5e-5 accuracy class; set
+    ``ANALYSIS_FAST_GEMM = False`` for the f32-exact (3e-7) kernel at ~2x.
     """
     from .stft import _as_batched, _validate_stft_params
 

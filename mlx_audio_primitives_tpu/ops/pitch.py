@@ -275,6 +275,10 @@ def _framewise_acf_fused(
     raw = melspectrogram_pallas(
         ypad, win, C, n_fft=n_fft, hop_length=hop_length, center=False,
         pad_mode="constant", power=2.0,
+        # f32-exact GEMMs: the ACF noise floors (`_acf_center_correct`) are
+        # calibrated to HIGHEST-precision rounding; 3-pass bf16 error
+        # (~2.7e-5) would swamp them and re-open the silence false-positive
+        fast_gemm=False,
     )  # (B, 1 + nl, F)
     return _acf_center_correct(
         yc, ypad, raw, frame_length=W, hop_length=hop_length, lo=lo, hi=hi

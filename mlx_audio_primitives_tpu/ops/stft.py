@@ -248,12 +248,19 @@ def magnitude_spectrogram(
     center: bool = True,
     pad_mode: str = "constant",
     use_pallas: bool | None = None,
+    fast_gemm: bool | None = None,
 ) -> jax.Array:
     """``|stft(y)|`` without the complex intermediate (internal fast path).
 
     Same signature subset and semantics as ``magnitude(stft(y, ...))``
     (reference composes them, `stft.py:136-222` + `:347-362`); used by the
     spectral-feature S-or-y protocol.
+
+    ``fast_gemm`` (default `_config.ANALYSIS_FAST_GEMM`) selects the fused
+    kernel's 3-pass bf16-split GEMMs; noise-floor-sensitive consumers
+    (``spectral_flatness``'s log-power geometric mean) pass False so
+    near-silent bins keep the f32-exact ~1e-7 floor below their ``amin``
+    clamp.
     """
     if hop_length is None:
         hop_length = n_fft // 4
@@ -276,7 +283,7 @@ def magnitude_spectrogram(
 
         out = stft_magnitude_pallas(
             y, win, n_fft=n_fft, hop_length=hop_length, center=center,
-            pad_mode=pad_mode,
+            pad_mode=pad_mode, fast_gemm=fast_gemm,
         )
         return out[0] if input_is_1d else out
 

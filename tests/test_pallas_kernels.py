@@ -183,6 +183,36 @@ class TestFusedMelPallas:
         ref = melspectrogram(batch_signals, n_mels=32, power=1.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
+    def test_fast_vs_exact_gemm_modes(self, batch_signals):
+        # fast_gemm=True (3-pass bf16 split, the default) must agree with
+        # the f32-exact HIGHEST kernel to the documented ~2.7e-5 rel class,
+        # and the exact kernel must be far tighter vs the XLA pipeline
+        n_fft, hop, n_mels = 1024, 256, 40
+        fb = mel_filterbank(22050, n_fft, n_mels=n_mels)
+        win = _get_padded_window("hann", n_fft, n_fft)
+        kw = dict(n_fft=n_fft, hop_length=hop, center=True,
+                  pad_mode="constant")
+        y = jnp.asarray(batch_signals)
+        fast = np.asarray(
+            melspectrogram_pallas(y, win, fb.T, fast_gemm=True, **kw)
+        )
+        exact = np.asarray(
+            melspectrogram_pallas(y, win, fb.T, fast_gemm=False, **kw)
+        )
+        scale = exact.max()
+        np.testing.assert_allclose(fast, exact, rtol=1e-4, atol=1e-4 * scale)
+        ref = np.asarray(
+            melspectrogram(batch_signals, n_fft=n_fft, hop_length=hop,
+                           n_mels=n_mels, use_pallas=False, fft_mode="fft")
+        )
+        assert np.abs(exact - ref).max() <= 2e-6 * scale
+        # and the fast mode is what ANALYSIS_FAST_GEMM=None resolves to
+        from mlx_audio_primitives_tpu import _config
+
+        assert _config.ANALYSIS_FAST_GEMM is True
+        auto = np.asarray(melspectrogram_pallas(y, win, fb.T, **kw))
+        np.testing.assert_array_equal(auto, fast)
+
     def test_kernel_rejects_unsupported_shape(self, batch_signals):
         fb = mel_filterbank(22050, 1024, n_mels=40)
         win = _get_padded_window("hann", 1024, 1024)
@@ -203,7 +233,19 @@ class TestGriffinLimPallas:
         kw = dict(n_iter=3, hop_length=256, random_state=0)
         a = np.asarray(griffinlim(S, use_pallas=True, **kw))
         b = np.asarray(griffinlim(S, use_pallas=False, **kw))
-        np.testing.assert_allclose(a, b, atol=1e-4)
+        # the grouped loop runs 3-pass bf16-split GEMMs by default
+        # (_config.ANALYSIS_FAST_GEMM): ~2.7e-5 spectral noise per transform,
+        # amplified through 3 phase projections — observed ~6e-4 max abs
+        np.testing.assert_allclose(a, b, atol=5e-3)
+        # and both paths must converge equally well against the target
+        # magnitude (the fast GEMM noise is far below convergence error)
+        from mlx_audio_primitives_tpu import stft as _stft
+
+        err_a = np.abs(np.abs(np.asarray(_stft(a, n_fft=1024,
+                                               hop_length=256))) - S).mean()
+        err_b = np.abs(np.abs(np.asarray(_stft(b, n_fft=1024,
+                                               hop_length=256))) - S).mean()
+        assert err_a <= err_b * 1.01 + 1e-6
 
     def test_grouped_loop_momentum_zero_and_length(self, random_signal):
         # exercises the grouped loop's momentum=0 branch and length crop/pad
@@ -350,11 +392,62 @@ class TestFusedStftPallas:
     def test_magnitude_spectrogram_radix_path(self, random_signal):
         from mlx_audio_primitives_tpu.ops.stft import magnitude_spectrogram
 
-        a = np.asarray(magnitude_spectrogram(random_signal, n_fft=1024,
-                                             hop_length=256, use_pallas=True))
         b = np.asarray(magnitude_spectrogram(random_signal, n_fft=1024,
                                              hop_length=256, use_pallas=False))
+        # f32-exact GEMMs: tight vs the XLA pipeline
+        a = np.asarray(magnitude_spectrogram(random_signal, n_fft=1024,
+                                             hop_length=256, use_pallas=True,
+                                             fast_gemm=False))
         np.testing.assert_allclose(a, b, atol=1e-5 * b.max())
+        # default fast GEMMs: the documented ~2.7e-5 accuracy class
+        f = np.asarray(magnitude_spectrogram(random_signal, n_fft=1024,
+                                             hop_length=256, use_pallas=True))
+        np.testing.assert_allclose(f, b, atol=1e-4 * b.max())
+
+    def test_flatness_keeps_exact_noise_floor(self, sine_signal):
+        # spectral_flatness takes log(power) of every bin, so near-silent
+        # bins sit at the spectrum's rounding floor. The fused magnitude
+        # path must use f32-exact GEMMs there (fast bf16 GEMMs lift the
+        # floor ~200x, above flatness's amin clamp on O(1) tonal signals).
+        from mlx_audio_primitives_tpu import spectral_flatness
+        from mlx_audio_primitives_tpu.ops.stft import magnitude_spectrogram
+
+        kw = dict(n_fft=1024, hop_length=256)
+        exact = np.asarray(magnitude_spectrogram(
+            sine_signal, use_pallas=True, fast_gemm=False, **kw))
+        fast = np.asarray(magnitude_spectrogram(
+            sine_signal, use_pallas=True, fast_gemm=True, **kw))
+        # noise-floor ordering on the tone's silent bins (robust: median of
+        # the smallest decile)
+        n_low = max(1, exact.size // 10)
+        floor_exact = np.median(np.sort(exact.ravel())[:n_low])
+        floor_fast = np.median(np.sort(fast.ravel())[:n_low])
+        assert floor_fast > 1.5 * floor_exact
+        # flatness from the exact fused magnitude == XLA flatness (log scale)
+        fl_a = np.asarray(spectral_flatness(S=exact.astype(np.float64)**2,
+                                            **kw))
+        xla = np.asarray(magnitude_spectrogram(sine_signal, use_pallas=False,
+                                               **kw))
+        fl_b = np.asarray(spectral_flatness(S=xla.astype(np.float64)**2, **kw))
+        np.testing.assert_allclose(np.log10(fl_a + 1e-30),
+                                   np.log10(fl_b + 1e-30), atol=0.5)
+
+    def test_flatness_routes_fast_gemm_off(self, monkeypatch, sine_signal):
+        # wiring check: spectral_flatness's spectrogram request must carry
+        # fast_gemm=False into the fused magnitude path
+        from mlx_audio_primitives_tpu import spectral_flatness
+        import mlx_audio_primitives_tpu.ops.features as feat_mod
+
+        seen = {}
+        real = feat_mod.magnitude_spectrogram
+
+        def spy(y, **kwargs):
+            seen["fast_gemm"] = kwargs.get("fast_gemm")
+            return real(y, **kwargs)
+
+        monkeypatch.setattr(feat_mod, "magnitude_spectrogram", spy)
+        spectral_flatness(sine_signal, n_fft=1024, hop_length=256)
+        assert seen["fast_gemm"] is False
 
 
 class TestFusedIstftPallas:
