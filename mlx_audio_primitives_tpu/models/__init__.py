@@ -40,6 +40,14 @@ from .expert_parallel import (
     moe_tp_param_sharding,
     moe_tp_param_specs,
 )
+from .transformer import (
+    init_transformer_params,
+    make_cp_train_step,
+    ring_attention,
+    transformer_apply,
+    transformer_param_sharding,
+    transformer_param_specs,
+)
 from .presets import (
     PRESETS,
     music_logmel,
@@ -78,6 +86,12 @@ __all__ = [
     "ep_batch_sharding",
     "init_deep_classifier_params",
     "deep_classifier_apply",
+    "init_transformer_params",
+    "transformer_apply",
+    "ring_attention",
+    "make_cp_train_step",
+    "transformer_param_specs",
+    "transformer_param_sharding",
     "save_checkpoint",
     "restore_checkpoint",
     "HAS_ORBAX",
