@@ -40,10 +40,11 @@ def _try_build() -> None:
     if not (_CSRC / "Makefile").exists():
         return
     if _SO_PATH.exists():
-        # rebuild when the C++ source is newer than the built library —
+        # rebuild when any C++ source is newer than the built library —
         # a stale .so would silently serve outdated table math
-        src = _CSRC / "tables.cpp"
-        if not src.exists() or src.stat().st_mtime <= _SO_PATH.stat().st_mtime:
+        srcs = [_CSRC / "tables.cpp", _CSRC / "wavio.cpp"]
+        mtime = _SO_PATH.stat().st_mtime
+        if not any(s.exists() and s.stat().st_mtime > mtime for s in srcs):
             return
     if os.environ.get("MLX_AUDIO_TPU_NO_NATIVE_BUILD") == "1":
         return
@@ -98,6 +99,25 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_double, ctypes.c_double, ctypes.c_int32, f64p,
             ]
             lib.mapt_linear_filterbank.restype = ctypes.c_int32
+
+        # WAV codec: absent in a stale pre-rebuild .so — degrade per-function
+        if hasattr(lib, "mapt_wav_info"):
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            lib.mapt_wav_info.argtypes = [
+                ctypes.c_char_p, i64p, i32p, i32p, i32p, i32p,
+            ]
+            lib.mapt_wav_info.restype = ctypes.c_int32
+            lib.mapt_wav_read_f32.argtypes = [
+                ctypes.c_char_p, f32p, ctypes.c_int64,
+            ]
+            lib.mapt_wav_read_f32.restype = ctypes.c_int32
+            lib.mapt_wav_write.argtypes = [
+                ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+            ]
+            lib.mapt_wav_write.restype = ctypes.c_int32
 
         # live smoke test (reference `_extension.py:30-44`)
         if lib.mapt_abi_version() != 1:
@@ -192,6 +212,54 @@ def native_linear_filterbank(
         1 if norm == "slaney" else 0, _ptr(out),
     )
     return out if rc == 0 else None
+
+
+def native_wav_read(path: str) -> tuple[np.ndarray, int, int] | None:
+    """Decode a WAV file natively -> ``(interleaved_f32, sr, channels)``.
+
+    Returns None (caller falls back to the NumPy codec) when the library is
+    missing, pre-dates the codec, or the file uses a format it rejects."""
+    if _lib is None or not hasattr(_lib, "mapt_wav_info"):
+        return None
+    p = os.fsencode(path)
+    frames = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    sr = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    fmt = ctypes.c_int32()
+    rc = _lib.mapt_wav_info(
+        p, ctypes.byref(frames), ctypes.byref(ch), ctypes.byref(sr),
+        ctypes.byref(bits), ctypes.byref(fmt),
+    )
+    if rc == -1:
+        raise OSError(f"cannot read WAV file: {path}")
+    if rc != 0:
+        return None
+    out = np.empty(frames.value * ch.value, np.float32)
+    rc = _lib.mapt_wav_read_f32(
+        p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames.value
+    )
+    if rc != 0:
+        return None
+    return out, sr.value, ch.value
+
+
+def native_wav_write(
+    path: str, interleaved: np.ndarray, sr: int, bits: int
+) -> bool:
+    """Encode ``(frames, channels)`` float32 natively. False -> fall back."""
+    if _lib is None or not hasattr(_lib, "mapt_wav_write"):
+        return False
+    data = np.ascontiguousarray(interleaved, np.float32)
+    frames, channels = data.shape
+    rc = _lib.mapt_wav_write(
+        os.fsencode(path),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frames, channels, int(sr), int(bits),
+    )
+    if rc == -1:
+        raise OSError(f"cannot write WAV file: {path}")
+    return rc == 0
 
 
 def native_hz_to_mel(f: np.ndarray, htk: bool) -> np.ndarray | None:

@@ -1,5 +1,7 @@
-"""Runtime utilities: validation, table caches, dispatch policy, profilers."""
+"""Runtime utilities: validation, table caches, dispatch policy, profilers,
+audio file I/O."""
 
+from .audio_io import read_wav, wav_info, write_wav
 from .cache import TableCache, cache_stats, clear_all_caches, table_cache
 from .dispatch import (
     HAS_PALLAS,
@@ -50,6 +52,9 @@ from .validation import validate_non_negative, validate_positive, validate_range
 from .warmup import enable_persistent_compilation_cache, warmup
 
 __all__ = [
+    "read_wav",
+    "write_wav",
+    "wav_info",
     "warmup",
     "enable_persistent_compilation_cache",
     "TableCache",
