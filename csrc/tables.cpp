@@ -174,7 +174,9 @@ void triangular_filterbank(const double* hz_points, int32_t sr, int32_t n_fft,
 extern "C" {
 
 // ABI version for the Python-side smoke test.
-int32_t mapt_abi_version() { return 1; }
+// 2: single-pass WAV read (actual-count outputs) replaced the capacity-only
+// signature; loaders built for ABI 1 must not call into this library.
+int32_t mapt_abi_version() { return 2; }
 
 // Window table. kind: 0 hann, 1 hamming, 2 blackman, 3 bartlett,
 // 4 rectangular, 5 kaiser(beta). fftbins: periodic (n+1 symmetric, drop last).

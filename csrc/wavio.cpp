@@ -57,6 +57,76 @@ uint16_t rd_u16(const uint8_t* p) {
   return static_cast<uint16_t>(p[0] | (p[1] << 8));
 }
 
+// Header-only chunk scan: reads each 8-byte chunk header + the fmt body,
+// fseeks over everything else — info on a multi-GB file never loads it.
+int scan_header(const char* path, WavLayout* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  uint8_t hdr[12];
+  if (fsize < 12 || std::fread(hdr, 1, 12, f) != 12 ||
+      std::memcmp(hdr, "RIFF", 4) != 0 ||
+      std::memcmp(hdr + 8, "WAVE", 4) != 0) {
+    std::fclose(f);
+    return -2;  // not RIFF/WAVE (or too short)
+  }
+  bool have_fmt = false, have_data = false;
+  long pos = 12;
+  while (pos + 8 <= fsize) {
+    uint8_t ch[8];
+    std::fseek(f, pos, SEEK_SET);
+    if (std::fread(ch, 1, 8, f) != 8) break;
+    size_t size = rd_u32(ch + 4);
+    long body = pos + 8;
+    if (body + static_cast<long>(size) > fsize) {
+      if (std::memcmp(ch, "data", 4) == 0) {
+        size = static_cast<size_t>(fsize - body);
+      } else {
+        std::fclose(f);
+        return -3;
+      }
+    }
+    if (std::memcmp(ch, "fmt ", 4) == 0) {
+      if (size < 16) {
+        std::fclose(f);
+        return -3;
+      }
+      uint8_t p[40];
+      size_t want = size < sizeof(p) ? size : sizeof(p);
+      if (std::fread(p, 1, want, f) != want) {
+        std::fclose(f);
+        return -1;
+      }
+      out->fmt = rd_u16(p);
+      out->channels = rd_u16(p + 2);
+      out->sr = rd_u32(p + 4);
+      out->bits = rd_u16(p + 14);
+      if (out->fmt == kExtensible) {
+        if (size < 40) {
+          std::fclose(f);
+          return -3;
+        }
+        out->fmt = rd_u16(p + 24);
+      }
+      have_fmt = true;
+    } else if (std::memcmp(ch, "data", 4) == 0 && !have_data) {
+      out->data_off = static_cast<size_t>(body);
+      out->data_size = size;
+      have_data = true;
+    }
+    pos = body + static_cast<long>(size) + (size & 1);
+  }
+  std::fclose(f);
+  if (!have_fmt || !have_data) return -3;
+  if (out->channels < 1) return -4;
+  if (out->fmt != kPcm && out->fmt != kIeeeFloat) return -4;
+  if (out->bits != 16 && out->bits != 24 && out->bits != 32) return -4;
+  if (out->fmt == kIeeeFloat && out->bits != 32) return -4;
+  return 0;
+}
+
 // Walk the chunk list; mirrors utils/audio_io.py::_parse_chunks, including
 // the tolerated truncated FINAL data chunk and even-offset padding.
 int parse(const std::vector<uint8_t>& buf, WavLayout* out) {
@@ -120,13 +190,19 @@ void wr_tag(std::vector<uint8_t>& v, const char* tag) {
   v.insert(v.end(), tag, tag + 4);
 }
 
-double clip1(double x) { return x < -1.0 ? -1.0 : (x > 1.0 ? 1.0 : x); }
+// NaN maps to 0 so both codecs encode it deterministically (lrint(NaN) is
+// unspecified and would break the byte-identical native/NumPy contract).
+double clip1(double x) {
+  if (std::isnan(x)) return 0.0;
+  return x < -1.0 ? -1.0 : (x > 1.0 ? 1.0 : x);
+}
 
 }  // namespace
 
 extern "C" {
 
-// Header probe. format_out: 0 = PCM, 1 = IEEE float.
+// Header probe (header-only I/O: chunk bodies are fseek'd over, never
+// loaded). format_out: 0 = PCM, 1 = IEEE float.
 int32_t mapt_wav_info(const char* path, int64_t* frames_out,
                       int32_t* channels_out, int32_t* sr_out,
                       int32_t* bits_out, int32_t* format_out) {
@@ -134,10 +210,8 @@ int32_t mapt_wav_info(const char* path, int64_t* frames_out,
       !format_out) {
     return -5;
   }
-  std::vector<uint8_t> buf;
-  if (!read_file(path, buf)) return -1;
   WavLayout w;
-  int rc = parse(buf, &w);
+  int rc = scan_header(path, &w);
   if (rc != 0) return rc;
   size_t bytes_per = static_cast<size_t>(w.channels) * (w.bits / 8);
   *frames_out = static_cast<int64_t>(w.data_size / bytes_per);
@@ -149,11 +223,15 @@ int32_t mapt_wav_info(const char* path, int64_t* frames_out,
 }
 
 // Decode the whole file into caller-allocated interleaved float32
-// (capacity_frames * channels floats). PCM scales by 2^(bits-1), float32
-// passes through verbatim — identical to utils/audio_io.py::_decode.
+// (capacity_frames * channels floats) in ONE read+parse pass, writing the
+// frame count actually decoded to frames_out — the file is re-read after
+// the caller's info probe, so a concurrent rewrite must not leave the
+// trailing capacity as uninitialized memory. PCM scales by 2^(bits-1),
+// float32 passes through verbatim — identical to audio_io.py::_decode.
 int32_t mapt_wav_read_f32(const char* path, float* out,
-                          int64_t capacity_frames) {
-  if (!path || !out) return -5;
+                          int64_t capacity_frames, int64_t* frames_out,
+                          int32_t* channels_out) {
+  if (!path || !out || !frames_out || !channels_out) return -5;
   std::vector<uint8_t> buf;
   if (!read_file(path, buf)) return -1;
   WavLayout w;
@@ -162,6 +240,8 @@ int32_t mapt_wav_read_f32(const char* path, float* out,
   size_t bytes_per = static_cast<size_t>(w.channels) * (w.bits / 8);
   size_t frames = w.data_size / bytes_per;
   if (static_cast<int64_t>(frames) > capacity_frames) return -5;
+  *frames_out = static_cast<int64_t>(frames);
+  *channels_out = w.channels;
   const uint8_t* p = buf.data() + w.data_off;
   size_t n = frames * w.channels;
   if (w.fmt == kIeeeFloat) {
@@ -226,8 +306,9 @@ int32_t mapt_wav_write(const char* path, const float* data, int64_t frames,
   std::vector<uint8_t> out;
   out.reserve(payload.size() + 64);
   size_t fact = (tag == kIeeeFloat) ? 12 : 0;
+  size_t padded = payload.size() + (payload.size() & 1);
   wr_tag(out, "RIFF");
-  wr_u32(out, static_cast<uint32_t>(4 + 8 + 16 + fact + 8 + payload.size()));
+  wr_u32(out, static_cast<uint32_t>(4 + 8 + 16 + fact + 8 + padded));
   wr_tag(out, "WAVE");
   wr_tag(out, "fmt ");
   wr_u32(out, 16);

@@ -110,7 +110,7 @@ def _load() -> ctypes.CDLL | None:
             ]
             lib.mapt_wav_info.restype = ctypes.c_int32
             lib.mapt_wav_read_f32.argtypes = [
-                ctypes.c_char_p, f32p, ctypes.c_int64,
+                ctypes.c_char_p, f32p, ctypes.c_int64, i64p, i32p,
             ]
             lib.mapt_wav_read_f32.restype = ctypes.c_int32
             lib.mapt_wav_write.argtypes = [
@@ -120,7 +120,7 @@ def _load() -> ctypes.CDLL | None:
             lib.mapt_wav_write.restype = ctypes.c_int32
 
         # live smoke test (reference `_extension.py:30-44`)
-        if lib.mapt_abi_version() != 1:
+        if lib.mapt_abi_version() != 2:
             return None
         probe = np.empty(4, np.float64)
         rc = lib.mapt_window(0, 4, 1, 0.0,
@@ -214,12 +214,17 @@ def native_linear_filterbank(
     return out if rc == 0 else None
 
 
+def has_native_wav() -> bool:
+    """Whether the loaded library carries the WAV codec."""
+    return _lib is not None and hasattr(_lib, "mapt_wav_info")
+
+
 def native_wav_read(path: str) -> tuple[np.ndarray, int, int] | None:
     """Decode a WAV file natively -> ``(interleaved_f32, sr, channels)``.
 
     Returns None (caller falls back to the NumPy codec) when the library is
     missing, pre-dates the codec, or the file uses a format it rejects."""
-    if _lib is None or not hasattr(_lib, "mapt_wav_info"):
+    if not has_native_wav():
         return None
     p = os.fsencode(path)
     frames = ctypes.c_int64()
@@ -236,11 +241,19 @@ def native_wav_read(path: str) -> tuple[np.ndarray, int, int] | None:
     if rc != 0:
         return None
     out = np.empty(frames.value * ch.value, np.float32)
+    # the read re-parses the file; it reports the counts it ACTUALLY decoded
+    # so a file rewritten between the two calls can never leave part of the
+    # buffer uninitialized
+    got_frames = ctypes.c_int64()
+    got_ch = ctypes.c_int32()
     rc = _lib.mapt_wav_read_f32(
-        p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames.value
+        p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames.value,
+        ctypes.byref(got_frames), ctypes.byref(got_ch),
     )
-    if rc != 0:
+    if rc != 0 or got_ch.value != ch.value:
         return None
+    if got_frames.value != frames.value:
+        out = out[: got_frames.value * got_ch.value]
     return out, sr.value, ch.value
 
 
@@ -248,7 +261,7 @@ def native_wav_write(
     path: str, interleaved: np.ndarray, sr: int, bits: int
 ) -> bool:
     """Encode ``(frames, channels)`` float32 natively. False -> fall back."""
-    if _lib is None or not hasattr(_lib, "mapt_wav_write"):
+    if not has_native_wav():
         return False
     data = np.ascontiguousarray(interleaved, np.float32)
     frames, channels = data.shape

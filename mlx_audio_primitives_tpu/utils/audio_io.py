@@ -66,20 +66,52 @@ def _parse_fmt(buf: bytes, off: int, size: int):
     return fmt, channels, sr, bits
 
 
+def _scan_header(f) -> tuple[tuple, int]:
+    """Seek-based header scan of an open binary file: returns
+    ``(fmt_tuple, data_size)`` for the FIRST data chunk without loading
+    chunk bodies (a multi-GB file costs a few small reads). Mirrors
+    :func:`_parse_chunks` semantics, including the tolerated truncated
+    final data chunk."""
+    f.seek(0, os.SEEK_END)
+    fsize = f.tell()
+    f.seek(0)
+    head = f.read(12)
+    if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = None
+    data_size = None
+    pos = 12
+    while pos + 8 <= fsize:
+        f.seek(pos)
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid = hdr[:4]
+        (size,) = struct.unpack("<I", hdr[4:])
+        body = pos + 8
+        if body + size > fsize:
+            if cid == b"data":
+                size = fsize - body
+            else:
+                raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            chunk = f.read(min(size, 64))
+            fmt = _parse_fmt(chunk, 0, size)
+        elif cid == b"data" and data_size is None:
+            data_size = size
+        pos = body + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt or data chunk")
+    return fmt, data_size
+
+
 def wav_info(path: str | os.PathLike) -> dict[str, Any]:
     """Header-only probe: ``{"sr", "channels", "frames", "bits", "format"}``
-    where format is ``"pcm"`` or ``"float"``."""
+    where format is ``"pcm"`` or ``"float"``. Reads only chunk headers (the
+    data payload is never loaded); like :func:`read_wav`, the FIRST data
+    chunk is the file's audio."""
     with open(path, "rb") as f:
-        buf = f.read()
-    fmt = None
-    data_size = 0
-    for cid, off, size in _parse_chunks(buf):
-        if cid == b"fmt ":
-            fmt = _parse_fmt(buf, off, size)
-        elif cid == b"data":
-            data_size = size
-    if fmt is None:
-        raise ValueError("missing fmt chunk")
+        fmt, data_size = _scan_header(f)
     kind, channels, sr, bits = fmt
     if kind not in (_PCM, _IEEE_FLOAT):
         raise ValueError(f"unsupported WAVE format tag {kind}")
@@ -123,18 +155,22 @@ def read_wav(
     ``data`` is float32 in [-1, 1): ``(frames,)`` for mono (unless
     ``always_2d``), else ``(channels, frames)``. ``use_native`` follows the
     house tri-state: None = auto (native when available), False = force the
-    NumPy path, True = require native.
+    NumPy path, True = require the native codec to be present (a file the
+    codec rejects still surfaces the NumPy parser's precise ValueError —
+    the two codecs accept exactly the same formats).
     """
-    from .._native import native_wav_read
+    from .._native import has_native_wav, native_wav_read
 
     path = os.fspath(path)
-    if use_native is None or use_native:
+    if use_native or (use_native is None and has_native_wav()):
+        if use_native and not has_native_wav():
+            raise RuntimeError("native WAV codec unavailable")
         out = native_wav_read(path)
         if out is not None:
             data, sr, channels = out
             return _layout(data, channels, always_2d), sr
-        if use_native:
-            raise RuntimeError("native WAV reader unavailable")
+        # the native codec rejected the file: fall through so the NumPy
+        # parser raises its descriptive ValueError for the same defect
 
     with open(path, "rb") as f:
         buf = f.read()
@@ -172,7 +208,10 @@ def _encode(data: np.ndarray, bits: int) -> tuple[bytes, int]:
     """Float (frames, channels) interleaved -> (sample bytes, format tag)."""
     if bits == 32:
         return data.astype("<f4").tobytes(), _IEEE_FLOAT
-    clipped = np.clip(data, -1.0, 1.0)
+    # NaN -> 0 keeps PCM encoding deterministic (and byte-identical to the
+    # native codec, whose lrint(NaN) would otherwise be unspecified)
+    clipped = np.clip(np.nan_to_num(data, nan=0.0, posinf=1.0, neginf=-1.0),
+                      -1.0, 1.0)
     if bits == 16:
         scaled = np.round(clipped.astype(np.float64) * 32767.0)
         return scaled.astype("<i2").tobytes(), _PCM
@@ -195,8 +234,8 @@ def write_wav(
 ) -> None:
     """Write ``data`` (``(frames,)`` or ``(channels, frames)`` float) as WAV.
 
-    ``bits``: 16/24 = integer PCM (input clipped to [-1, 1]), 32 = IEEE
-    float32 verbatim. ``use_native`` as in :func:`read_wav`.
+    ``bits``: 16/24 = integer PCM (input clipped to [-1, 1]; NaN encodes as
+    0), 32 = IEEE float32 verbatim. ``use_native`` as in :func:`read_wav`.
     """
     if bits not in (16, 24, 32):
         raise ValueError(f"bits must be 16, 24 or 32, got {bits}")
@@ -210,24 +249,26 @@ def write_wav(
     channels, frames = data.shape
     interleaved = np.ascontiguousarray(data.T)  # (frames, channels)
 
-    from .._native import native_wav_write
+    from .._native import has_native_wav, native_wav_write
 
     path = os.fspath(path)
-    if use_native is None or use_native:
+    if use_native and not has_native_wav():
+        raise RuntimeError("native WAV codec unavailable")
+    if use_native or (use_native is None and has_native_wav()):
         if native_wav_write(path, interleaved, sr, bits):
             return
-        if use_native:
-            raise RuntimeError("native WAV writer unavailable")
 
     payload, tag = _encode(interleaved, bits)
     block = channels * (bits // 8)
     fact = b""
     if tag == _IEEE_FLOAT:
         fact = struct.pack("<4sII", b"fact", 4, frames)
+    # the RIFF size counts the data chunk's pad byte (chunks align to even)
+    padded = len(payload) + (len(payload) & 1)
     header = struct.pack(
         "<4sI4s4sIHHIIHH",
         b"RIFF",
-        4 + 8 + 16 + len(fact) + 8 + len(payload),
+        4 + 8 + 16 + len(fact) + 8 + padded,
         b"WAVE",
         b"fmt ",
         16,

@@ -187,3 +187,77 @@ def test_write_validation(tmp_path):
 def test_missing_file_raises(tmp_path):
     with pytest.raises(OSError):
         read_wav(tmp_path / "nope.wav")
+
+
+def test_riff_size_counts_pad_byte(tmp_path):
+    """Odd payloads: file length must equal 8 + the declared RIFF size."""
+    for use_native in ([False, True] if HAS_NATIVE else [False]):
+        p = tmp_path / f"odd{use_native}.wav"
+        write_wav(p, np.zeros(3, np.float32), 8000, bits=24,
+                  use_native=use_native)  # 9-byte payload + pad
+        raw = p.read_bytes()
+        (declared,) = struct.unpack_from("<I", raw, 4)
+        assert len(raw) == 8 + declared
+
+
+def test_nan_inf_encode_deterministically(tmp_path):
+    """NaN -> 0, +/-inf -> full scale, identical on both codecs."""
+    x = np.asarray([np.nan, np.inf, -np.inf, 0.5], np.float32)
+    pf = tmp_path / "nan_numpy.wav"
+    write_wav(pf, x, 8000, bits=16, use_native=False)
+    y, _ = read_wav(pf, use_native=False)
+    np.testing.assert_allclose(
+        y, [0.0, 32767 / 32768, -32767 / 32768, 0.5], atol=2 ** -14
+    )
+    if HAS_NATIVE:
+        pn = tmp_path / "nan_native.wav"
+        write_wav(pn, x, 8000, bits=16, use_native=True)
+        assert pn.read_bytes() == pf.read_bytes()
+
+
+def test_two_data_chunks_info_matches_read(tmp_path):
+    """wav_info and read_wav agree on the FIRST data chunk."""
+    p = tmp_path / "a.wav"
+    write_wav(p, np.zeros(10, np.float32), 8000, bits=16)
+    raw = p.read_bytes()
+    extra = b"data" + struct.pack("<I", 4) + b"\x00" * 4  # bogus 2nd chunk
+    patched = raw + extra
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    p2 = tmp_path / "b.wav"
+    p2.write_bytes(patched)
+    assert wav_info(p2)["frames"] == 10
+    y, _ = read_wav(p2, use_native=False)
+    assert y.shape == (10,)
+    if HAS_NATIVE:
+        yn, _ = read_wav(p2, use_native=True)
+        assert yn.shape == (10,)
+
+
+def test_no_data_chunk_raises(tmp_path):
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    )
+    p = tmp_path / "nodata.wav"
+    p.write_bytes(blob)
+    with pytest.raises(ValueError, match="data"):
+        wav_info(p)
+    with pytest.raises(ValueError, match="data"):
+        read_wav(p, use_native=False)
+
+
+@pytest.mark.skipif(not HAS_NATIVE, reason="native library unavailable")
+def test_use_native_true_bad_file_raises_valueerror(tmp_path):
+    """A format problem surfaces as the NumPy parser's ValueError, not a
+    misleading 'codec unavailable' RuntimeError."""
+    blob = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)  # 8-bit: rejected
+        + b"data" + struct.pack("<I", 0)
+    )
+    p = tmp_path / "8bit.wav"
+    p.write_bytes(blob)
+    with pytest.raises(ValueError, match="bit depth"):
+        read_wav(p, use_native=True)
