@@ -71,6 +71,9 @@ from .ops import (
     zero_crossing_rate,
 )
 from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel/MFCC/Pitch)
+from .ops.inverse import mel_to_audio, mel_to_stft  # noqa: F401
+# mel inversion stays out of __all__, which mirrors the reference's exact
+# 40-symbol surface (like the unexported griffinlim_iter / streaming module)
 
 
 def __getattr__(name: str):  # pragma: no cover - lazy flag resolution
