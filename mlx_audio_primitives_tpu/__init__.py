@@ -70,6 +70,7 @@ from .ops import (
     stft,
     zero_crossing_rate,
 )
+from .ops import augment  # noqa: F401  (spec_augment/time_mask/freq_mask/...)
 from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel/MFCC/Pitch)
 from .ops.inverse import mel_to_audio, mel_to_stft  # noqa: F401
 # mel inversion stays out of __all__, which mirrors the reference's exact
