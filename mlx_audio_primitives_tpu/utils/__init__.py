@@ -3,6 +3,7 @@ audio file I/O."""
 
 from .audio_io import read_wav, wav_info, write_wav
 from .cache import TableCache, cache_stats, clear_all_caches, table_cache
+from .data import batch_iterator, prefetch_to_device
 from .dispatch import (
     HAS_PALLAS,
     default_backend,
@@ -55,6 +56,8 @@ __all__ = [
     "read_wav",
     "write_wav",
     "wav_info",
+    "prefetch_to_device",
+    "batch_iterator",
     "warmup",
     "enable_persistent_compilation_cache",
     "TableCache",
