@@ -72,9 +72,12 @@ from .ops import (
 )
 from .ops import augment  # noqa: F401  (spec_augment/time_mask/freq_mask/...)
 from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel/MFCC/Pitch)
+from .ops.decompose import harmonic, hpss, percussive  # noqa: F401
+from .ops.effects import phase_vocoder, pitch_shift, time_stretch  # noqa: F401
 from .ops.inverse import mel_to_audio, mel_to_stft  # noqa: F401
-# mel inversion stays out of __all__, which mirrors the reference's exact
-# 40-symbol surface (like the unexported griffinlim_iter / streaming module)
+# mel inversion / effects / hpss stay out of __all__, which mirrors the
+# reference's exact 40-symbol surface (like the unexported griffinlim_iter /
+# streaming module)
 
 
 def __getattr__(name: str):  # pragma: no cover - lazy flag resolution
