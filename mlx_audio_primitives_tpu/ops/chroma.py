@@ -1,0 +1,257 @@
+"""Chroma (pitch-class) filterbank and chromagram.
+
+Beyond-parity feature: the reference lists "Chroma - Pitch class profiles"
+as unbuilt future work (`/root/reference/ARCHITECTURE.md` "Potential
+Features"); this module implements it TPU-native with librosa-compatible
+semantics (`librosa.filters.chroma` / `librosa.feature.chroma_stft`
+signatures and the classic Ellis chromagram construction).
+
+Design follows the mel pipeline exactly: the filterbank is a host-float64
+table cached device-resident (`utils/cache.py`), and the chromagram is the
+same fused ``fb @ |STFT|^power`` dispatch as :func:`~.mel.melspectrogram` —
+on TPU the whole thing runs inside the fused radix Pallas kernel whenever
+its shape gates admit (12 chroma rows is a tiny filterbank; the kernel does
+not care), otherwise the six-step / packed-FFT XLA pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._config import FILTERBANK_CACHE_SIZE, REAL_DTYPE
+from ..utils.cache import table_cache
+from ..utils.validation import validate_positive
+from .mel import filterbank_spectrogram
+from .stft import _get_padded_window
+
+ArrayLike = Any
+
+
+def hz_to_octs(
+    frequencies: ArrayLike, tuning: float = 0.0, bins_per_octave: int = 12
+) -> np.ndarray:
+    """Hz -> octave number relative to A0 ~ 27.5 Hz (host float64).
+
+    ``octs = log2(f / (A440/16))`` with A440 detuned by ``tuning`` fractional
+    bins: the standard chroma frequency coordinate (A440/16 = A1... the
+    4-octaves-below-A440 anchor librosa uses).
+    """
+    f = np.asarray(frequencies, dtype=np.float64)
+    a440 = 440.0 * 2.0 ** (float(tuning) / bins_per_octave)
+    with np.errstate(divide="ignore"):
+        return np.log2(f / (a440 / 16.0))
+
+
+def octs_to_hz(
+    octs: ArrayLike, tuning: float = 0.0, bins_per_octave: int = 12
+) -> np.ndarray:
+    """Octave number -> Hz; exact inverse of :func:`hz_to_octs`."""
+    z = np.asarray(octs, dtype=np.float64)
+    a440 = 440.0 * 2.0 ** (float(tuning) / bins_per_octave)
+    return (a440 / 16.0) * (2.0**z)
+
+
+@table_cache("chroma_filterbank", maxsize=FILTERBANK_CACHE_SIZE)
+def _chroma_filterbank_table(
+    sr: int,
+    n_fft: int,
+    n_chroma: int,
+    tuning: float,
+    ctroct: float,
+    octwidth: float | None,
+    norm: float | None,
+    base_c: bool,
+) -> np.ndarray:
+    """Gaussian-bump chroma projection matrix in host float64.
+
+    The classic Ellis chromagram construction: each FFT bin's frequency is
+    mapped to a fractional chroma coordinate, every chroma class collects
+    bins via a Gaussian whose width follows the local bin spacing, columns
+    are length-normalized, and an octave-weighting Gaussian (center
+    ``ctroct`` octaves, width ``octwidth``) emphasizes the mid range.
+    """
+    # Fractional chroma bin of every FFT bin (DC gets a sentinel 1.5 octaves
+    # below bin 1, so it lands in no class's bump).
+    freqs = np.linspace(0, sr, n_fft, endpoint=False)[1:]
+    frqbins = n_chroma * hz_to_octs(freqs, tuning=tuning, bins_per_octave=n_chroma)
+    frqbins = np.concatenate(([frqbins[0] - 1.5 * n_chroma], frqbins))
+
+    # Local spacing between successive bins' chroma coordinates, floored at
+    # one chroma bin so the bumps never collapse at the sparse low end.
+    binwidth = np.concatenate((np.maximum(frqbins[1:] - frqbins[:-1], 1.0), [1.0]))
+
+    # Wrapped distance from each FFT bin to each chroma class, in bins.
+    D = frqbins[None, :] - np.arange(n_chroma, dtype=np.float64)[:, None]
+    half = round(n_chroma / 2.0)
+    D = np.remainder(D + half + 10 * n_chroma, n_chroma) - half
+
+    wts = np.exp(-0.5 * (2.0 * D / binwidth[None, :]) ** 2)
+
+    # Column normalization (each FFT bin's profile), numerically guarded.
+    if norm is not None:
+        if np.isinf(norm):
+            length = np.max(np.abs(wts), axis=0)
+        else:
+            length = np.sum(np.abs(wts) ** norm, axis=0) ** (1.0 / norm)
+        length = np.where(length < np.finfo(np.float64).tiny, 1.0, length)
+        wts = wts / length[None, :]
+
+    if octwidth is not None:
+        wts *= np.exp(
+            -0.5 * (((frqbins / n_chroma - ctroct) / octwidth) ** 2)
+        )[None, :]
+
+    if base_c:
+        # Rotate so row 0 is C rather than A (A->C is -3 semitone classes).
+        wts = np.roll(wts, -3 * (n_chroma // 12), axis=0)
+
+    return np.ascontiguousarray(wts[:, : 1 + n_fft // 2])
+
+
+def chroma_filterbank(
+    sr: int,
+    n_fft: int,
+    n_chroma: int = 12,
+    tuning: float = 0.0,
+    ctroct: float = 5.0,
+    octwidth: float | None = 2.0,
+    norm: float | None = 2.0,
+    base_c: bool = True,
+) -> jax.Array:
+    """Chroma filterbank ``(n_chroma, n_fft//2 + 1)``, device-cached.
+
+    librosa-compatible (`librosa.filters.chroma` semantics); host float64
+    construction like every other table in the package (the mel/bark/linear
+    filterbank idiom, reference `mel_filterbank.cpp:144-228`).
+
+    Parameters mirror librosa: ``tuning`` in fractional chroma bins,
+    ``ctroct``/``octwidth`` the octave-weighting Gaussian (``octwidth=None``
+    disables it), ``norm`` the per-FFT-bin column norm (2, 1, inf, or None),
+    ``base_c`` rotates row 0 from A to C.
+    """
+    validate_positive(n_fft, "n_fft")
+    validate_positive(n_chroma, "n_chroma")
+    validate_positive(sr, "sr")
+    return _chroma_filterbank_table(
+        int(sr),
+        int(n_fft),
+        int(n_chroma),
+        float(tuning),
+        float(ctroct),
+        None if octwidth is None else float(octwidth),
+        None if norm is None else float(norm),
+        bool(base_c),
+    )
+
+
+def _normalize_frames(C: jax.Array, norm: float | None) -> jax.Array:
+    """Per-frame chroma normalization over the class axis (-2), on device."""
+    if norm is None:
+        return C
+    if np.isinf(norm):
+        length = jnp.max(jnp.abs(C), axis=-2, keepdims=True)
+    elif norm == 1.0:
+        length = jnp.sum(jnp.abs(C), axis=-2, keepdims=True)
+    elif norm == 2.0:
+        length = jnp.sqrt(jnp.sum(C * C, axis=-2, keepdims=True))
+    else:
+        length = jnp.sum(jnp.abs(C) ** norm, axis=-2, keepdims=True) ** (1.0 / norm)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, REAL_DTYPE)
+    return C / jnp.where(length < tiny, 1.0, length)
+
+
+def chroma_stft(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    S: ArrayLike | None = None,
+    n_fft: int = 2048,
+    hop_length: int | None = None,
+    win_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    power: float = 2.0,
+    norm: float | None = np.inf,
+    tuning: float = 0.0,
+    n_chroma: int = 12,
+    ctroct: float = 5.0,
+    octwidth: float | None = 2.0,
+    base_c: bool = True,
+    fft_mode: str = "auto",
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Chromagram ``(n_chroma, n_frames)`` / ``(batch, n_chroma, n_frames)``.
+
+    librosa-compatible (`librosa.feature.chroma_stft` semantics): energy
+    spectrogram ``|STFT|^power`` projected through the chroma filterbank,
+    then each frame normalized (``norm=inf`` -> peak class = 1.0, librosa's
+    default). Accepts a precomputed magnitude spectrogram ``S``
+    ``(..., n_fft//2+1, F)`` via the same S-or-y protocol as the spectral
+    features (reference `features.py:24-54`).
+
+    Unlike librosa, ``tuning`` defaults to 0.0 rather than being estimated
+    from the signal; pass an explicit fractional-bin tuning if needed.
+    On TPU the y-path runs inside the fused radix Pallas kernel (see
+    :func:`~.mel.filterbank_spectrogram`).
+    """
+    from .stft import _as_batched, _validate_stft_params
+
+    if hop_length is None:
+        hop_length = n_fft // 4
+    if win_length is None:
+        win_length = n_fft
+
+    fb = chroma_filterbank(
+        sr=sr,
+        n_fft=n_fft,
+        n_chroma=n_chroma,
+        tuning=tuning,
+        ctroct=ctroct,
+        octwidth=octwidth,
+        base_c=base_c,
+    )
+
+    if S is not None:
+        S = jnp.asarray(S, dtype=REAL_DTYPE)
+        input_is_1d = S.ndim == 2
+        if input_is_1d:
+            S = S[None]
+        if S.shape[-2] != n_fft // 2 + 1:
+            raise ValueError(
+                f"S has {S.shape[-2]} frequency bins but n_fft={n_fft} "
+                f"implies {n_fft // 2 + 1}"
+            )
+        raw = _apply_chroma_fb(S, fb)
+        raw = _normalize_frames(raw, norm)
+        return raw[0] if input_is_1d else raw
+
+    if y is None:
+        raise ValueError("Either y or S must be provided")
+    _validate_stft_params(n_fft, hop_length, win_length, pad_mode)
+    y, input_is_1d = _as_batched(y, n_fft, center)
+    win = _get_padded_window(window, win_length, n_fft)
+    raw = filterbank_spectrogram(
+        y,
+        win,
+        fb,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        center=center,
+        pad_mode=pad_mode,
+        power=power,
+        fft_mode=fft_mode,
+        use_pallas=use_pallas,
+    )
+    raw = _normalize_frames(raw, norm)
+    return raw[0] if input_is_1d else raw
+
+
+@jax.jit
+def _apply_chroma_fb(S: jax.Array, fb: jax.Array) -> jax.Array:
+    from .._config import MATMUL_PRECISION
+
+    return jnp.matmul(fb, S, precision=MATMUL_PRECISION)

@@ -226,7 +226,43 @@ def melspectrogram(
         sr=sr, n_fft=n_fft, n_mels=n_mels, fmin=fmin, fmax=fmax, htk=htk, norm=norm
     )
     win = _get_padded_window(window, win_length, n_fft)
+    out = filterbank_spectrogram(
+        y,
+        win,
+        fb,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        center=center,
+        pad_mode=pad_mode,
+        power=power,
+        fft_mode=fft_mode,
+        use_pallas=use_pallas,
+    )
+    return out[0] if input_is_1d else out
 
+
+def filterbank_spectrogram(
+    y: jax.Array,
+    win: jax.Array,
+    fb: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+    power: float,
+    fft_mode: str = "auto",
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Fused ``fb @ |STFT(y)|^power`` for an arbitrary ``(n_bands, n_bins)``
+    filterbank: ``(B, L) -> (B, n_bands, F)``.
+
+    The dispatch shared by :func:`melspectrogram` and
+    :func:`~.chroma.chroma_stft` — any row-matrix over rfft bins rides the
+    same fused radix Pallas kernel / six-step / packed-FFT policy (the kernel
+    contracts ``|rDFT|^p`` with whatever "filterbank" it is handed, exactly
+    how the ACF lag basis already uses it, `pitch.py:246-285`).
+    """
     from ..kernels.mel_fused import radix_supported
     from ..utils import dispatch as _dispatch
 
@@ -244,7 +280,7 @@ def melspectrogram(
         and not _dispatch.is_batch_traced(y)
         and (fft_mode == "auto" or use_pallas is True)
         and power in (1.0, 2.0)
-        and radix_supported(n_fft, hop_length, n_mels)
+        and radix_supported(n_fft, hop_length, fb.shape[0])
     )
     if pallas_ok:
         from ..kernels.mel_fused import melspectrogram_pallas
@@ -260,7 +296,7 @@ def melspectrogram(
             power=float(power),
         ))
         if out is not None:
-            return out[0] if input_is_1d else out
+            return out
 
     n_frames_est = 1 + (y.shape[1] + (n_fft if center else 0) - n_fft) // hop_length
     if fft_mode == "auto":
@@ -277,7 +313,7 @@ def melspectrogram(
         )
     else:
         fft_mode_r = _resolve_fft_mode(fft_mode, n_fft)
-    out = _melspec_core(
+    return _melspec_core(
         y,
         win,
         fb.T,
@@ -289,4 +325,3 @@ def melspectrogram(
         power=float(power),
         fft_mode=fft_mode_r,
     )
-    return out[0] if input_is_1d else out
