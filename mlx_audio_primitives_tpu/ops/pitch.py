@@ -416,6 +416,180 @@ def _pick_f0(
     return f0, voiced
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "frame_length", "win_length", "hop_length", "min_period", "max_period"
+    ),
+)
+def _yin_cmnd(
+    y: jax.Array,
+    *,
+    frame_length: int,
+    win_length: int,
+    hop_length: int,
+    min_period: int,
+    max_period: int,
+) -> jax.Array:
+    """Cumulative mean normalized difference, sliced to the period band.
+
+    Per frame x of length ``frame_length`` with comparison window W =
+    ``win_length`` (de Cheveigné & Kawahara 2002, steps 1-3):
+
+        d(tau) = sum_{j<W} (x_j - x_{j+tau})^2
+               = e(0) + e(tau) - 2 r(tau)
+
+    with e(tau) the W-sample energy starting at tau (frame cumsum) and
+    r(tau) = sum_{j<W} x_j x_{j+tau} the cross-correlation of the frame
+    against its own head — computed for all frames at once with the
+    pair-packed pow2 rfft (Wiener-Khinchin style, like the ACF core).
+    The normalization d'(tau) = d(tau) * tau / cumsum(d)(tau) removes the
+    energy trend; returns d' for tau in [min_period, max_period].
+    """
+    frames = frame_signal_batched(y, frame_length, hop_length)  # (B, F, L)
+    W = win_length
+
+    # energy e(tau), tau in [0, max_period]
+    sq = frames * frames
+    cs = jnp.cumsum(sq, axis=-1)
+    e_tau = cs[..., W - 1 : W + max_period] - jnp.pad(
+        cs[..., : max_period], ((0, 0), (0, 0), (1, 0))
+    )  # e[tau] = cs[tau+W-1] - cs[tau-1]
+
+    # cross-correlation r(tau) via linear-safe circular FFT: the head is
+    # zero-extended past W, so wraps touch only zeros for tau <= L - W
+    n_fft = _next_pow2(frame_length)
+    head = frames * (jnp.arange(frame_length) < W).astype(frames.dtype)
+    A = rfft_len(head, n_fft)
+    Bs = rfft_len(frames, n_fft)
+    r = jnp.fft.irfft(jnp.conj(A) * Bs, n=n_fft, axis=-1)[..., : max_period + 1]
+
+    d = e_tau[..., :1] + e_tau - 2.0 * r  # d(0) = 0 up to rounding
+    # cumulative mean normalization; d'(0) := 1 by definition
+    denom = jnp.cumsum(d[..., 1:], axis=-1)
+    tau = jnp.arange(1, max_period + 1, dtype=REAL_DTYPE)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, REAL_DTYPE)
+    cmnd = d[..., 1:] * tau / jnp.maximum(denom, tiny)
+    cmnd = jnp.concatenate(
+        [jnp.ones_like(cmnd[..., :1]), cmnd], axis=-1
+    )  # tau = 0
+    return cmnd[..., min_period : max_period + 1]
+
+
+@partial(jax.jit, static_argnames=("sr", "min_period"))
+def _yin_pick(
+    band: jax.Array, *, sr: int, min_period: int, trough_threshold: float
+) -> jax.Array:
+    """Trough selection + parabolic refinement on the banded CMND.
+
+    First local minimum below ``trough_threshold`` wins (the YIN absolute
+    threshold step); frames with no such trough fall back to the band's
+    global minimum. The winning lag is refined by fitting a parabola
+    through its neighbors (step 5), clamped to ±0.5 lag.
+    """
+    L = band.shape[-1]
+    left = jnp.concatenate([jnp.full_like(band[..., :1], jnp.inf),
+                            band[..., :-1]], axis=-1)
+    right = jnp.concatenate([band[..., 1:],
+                             jnp.full_like(band[..., :1], jnp.inf)], axis=-1)
+    is_trough = (band < left) & (band <= right)
+    below = is_trough & (band < trough_threshold)
+    has = jnp.any(below, axis=-1)
+    first = jnp.argmax(below, axis=-1)
+    gmin = jnp.argmin(band, axis=-1)
+    idx = jnp.where(has, first, gmin)
+
+    # parabolic interpolation around idx (interior points only)
+    take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+    c = take(band, idx)
+    l = take(band, jnp.maximum(idx - 1, 0))
+    r = take(band, jnp.minimum(idx + 1, L - 1))
+    denom = l + r - 2.0 * c
+    shift = jnp.where(
+        jnp.abs(denom) > 1e-12, 0.5 * (l - r) / jnp.where(denom == 0, 1.0, denom), 0.0
+    )
+    shift = jnp.where((idx > 0) & (idx < L - 1), jnp.clip(shift, -0.5, 0.5), 0.0)
+
+    period = min_period + idx.astype(REAL_DTYPE) + shift
+    return (sr / jnp.maximum(period, 1e-6)).astype(REAL_DTYPE)
+
+
+def yin(
+    y: ArrayLike,
+    fmin: float,
+    fmax: float,
+    sr: int = 22050,
+    frame_length: int = 2048,
+    win_length: int | None = None,
+    hop_length: int | None = None,
+    trough_threshold: float = 0.1,
+    center: bool = True,
+    pad_mode: str = "constant",
+) -> jax.Array:
+    """YIN fundamental-frequency estimate per frame, ``(F,)`` / ``(B, F)``.
+
+    Beyond-parity feature (the reference lists "Pitch tracking - F0
+    estimation" as unbuilt future work, `/root/reference/ARCHITECTURE.md`
+    "Potential Features"); librosa-compatible semantics (`librosa.yin`:
+    same defaults, returns f0 in Hz for every frame with no voicing
+    decision). The de Cheveigné & Kawahara difference function, cumulative
+    mean normalization, absolute-threshold trough pick, and parabolic lag
+    refinement all run vectorized in two jitted programs — no per-frame
+    Python (the same posture as :func:`pitch_detect_acf`).
+    """
+    validate_positive(frame_length, "frame_length")
+    if win_length is None:
+        win_length = frame_length // 2
+    if hop_length is None:
+        hop_length = frame_length // 4
+    validate_positive(hop_length, "hop_length")
+    validate_positive(win_length, "win_length")
+    if win_length >= frame_length:
+        raise ValueError(
+            f"win_length ({win_length}) must be less than frame_length "
+            f"({frame_length})"
+        )
+    if fmin <= 0:
+        raise ValueError(f"fmin must be positive, got {fmin}")
+    if fmin >= fmax:
+        raise ValueError(f"fmin ({fmin}) must be less than fmax ({fmax})")
+
+    min_period = max(int(np.floor(sr / fmax)), 1)
+    max_period = min(int(np.ceil(sr / fmin)), frame_length - win_length - 1)
+    if max_period <= min_period:
+        raise ValueError(
+            f"the period band [{min_period}, {max_period}] is empty: raise "
+            f"frame_length ({frame_length}) or narrow [fmin, fmax]"
+        )
+
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    input_is_1d = y.ndim == 1
+    if input_is_1d:
+        y = y[None]
+    if center:
+        pad = frame_length // 2
+        y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+    if y.shape[-1] < frame_length:
+        raise ValueError(
+            f"signal of length {y.shape[-1]} is shorter than frame_length "
+            f"({frame_length})"
+        )
+
+    band = _yin_cmnd(
+        y,
+        frame_length=frame_length,
+        win_length=win_length,
+        hop_length=hop_length,
+        min_period=min_period,
+        max_period=max_period,
+    )
+    f0 = _yin_pick(
+        band, sr=sr, min_period=min_period,
+        trough_threshold=float(trough_threshold),
+    )
+    return f0[0] if input_is_1d else f0
+
+
 def periodicity(
     y: ArrayLike,
     sr: int = 22050,
