@@ -72,7 +72,8 @@ from .ops import (
 )
 from .ops import augment  # noqa: F401  (spec_augment/time_mask/freq_mask/...)
 from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel/MFCC/Pitch)
-from .ops.chroma import chroma_filterbank, chroma_stft  # noqa: F401
+from .ops.chroma import chroma_cqt, chroma_filterbank, chroma_stft  # noqa: F401
+from .ops.cqt import cqt, cqt_frequencies, pseudo_cqt  # noqa: F401
 from .ops.decompose import harmonic, hpss, percussive  # noqa: F401
 from .ops.effects import phase_vocoder, pitch_shift, time_stretch  # noqa: F401
 from .ops.inverse import mel_to_audio, mel_to_stft  # noqa: F401

@@ -255,3 +255,80 @@ def _apply_chroma_fb(S: jax.Array, fb: jax.Array) -> jax.Array:
     from .._config import MATMUL_PRECISION
 
     return jnp.matmul(fb, S, precision=MATMUL_PRECISION)
+
+
+@table_cache("cq_to_chroma", maxsize=FILTERBANK_CACHE_SIZE)
+def _cq_to_chroma_table(
+    n_bins: int, bins_per_octave: int, n_chroma: int, fmin: float,
+    base_c: bool,
+) -> np.ndarray:
+    """(n_chroma, n_bins) aggregation matrix folding CQT bins onto pitch
+    classes (librosa `filters.cq_to_chroma` semantics for the common case
+    ``bins_per_octave % n_chroma == 0``): each CQT bin contributes its
+    energy to the class of its center frequency; merged bins average."""
+    if bins_per_octave % n_chroma != 0:
+        raise ValueError(
+            f"bins_per_octave ({bins_per_octave}) must be a multiple of "
+            f"n_chroma ({n_chroma})"
+        )
+    merge = bins_per_octave // n_chroma
+    # chroma class of bin 0 from its frequency relative to C (class 0)
+    from .cqt import _C1
+
+    midi_off = 12.0 * np.log2(fmin / _C1)  # semitones above C1
+    class0 = (midi_off * n_chroma / 12.0) % n_chroma
+    M = np.zeros((n_chroma, n_bins), dtype=np.float64)
+    for b in range(n_bins):
+        c = (class0 + b / merge) % n_chroma
+        lo = int(np.floor(c)) % n_chroma
+        frac = c - np.floor(c)
+        # linear split between adjacent classes for detuned anchors
+        M[lo, b] += (1.0 - frac) / merge
+        M[(lo + 1) % n_chroma, b] += frac / merge
+    if not base_c:
+        # rotate class 0 from C to A
+        M = np.roll(M, 3 * (n_chroma // 12), axis=0)
+    return M
+
+
+def chroma_cqt(
+    y: ArrayLike,
+    sr: int = 22050,
+    hop_length: int = 512,
+    fmin: float | None = None,
+    n_bins: int = 84,
+    bins_per_octave: int = 12,
+    tuning: float = 0.0,
+    n_chroma: int = 12,
+    norm: float | None = np.inf,
+    base_c: bool = True,
+) -> jax.Array:
+    """Chromagram from the constant-Q transform,
+    ``(n_chroma, F)`` / ``(batch, n_chroma, F)``.
+
+    librosa `feature.chroma_cqt` semantics: ``|CQT|`` energies folded onto
+    pitch classes by a cached aggregation matrix, then per-frame
+    normalized like :func:`chroma_stft`. Sharper low-frequency class
+    separation than the STFT chromagram (constant-Q resolution follows
+    the semitone grid).
+    """
+    from .cqt import _C1, cqt
+
+    if fmin is None:
+        fmin = _C1
+    C = cqt(
+        y,
+        sr=sr,
+        hop_length=hop_length,
+        fmin=fmin,
+        n_bins=n_bins,
+        bins_per_octave=bins_per_octave,
+        tuning=tuning,
+    )
+    M = _cq_to_chroma_table(
+        int(n_bins), int(bins_per_octave), int(n_chroma), float(fmin),
+        bool(base_c),
+    )
+    raw = _apply_chroma_fb(jnp.abs(C), M)
+    raw = _normalize_frames(raw, norm)
+    return raw

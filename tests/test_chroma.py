@@ -200,3 +200,38 @@ class TestChromaSTFT:
             chroma_stft(None)
         with pytest.raises(ValueError):
             chroma_stft(S=np.zeros((7, 5)), n_fft=2048)
+
+
+class TestChromaCQT:
+    def test_pitch_class_localization(self):
+        from mlx_audio_primitives_tpu.ops.chroma import chroma_cqt
+
+        for freq, klass in [(130.81, 0), (220.0, 9), (440.0, 9)]:
+            C = np.asarray(chroma_cqt(_tone(freq)))
+            assert C.shape[0] == 12
+            assert int(np.argmax(np.median(C, axis=-1))) == klass
+
+    def test_low_frequency_separation(self):
+        # 98 Hz (G2) vs 110 Hz (A2): one semitone apart at the low end where
+        # STFT chroma blurs; CQT chroma resolves both classes
+        from mlx_audio_primitives_tpu.ops.chroma import chroma_cqt
+
+        Cg = np.asarray(chroma_cqt(_tone(98.0)))
+        Ca = np.asarray(chroma_cqt(_tone(110.0)))
+        assert int(np.argmax(np.median(Cg, axis=-1))) == 7
+        assert int(np.argmax(np.median(Ca, axis=-1))) == 9
+
+    def test_merge_bins_per_octave(self):
+        from mlx_audio_primitives_tpu.ops.chroma import chroma_cqt
+
+        # 5 octaves at 36 bins/octave: C1..C6 covers the 440 Hz tone
+        C = np.asarray(chroma_cqt(_tone(440.0), n_bins=180,
+                                  bins_per_octave=36))
+        assert C.shape[0] == 12
+        assert int(np.argmax(np.median(C, axis=-1))) == 9
+
+    def test_invalid_merge(self):
+        from mlx_audio_primitives_tpu.ops.chroma import chroma_cqt
+
+        with pytest.raises(ValueError):
+            chroma_cqt(_tone(440.0), bins_per_octave=12, n_chroma=7)
