@@ -61,6 +61,13 @@ _TABLE_CASES: dict[str, list[tuple[str, tuple]]] = {
     "istft_inv_twiddle": [("2048/512", (2048, 512))],
     "dft_basis_fwd": [("1024", (1024,))],
     "dft_basis_inv": [("1024", (1024,))],
+    "chroma_filterbank": [
+        ("12c-2048", (22050, 2048, 12, 0.0, 5.0, 2.0, 2.0, True))
+    ],
+    "cqt_basis": [
+        ("84x12-c1", (22050, 16384, 84, 32.70319566257483, 12, 1.0))
+    ],
+    "cq_to_chroma": [("84to12", (84, 12, 12, 32.70319566257483, True))],
 }
 
 

@@ -483,6 +483,34 @@ def bench_streaming() -> list[BenchmarkResult]:
 # suites first, the compile-heavy comparison suites (pallas, fallback) last —
 # a flaky remote TPU attachment that drops mid-run then still yields the
 # core numbers instead of burning the session on forced-fallback sweeps.
+def bench_roadmap() -> list[BenchmarkResult]:
+    """Chroma / CQT / onset / YIN — the reference's "Potential Features"
+    roadmap, implemented here (no CPU oracle exists in the reference to
+    compare against; report absolute device time)."""
+    from mlx_audio_primitives_tpu import (
+        chroma_stft,
+        cqt,
+        onset_strength,
+        pseudo_cqt,
+        yin,
+    )
+
+    y = _signal(batch=8)
+    yd = jax.device_put(jnp.asarray(y))
+    out = []
+    for name, fn in [
+        ("chroma_stft batch=8", lambda x: chroma_stft(x, sr=SR)),
+        ("cqt 84-bin batch=8", lambda x: jnp.abs(cqt(x, sr=SR))),
+        ("pseudo_cqt 84-bin batch=8", lambda x: pseudo_cqt(x, sr=SR)),
+        ("onset_strength batch=8", lambda x: onset_strength(x, sr=SR)),
+        ("yin batch=8", lambda x: yin(x, fmin=60.0, fmax=1000.0, sr=SR)),
+    ]:
+        out.append(
+            BenchmarkResult(name=name, time_ms=time_jax_amortized(fn, yd) * 1e3)
+        )
+    return out
+
+
 ALL_SUITES = {
     "headline": bench_headline,
     "stft": bench_stft,
@@ -497,5 +525,6 @@ ALL_SUITES = {
     "streaming": bench_streaming,
     "pallas": bench_pallas,
     "fallback": bench_fallback,
+    "roadmap": bench_roadmap,
 }
 SUITE_ORDER = list(ALL_SUITES)

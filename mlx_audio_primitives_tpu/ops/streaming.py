@@ -1,4 +1,4 @@
-"""Streaming (chunked) STFT / ISTFT / log-mel / MFCC / pitch / resample.
+"""Streaming (chunked) STFT / ISTFT / log-mel / MFCC / chroma / pitch / resample.
 
 The reference lists "Streaming support — process audio in chunks" as future
 work (reference `ARCHITECTURE.md:536-540`); its only streaming hooks are the
@@ -30,6 +30,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .._config import MATMUL_PRECISION, REAL_DTYPE, WINDOW_SUM_EPSILON
 from ..kernels.bluestein import irfft_len, rfft_len
@@ -252,6 +253,49 @@ class StreamingLogMel:
 
     def push(self, chunk: ArrayLike) -> jax.Array:
         return _logmel_post(self.stft.push(chunk), self.fb_t)
+
+    def reset(self) -> None:
+        self.stft.reset()
+
+
+@jax.jit
+def _chroma_post(spec: jax.Array, fb_t: jax.Array) -> jax.Array:
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    raw = jnp.matmul(power, fb_t, precision=MATMUL_PRECISION)  # (B, F, 12)
+    peak = jnp.max(jnp.abs(raw), axis=-1, keepdims=True)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, REAL_DTYPE)
+    return raw / jnp.where(peak < tiny, 1.0, peak)
+
+
+class StreamingChroma:
+    """Chunked chromagram: StreamingSTFT + chroma GEMM + per-frame inf-norm.
+
+    Streamed output equals offline ``chroma_stft(center=False, norm=inf)``
+    frame-for-frame past the silence-primed startup — the inf-norm
+    normalization is per frame, so unlike the dB clip in :class:`~.mfcc`
+    pipelines nothing about it is global/acausal.
+    """
+
+    def __init__(
+        self,
+        sr: int = 22050,
+        n_fft: int = 2048,
+        hop_length: int | None = None,
+        n_chroma: int = 12,
+        tuning: float = 0.0,
+        window: str | ArrayLike = "hann",
+        batch: int = 1,
+    ):
+        from .chroma import chroma_filterbank
+
+        self.stft = StreamingSTFT(n_fft, hop_length, window, batch)
+        self.fb_t = chroma_filterbank(
+            sr, n_fft, n_chroma=n_chroma, tuning=tuning
+        ).T
+
+    def push(self, chunk: ArrayLike) -> jax.Array:
+        """Push ``(B, k*hop)`` samples -> ``(B, k, n_chroma)`` frames."""
+        return _chroma_post(self.stft.push(chunk), self.fb_t)
 
     def reset(self) -> None:
         self.stft.reset()

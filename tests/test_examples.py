@@ -37,3 +37,9 @@ def test_streaming_realtime_exactness():
     import streaming_realtime as m
 
     m.main(streams=4, seconds=0.5)
+
+
+def test_music_analysis_recovers_structure():
+    import music_analysis as m
+
+    m.main(bpm=120.0, sr=22050)

@@ -9,6 +9,7 @@ import pytest
 
 from mlx_audio_primitives_tpu import istft, melspectrogram, mfcc, power_to_db, stft
 from mlx_audio_primitives_tpu.ops.streaming import (
+    StreamingChroma,
     StreamingISTFT,
     StreamingLogMel,
     StreamingMFCC,
@@ -191,6 +192,33 @@ class TestStreamingMFCC:
     def test_lifter_negative_raises(self):
         with pytest.raises(ValueError):
             StreamingMFCC(lifter=-1)
+
+
+class TestStreamingChroma:
+    def test_matches_offline(self, signal):
+        from mlx_audio_primitives_tpu import chroma_stft
+
+        c = StreamingChroma(sr=22050, n_fft=N_FFT, hop_length=HOP)
+        cs = 8 * HOP
+        got = []
+        for i in range(0, len(signal), cs):
+            got.append(np.asarray(c.push(signal[i : i + cs]))[0])
+        streamed = np.concatenate(got, axis=0)  # (F, 12)
+
+        ypad = np.pad(signal, (PAD, 0))
+        offline = np.asarray(
+            chroma_stft(ypad, sr=22050, n_fft=N_FFT, hop_length=HOP,
+                        center=False, fft_mode="fft")
+        ).T
+        n = min(len(streamed), len(offline))
+        np.testing.assert_allclose(streamed[:n], offline[:n], atol=2e-4)
+
+    def test_reset(self, signal):
+        c = StreamingChroma(sr=22050, n_fft=N_FFT, hop_length=HOP)
+        a = np.asarray(c.push(signal[: 8 * HOP]))
+        c.reset()
+        b = np.asarray(c.push(signal[: 8 * HOP]))
+        np.testing.assert_allclose(a, b)
 
 
 class TestStreamingLogMel:
