@@ -13,11 +13,29 @@ n_fft=2048, hop=512, n_mels=128, power=2, + power_to_db.
 
 Also verifies the ISTFT round-trip max-error target (<= 1e-5) on a 30 s clip
 and includes it as an auxiliary field.
+
+Budget discipline (the round-2 postmortem): the driver kills this process at
+~480 s, and on a 1-CPU host XLA/Mosaic *compiles* are the budget, not the
+math. Three defenses, in order of importance:
+
+1. a **persistent compilation cache** (`utils/warmup.py`) shared by the
+   child process AND across driver retry attempts — the first attempt pays
+   every compile once and writes it to disk, so even if it is killed
+   mid-measurement the retry starts from warm executables (measured on this
+   platform: 31.6 s cold -> 2.1 s warm for the headline pipeline);
+2. a **deadline** threaded from the parent into the child and into
+   `time_jax_amortized` — past it, the slow-but-precise escalation paths are
+   skipped and a coarse `time_function` number is reported instead of
+   nothing;
+3. **one** amortized measurement (more repeat runs of the same two compiled
+   loops) instead of round 2's median-of-3 distinct measurements — repeat
+   runs are milliseconds, distinct measurements were fresh scan compiles.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -32,6 +50,17 @@ BATCH = 64
 WARMUP = 3
 RUNS = 20
 
+# Wall-clock budget for the WHOLE bench.py invocation. The driver's hard
+# timeout is 480 s; leave headroom for interpreter startup + JSON flush.
+TOTAL_BUDGET_S = float(os.environ.get("MAPT_BENCH_BUDGET_S", "440"))
+_T0 = time.time()
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_compile_cache")
+
+
+def _remaining(deadline: float) -> float:
+    return deadline - time.time()
+
 
 def _median_time(fn, runs=RUNS, warmup=WARMUP) -> float:
     for _ in range(warmup):
@@ -44,25 +73,32 @@ def _median_time(fn, runs=RUNS, warmup=WARMUP) -> float:
     return float(np.median(times))
 
 
-def bench_ours(y: np.ndarray) -> float:
+def bench_ours(y: np.ndarray, deadline: float) -> tuple[float, str]:
     """Honest seconds-per-batch via the slope-amortized scan harness
     (see benchmarks/utils.py::time_jax_amortized for why: RPC latency floor,
     XLA DCE/factoring/LICM, and non-blocking block_until_ready on async
-    PJRT proxies are all neutralized)."""
+    PJRT proxies are all neutralized). Returns (seconds, method)."""
     import jax
     import jax.numpy as jnp
 
-    from benchmarks.utils import time_jax_amortized
+    from benchmarks.utils import time_function, time_jax_amortized
     from mlx_audio_primitives_tpu import melspectrogram, power_to_db
 
     yd = jax.device_put(jnp.asarray(y))
     fn = lambda x: power_to_db(
         melspectrogram(x, sr=SR, n_fft=N_FFT, hop_length=HOP, n_mels=N_MELS)
     )
-    # Median of 3 independent amortized measurements: single slopes on the
-    # remote attachment occasionally come out absurdly low or high when the
-    # two K-length runs catch correlated RPC latency.
-    return float(np.median([time_jax_amortized(fn, yd, k=20) for _ in range(3)]))
+    if _remaining(deadline) < 45.0:
+        # Not enough budget left for the two scan compiles the amortized
+        # harness needs cold — report a coarse per-call number (includes the
+        # RPC dispatch floor, i.e. a conservative UPPER bound on latency).
+        jitted = jax.jit(fn)
+        return time_function(lambda: jitted(yd), warmup=2, runs=10), "coarse"
+    # One amortized measurement, more repeat runs: runs are ~k*0.14 ms each
+    # once compiled, so 9 of them cost nothing vs round 2's 3 distinct
+    # measurements at 2 scan compiles apiece.
+    t = time_jax_amortized(fn, yd, k=20, runs=9, deadline=deadline)
+    return t, "amortized-slope"
 
 
 def bench_torch_cpu(y: np.ndarray) -> float:
@@ -103,33 +139,55 @@ def roundtrip_error() -> float:
     return float(jax.numpy.abs(rec - jax.numpy.asarray(y)).max())
 
 
-def _tpu_child() -> None:
-    """Child mode: the device-side measurements only, one JSON line."""
+def _tpu_child(deadline: float) -> None:
+    """Child mode: the device-side measurements only, one JSON line.
+
+    Every executable this process compiles lands in the on-disk cache, so a
+    retry attempt (fresh interpreter) resumes from warm compiles — the
+    round-2 failure mode was three identical cold attempts.
+    """
+    from mlx_audio_primitives_tpu.utils.warmup import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache(CACHE_DIR)
     import jax
 
     rng = np.random.default_rng(0)
     y = rng.standard_normal((BATCH, SR)).astype(np.float32)
-    t_ours = bench_ours(y)
-    err = roundtrip_error()
+    t_ours, method = bench_ours(y, deadline)
+    # Round-trip check costs two more (cached-after-first-attempt) compiles;
+    # skip rather than blow the deadline, parent reports err=NaN.
+    err = roundtrip_error() if _remaining(deadline) > 20.0 else float("nan")
     print(json.dumps({
         "t_ours": t_ours, "err": err, "backend": jax.default_backend(),
+        "method": method,
     }))
 
 
-def _run_tpu_measurement(attempts: int = 3, timeout_s: int = 480) -> dict:
+def _run_tpu_measurement(attempts: int = 3) -> dict:
     """Run the device measurements in a fresh subprocess, retrying on
     failure — the remote TPU attachment intermittently drops its session
     mid-process (every subsequent op hangs or fails UNIMPLEMENTED), and a
-    fresh interpreter re-establishes it."""
+    fresh interpreter re-establishes it. The persistent compilation cache
+    makes retries cheap: attempt 2 reuses every executable attempt 1
+    compiled before dying."""
     last = ""
+    hard_deadline = _T0 + TOTAL_BUDGET_S
     for i in range(attempts):
+        # Reserve ~25 s after the child for the torch baseline + JSON.
+        child_budget = _remaining(hard_deadline) - 25.0
+        if child_budget < 30.0:
+            break
+        child_deadline = time.time() + child_budget
         try:
             proc = subprocess.run(
-                [sys.executable, __file__, "--_tpu-child"],
-                capture_output=True, text=True, timeout=timeout_s,
+                [sys.executable, __file__, "--_tpu-child",
+                 f"{child_deadline:.3f}"],
+                capture_output=True, text=True, timeout=child_budget + 15.0,
             )
         except subprocess.TimeoutExpired:
-            last = f"attempt {i + 1}: timeout after {timeout_s}s"
+            last = f"attempt {i + 1}: timeout after {child_budget:.0f}s"
             print(last, file=sys.stderr)
             continue
         for line in reversed(proc.stdout.strip().splitlines()):
@@ -165,6 +223,7 @@ def main() -> None:
                 "ours_ms": round(t_ours * 1e3, 3),
                 "torch_cpu_ms": round(t_torch * 1e3, 3),
                 "backend": dev["backend"],
+                "timing_method": dev.get("method", "amortized-slope"),
             }
         )
     )
@@ -172,6 +231,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--_tpu-child":
-        _tpu_child()
+        dl = float(sys.argv[2]) if len(sys.argv) > 2 else _T0 + TOTAL_BUDGET_S
+        _tpu_child(dl)
     else:
         main()

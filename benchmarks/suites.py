@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from .schemas import BenchmarkResult
-from .utils import compute_accuracy, time_function, time_jax_amortized
+from .utils import (
+    compute_accuracy,
+    rand_signal,
+    time_function,
+    time_jax_amortized,
+)
 
 SR = 22050
 
@@ -511,6 +516,61 @@ def bench_roadmap() -> list[BenchmarkResult]:
     return out
 
 
+def bench_compile() -> list[BenchmarkResult]:
+    """Compile-time regression gate (round-2 postmortem).
+
+    Round 2's bench timed out because XLA/Mosaic *compile* time — not math —
+    blew the driver budget, and nothing in the suite measured it. These rows
+    time ``jit(...).lower(x).compile()`` for the headline pipeline in both
+    the direct and scan-wrapped (amortized-harness) contexts, plus the
+    STFT/ISTFT pair. ``extra`` records trace/lower separately from compile.
+
+    Numbers include whatever compilation caches the process has enabled —
+    a warm persistent cache (`utils/warmup.py`) legitimately makes these
+    near-zero, which is itself worth seeing in a bench run.
+    """
+    from mlx_audio_primitives_tpu import istft, melspectrogram, power_to_db, stft
+
+    import time as _time
+
+    y = rand_signal(SR, batch=64)
+    S = jax.device_put(stft(y, n_fft=2048, hop_length=512))
+
+    headline = lambda x: power_to_db(
+        melspectrogram(x, sr=SR, n_fft=2048, hop_length=512, n_mels=128)
+    )
+
+    def scan_wrapped(x):
+        def body(carry, _):
+            out = headline(x * (1.0 + carry))
+            total = jnp.sum(jnp.abs(out)).astype(jnp.float32)
+            return total * 1e-20, total
+
+        return jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=24)[1][-1]
+
+    out = []
+    for name, fn, arg in [
+        ("compile headline direct", headline, y),
+        ("compile headline scan-k24", scan_wrapped, y),
+        ("compile stft", lambda x: stft(x, n_fft=2048, hop_length=512), y),
+        ("compile istft", lambda s: istft(s, hop_length=512, length=SR), S),
+    ]:
+        t0 = _time.perf_counter()
+        lowered = jax.jit(fn).lower(arg)
+        t_lower = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        lowered.compile()
+        t_compile = _time.perf_counter() - t0
+        out.append(
+            BenchmarkResult(
+                name=name,
+                time_ms=t_compile * 1e3,
+                extra={"trace_lower_ms": round(t_lower * 1e3, 1)},
+            )
+        )
+    return out
+
+
 ALL_SUITES = {
     "headline": bench_headline,
     "stft": bench_stft,
@@ -526,5 +586,6 @@ ALL_SUITES = {
     "pallas": bench_pallas,
     "fallback": bench_fallback,
     "roadmap": bench_roadmap,
+    "compile": bench_compile,
 }
 SUITE_ORDER = list(ALL_SUITES)

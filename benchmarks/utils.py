@@ -49,8 +49,15 @@ def time_jax_amortized(
     x: jax.Array,
     k: int = 20,
     runs: int = 5,
+    deadline: float | None = None,
 ) -> float:
     """Honest seconds-per-call of a jax op on a remote/async TPU attachment.
+
+    ``deadline`` (absolute ``time.time()`` value) bounds the slow paths: the
+    8x-longer k_xl escalation loop compiles a THIRD scan executable, which on
+    a 1-CPU host can cost minutes — past the deadline the ordinary slope is
+    returned as-is instead (round-2 postmortem: compiles, not math, are the
+    bench budget).
 
     Four measurement hazards, all hit in practice, all handled here:
 
@@ -98,7 +105,8 @@ def time_jax_amortized(
         float(hi(x))
         t_hi.append(time.perf_counter() - t0)
     slope = (float(np.median(t_hi)) - float(np.median(t_lo))) / (k_hi - k_lo)
-    if slope <= 0 or slope < 1e-4:
+    past_deadline = deadline is not None and time.time() > deadline - 30.0
+    if (slope <= 0 or slope < 1e-4) and not past_deadline:
         # Sub-0.1 ms slopes (or outright noise inversions) are dominated by
         # RPC-floor drift between runs: the tunnel's per-call floor wanders
         # by ~1 ms mid-session, which at k_hi - k_lo = 20 injects ~50 us of
@@ -119,6 +127,10 @@ def time_jax_amortized(
             slope = slope_xl
         elif slope <= 0:
             slope = float(np.median(t_xl)) / k_xl  # upper bound
+    elif slope <= 0:
+        # Deadline passed AND the short-loop slope inverted: report the long
+        # loop's per-iteration time (includes dispatch floor, upper bound).
+        slope = float(np.median(t_hi)) / k_hi
     return slope
 
 
