@@ -496,6 +496,7 @@ def bench_roadmap() -> list[BenchmarkResult]:
         chroma_stft,
         cqt,
         onset_strength,
+        piptrack,
         pseudo_cqt,
         yin,
     )
@@ -509,6 +510,7 @@ def bench_roadmap() -> list[BenchmarkResult]:
         ("pseudo_cqt 84-bin batch=8", lambda x: pseudo_cqt(x, sr=SR)),
         ("onset_strength batch=8", lambda x: onset_strength(x, sr=SR)),
         ("yin batch=8", lambda x: yin(x, fmin=60.0, fmax=1000.0, sr=SR)),
+        ("piptrack batch=8", lambda x: piptrack(y=x, sr=SR)),
     ]:
         out.append(
             BenchmarkResult(name=name, time_ms=time_jax_amortized(fn, yd) * 1e3)

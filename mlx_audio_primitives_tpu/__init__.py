@@ -78,7 +78,8 @@ from .ops.decompose import harmonic, hpss, percussive  # noqa: F401
 from .ops.effects import phase_vocoder, pitch_shift, time_stretch  # noqa: F401
 from .ops.inverse import mel_to_audio, mel_to_stft  # noqa: F401
 from .ops.onset import onset_detect, onset_strength  # noqa: F401
-from .ops.pitch import yin  # noqa: F401
+from .ops.pitch import piptrack, yin  # noqa: F401
+from .ops.rhythm import tempo, tempo_frequencies, tempogram  # noqa: F401
 # mel inversion / effects / hpss stay out of __all__, which mirrors the
 # reference's exact 40-symbol surface (like the unexported griffinlim_iter /
 # streaming module)

@@ -14,7 +14,8 @@ from .framing import deemphasis, frame, preemphasis, rms
 from .griffinlim import griffinlim
 from .mel import hz_to_mel, mel_filterbank, mel_to_hz, melspectrogram
 from .mfcc import dct, delta, mfcc
-from .pitch import autocorrelation, periodicity, pitch_detect_acf, yin
+from .pitch import autocorrelation, periodicity, piptrack, pitch_detect_acf, yin
+from .rhythm import tempo, tempo_frequencies, tempogram
 from .resample import resample, resample_poly
 from .stft import check_nola, istft, magnitude, phase, stft
 from .windows import get_window

@@ -162,6 +162,12 @@ def cqt(
     tone of amplitude ``A`` at a bin's center frequency gives
     ``|C| ~= A/2`` at that bin (l1-normalized filters; see module
     docstring). Complex output — ``magnitude(cqt(y))`` for the modulus.
+
+    Restricted-runtime note: some remote TPU attachments (the tunneled
+    ``axon`` platform, STATUS.md known limitation) cannot fetch complex64
+    device arrays to host — ``np.asarray(cqt(y))`` raises UNIMPLEMENTED.
+    Reduce on device first (``magnitude(...)``/``jnp.abs``, as
+    :func:`chroma_cqt` does) or fetch ``.real``/``.imag`` separately.
     """
     fmin, n_fft = _cqt_setup(
         sr, n_bins, fmin, bins_per_octave, filter_scale, tuning

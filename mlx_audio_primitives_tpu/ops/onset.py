@@ -249,18 +249,19 @@ def onset_detect(
     validate_positive(hop_length, "hop_length")
     validate_non_negative(delta, "delta")
 
-    # librosa's tempo-scaled defaults (seconds -> frames at sr/hop)
-    fps = sr / float(hop_length)
+    # librosa's tempo-scaled defaults: seconds * sr FLOOR-divided by hop
+    # (librosa onset_detect: `0.03 * sr // hop_length` etc. — at sr=22050,
+    # hop=512 this gives pre_max=1/pre_avg=4/wait=1, not ceil's 2/5/2)
     if pre_max is None:
-        pre_max = int(np.ceil(0.03 * fps))
+        pre_max = int(0.03 * sr // hop_length)
     if post_max is None:
-        post_max = int(np.ceil(0.00 * fps)) + 1
+        post_max = int(0.00 * sr // hop_length) + 1
     if pre_avg is None:
-        pre_avg = int(np.ceil(0.10 * fps))
+        pre_avg = int(0.10 * sr // hop_length)
     if post_avg is None:
-        post_avg = int(np.ceil(0.10 * fps)) + 1
+        post_avg = int(0.10 * sr // hop_length) + 1
     if wait is None:
-        wait = int(np.ceil(0.03 * fps))
+        wait = int(0.03 * sr // hop_length)
 
     if normalize:
         lo = jnp.min(env)
@@ -298,7 +299,9 @@ def _backtrack(onsets: np.ndarray, energy: np.ndarray) -> np.ndarray:
     (librosa `onset_backtrack`): host NumPy — a handful of events."""
     if len(onsets) == 0 or len(energy) < 3:
         return onsets
-    interior = (energy[1:-1] <= energy[:-2]) & (energy[1:-1] < energy[2:])
+    # librosa util.localmin: strictly below the PREVIOUS sample, <= the NEXT
+    # — a flat-bottomed valley backtracks to its FIRST frame, not its last
+    interior = (energy[1:-1] < energy[:-2]) & (energy[1:-1] <= energy[2:])
     minima = np.flatnonzero(np.concatenate(([True], interior, [False])))
     pos = np.searchsorted(minima, onsets, side="right") - 1
     return minima[np.maximum(pos, 0)]

@@ -628,3 +628,129 @@ def periodicity(
     p = jnp.where(valid, jnp.max(search, axis=-1), 0.0).astype(REAL_DTYPE)
     out = p[:, None, :]
     return out[0] if input_is_1d else out
+
+
+@jax.jit
+def _piptrack_core(
+    S: jax.Array,
+    freqs: jax.Array,
+    fmin: jax.Array,
+    fmax: jax.Array,
+    threshold: jax.Array,
+    ref: jax.Array,
+    sr_over_n: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense (pitches, mags) for batched magnitude spectrograms (B, bins, F).
+
+    librosa.piptrack's math, whole-array instead of np.nonzero scatter: the
+    sparse "instantaneous frequency at peak bins" result is stored densely
+    (zeros off-peak, exactly librosa's output format), which is the natural
+    TPU layout — no ragged indexing, one fused elementwise program.
+    """
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, S.dtype)
+    # parabolic interpolation around each interior bin
+    avg = 0.5 * (S[:, 2:, :] - S[:, :-2, :])
+    curve = 2.0 * S[:, 1:-1, :] - S[:, 2:, :] - S[:, :-2, :]
+    shift = avg / (curve + jnp.where(jnp.abs(curve) < tiny, 1.0, 0.0))
+    edge = ((0, 0), (1, 1), (0, 0))
+    avg = jnp.pad(avg, edge)
+    shift = jnp.pad(shift, edge)
+    dskew = 0.5 * avg * shift
+
+    # candidate peaks: local maxima (librosa util.localmax: > previous,
+    # >= next, edge-padded) of the THRESHOLDED spectrogram
+    thr = S * (S > threshold * ref)
+    tp = jnp.pad(thr, edge, mode="edge")
+    localmax = (thr > tp[:, :-2, :]) & (thr >= tp[:, 2:, :])
+    freq_mask = (freqs >= fmin) & (freqs < fmax)
+    mask = localmax & freq_mask[None, :, None]
+
+    bin_idx = jnp.arange(S.shape[1], dtype=S.dtype)[None, :, None]
+    pitches = jnp.where(mask, (bin_idx + shift) * sr_over_n, 0.0)
+    mags = jnp.where(mask, S + dskew, 0.0)
+    return pitches.astype(REAL_DTYPE), mags.astype(REAL_DTYPE)
+
+
+def piptrack(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    S: ArrayLike | None = None,
+    n_fft: int = 2048,
+    hop_length: int | None = None,
+    fmin: float = 150.0,
+    fmax: float = 4000.0,
+    threshold: float = 0.1,
+    win_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    ref: ArrayLike | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Parabolic-interpolation pitch tracking (librosa.piptrack semantics).
+
+    Returns ``(pitches, mags)``, each shaped like the magnitude spectrogram
+    ``(..., 1 + n_fft//2, F)``: at every frame/bin where the thresholded
+    spectrogram has a local maximum in frequency within ``[fmin, fmax)``,
+    ``pitches`` holds the parabolically refined instantaneous frequency in
+    Hz and ``mags`` the refined peak magnitude; zero elsewhere.
+
+    Beyond-parity feature (the reference lists pitch tracking as unbuilt
+    future work, `/root/reference/ARCHITECTURE.md` "Potential Features");
+    API style follows the reference's S-or-y protocol
+    (`/root/reference/mlx_audio_primitives/pitch.py:118-264` precedent for
+    pitch APIs, `features.py:24-54` for the protocol). The spectrogram ride
+    the fused radix magnitude path when computed from ``y``; everything
+    downstream is one jitted elementwise program.
+
+    ``ref`` — per-frame peak reference against which ``threshold`` is
+    applied: None (librosa default, per-frame max over frequency), a
+    callable ``ref(S) -> array``, or a scalar/array broadcastable to S.
+    """
+    from .stft import magnitude_spectrogram
+
+    validate_positive(n_fft, "n_fft")
+    if hop_length is None:
+        hop_length = n_fft // 4
+    validate_positive(hop_length, "hop_length")
+    if S is None:
+        if y is None:
+            raise ValueError("Either y (audio) or S (spectrogram) must be provided")
+        S = magnitude_spectrogram(
+            y, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+            window=window, center=center, pad_mode=pad_mode,
+        )
+    else:
+        S = jnp.asarray(S, dtype=REAL_DTYPE)
+
+    input_is_1d = S.ndim == 2
+    if input_is_1d:
+        S = S[None]
+    if S.ndim != 3:
+        raise ValueError(f"piptrack expects a 2-D or 3-D spectrogram, got {S.ndim}-D")
+    n_bins = S.shape[1]
+    if n_bins < 3:
+        z = jnp.zeros_like(S)
+        return (z[0], z[0]) if input_is_1d else (z, z)
+
+    # librosa clamps the band to the representable range
+    fmin_c = max(float(fmin), 0.0)
+    fmax_c = min(float(fmax), sr / 2.0)
+    freqs = jnp.linspace(0.0, sr / 2.0, n_bins, dtype=REAL_DTYPE)
+
+    if ref is None:
+        ref_arr = jnp.max(S, axis=1, keepdims=True)
+    elif callable(ref):
+        ref_arr = jnp.asarray(ref(S), dtype=REAL_DTYPE)
+    else:
+        ref_arr = jnp.asarray(ref, dtype=REAL_DTYPE)
+
+    pitches, mags = _piptrack_core(
+        S,
+        freqs,
+        jnp.asarray(fmin_c, REAL_DTYPE),
+        jnp.asarray(fmax_c, REAL_DTYPE),
+        jnp.asarray(float(threshold), REAL_DTYPE),
+        ref_arr,
+        jnp.asarray(sr / float(n_fft), REAL_DTYPE),
+    )
+    return (pitches[0], mags[0]) if input_is_1d else (pitches, mags)
