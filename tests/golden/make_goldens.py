@@ -41,6 +41,15 @@ MEL_VARIANTS = [("slaney", "slaney"), ("slaney", None), ("htk", None), ("htk", "
 # (n_mfcc, n_mels, norm)
 DCT_CONFIGS = [(20, 128, "ortho"), (13, 64, None), (40, 128, "ortho")]
 
+# (sr, n_fft, n_chroma, tuning, norm) — norm is transformers' `power` arg
+CHROMA_CONFIGS = [
+    (22050, 2048, 12, 0.0, 2.0),
+    (16000, 512, 12, 0.0, 2.0),
+    (22050, 1024, 24, 0.0, 2.0),
+    (22050, 2048, 12, 0.25, 2.0),
+    (22050, 2048, 12, 0.0, 1.0),
+]
+
 STFT_SR = 22050
 
 
@@ -137,6 +146,57 @@ def main() -> None:
     out["mfcc/chirp/13"] = (
         scipy.fft.dct(M_db, type=2, norm="ortho", axis=0)[:13].astype(np.float32)
     )
+
+    # Chroma filterbanks from transformers' independent transcription of
+    # librosa.filters.chroma (round-2 gap: the roadmap ops were pinned only
+    # to same-repo oracles). transformers' `power` arg IS librosa's `norm`
+    # (L^p column norm); weighting_parameters=(ctroct, octwidth);
+    # start_at_c_chroma=base_c. Its return is (n_chroma, 1 + n//2) despite
+    # the docstring — no transpose needed for our layout.
+    for sr, n_fft, n_chroma, tuning, norm in CHROMA_CONFIGS:
+        key = f"chroma/{sr}/{n_fft}/{n_chroma}/{tuning}/{norm}"
+        out[key] = au.chroma_filter_bank(
+            num_frequency_bins=n_fft,
+            num_chroma=n_chroma,
+            sampling_rate=sr,
+            tuning=tuning,
+            power=norm,
+            weighting_parameters=(5.0, 2.0),
+            start_at_c_chroma=True,
+        ).astype(np.float32)
+    out["chroma/22050/2048/12/unweighted"] = au.chroma_filter_bank(
+        num_frequency_bins=2048,
+        num_chroma=12,
+        sampling_rate=22050,
+        tuning=0.0,
+        power=2.0,
+        weighting_parameters=None,
+        start_at_c_chroma=True,
+    ).astype(np.float32)
+
+    # End-to-end chromagram: transformers power spectrogram -> transformers
+    # chroma filterbank -> inf-norm per-frame normalization (librosa
+    # chroma_stft's default norm). Composes ONLY third-party oracles.
+    spec2 = au.spectrogram(
+        y,
+        window=win,
+        frame_length=512,
+        hop_length=128,
+        fft_length=512,
+        power=2.0,
+        center=True,
+        pad_mode="reflect",
+    )
+    cfb = au.chroma_filter_bank(
+        num_frequency_bins=512, num_chroma=12, sampling_rate=STFT_SR,
+        tuning=0.0, power=2.0, weighting_parameters=(5.0, 2.0),
+        start_at_c_chroma=True,
+    )
+    raw = cfb @ spec2
+    peak = np.max(np.abs(raw), axis=0, keepdims=True)
+    out["chroma_stft/chirp"] = (
+        raw / np.where(peak < np.finfo(np.float32).tiny, 1.0, peak)
+    ).astype(np.float32)
 
     # dB conversions on a deterministic grid spanning amin..max regimes.
     S = (np.geomspace(1e-12, 1e4, 64).reshape(8, 8)).astype(np.float32)
