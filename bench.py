@@ -161,8 +161,49 @@ def _tpu_child(deadline: float) -> None:
     err = roundtrip_error() if _remaining(deadline) > 20.0 else float("nan")
     print(json.dumps({
         "t_ours": t_ours, "err": err, "backend": jax.default_backend(),
-        "method": method,
+        "method": method, **_roofline_fields(t_ours),
     }))
+
+
+def _roofline_fields(t_ours: float) -> dict:
+    """Speed-of-light fractions for the measured headline time — pure
+    arithmetic against the v5e roofline model (benchmarks/roofline.py), no
+    extra device work: exec_eff is the fraction of the as-executed
+    radix-GEMM bound achieved, sol_eff the fraction of the algorithmic
+    (split-radix FFT + mel GEMM) speed of light."""
+    try:
+        from benchmarks.roofline import (
+            HBM_GBS,
+            MXU_F32_TFLOPS,
+            VPU_TFLOPS,
+            mel_exec_flops_per_frame,
+            mel_min_flops_per_frame,
+            radix_vpu_flops_per_frame,
+        )
+        from mlx_audio_primitives_tpu import _config as _lib_config
+
+        F = 1 + SR // HOP
+        frames = BATCH * F
+        # traffic: signal in + mel out + the separate power_to_db pass
+        # (read + write of the (B, n_mels, F) array)
+        bytes_moved = 4 * (BATCH * SR + 3 * BATCH * N_MELS * F)
+        scale = 0.5 if _lib_config.ANALYSIS_FAST_GEMM else 1.0
+        t_mem = bytes_moved / (HBM_GBS * 1e9)
+        t_exec = (
+            frames * mel_exec_flops_per_frame(N_FFT, HOP, N_MELS) * scale
+            / (MXU_F32_TFLOPS * 1e12)
+            + frames * radix_vpu_flops_per_frame(N_FFT, HOP) / (VPU_TFLOPS * 1e12)
+        )
+        t_min = (
+            frames * mel_min_flops_per_frame(N_FFT, N_MELS) * scale
+            / (MXU_F32_TFLOPS * 1e12)
+        )
+        return {
+            "exec_efficiency": round(max(t_mem, t_exec) / t_ours, 4),
+            "sol_efficiency": round(max(t_mem, t_min) / t_ours, 4),
+        }
+    except Exception:  # never let bookkeeping kill the measurement
+        return {}
 
 
 def _run_tpu_measurement(attempts: int = 3) -> dict:
@@ -224,6 +265,11 @@ def main() -> None:
                 "torch_cpu_ms": round(t_torch * 1e3, 3),
                 "backend": dev["backend"],
                 "timing_method": dev.get("method", "amortized-slope"),
+                # speed-of-light fractions (benchmarks/roofline.py model):
+                # exec = vs the as-executed radix-GEMM bound, sol = vs the
+                # algorithmic split-radix-FFT + mel-GEMM minimum
+                **{k: dev[k] for k in ("exec_efficiency", "sol_efficiency")
+                   if k in dev},
             }
         )
     )
