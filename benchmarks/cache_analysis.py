@@ -68,6 +68,7 @@ _TABLE_CASES: dict[str, list[tuple[str, tuple]]] = {
         ("84x12-c1", (22050, 16384, 84, 32.70319566257483, 12, 1.0))
     ],
     "cq_to_chroma": [("84to12", (84, 12, 12, 32.70319566257483, True))],
+    "tonnetz_basis": [("12", (12,))],
 }
 
 

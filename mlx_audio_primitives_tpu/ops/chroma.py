@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .._config import FILTERBANK_CACHE_SIZE, REAL_DTYPE
+from .._config import FILTERBANK_CACHE_SIZE, MATMUL_PRECISION, REAL_DTYPE
 from ..utils.cache import table_cache
 from ..utils.validation import validate_positive
 from .mel import filterbank_spectrogram
@@ -332,3 +332,65 @@ def chroma_cqt(
     raw = _apply_chroma_fb(jnp.abs(C), M)
     raw = _normalize_frames(raw, norm)
     return raw
+
+
+@table_cache("tonnetz_basis", maxsize=4)
+def _tonnetz_basis(n_chroma: int) -> np.ndarray:
+    """Harmonic-network projection ``(6, n_chroma)`` (host f64, cached).
+
+    librosa `feature.tonnetz` transformation: three circles — perfect
+    fifths (r=1), minor thirds (r=1), major thirds (r=0.5) — each as a
+    (sin, cos) coordinate pair over the chroma circle.
+    """
+    dim_map = np.linspace(0, 12, num=n_chroma, endpoint=False)
+    scale = np.asarray([7.0 / 6, 7.0 / 6, 3.0 / 2, 3.0 / 2, 2.0 / 3, 2.0 / 3])
+    V = np.multiply.outer(scale, dim_map)
+    # even rows are the sin-phase coordinates
+    V[::2] -= 0.5
+    R = np.asarray([1.0, 1.0, 1.0, 1.0, 0.5, 0.5])
+    return (R[:, None] * np.cos(np.pi * V)).astype(np.float32)
+
+
+@jax.jit
+def _tonnetz_core(chroma: jax.Array, phi: jax.Array) -> jax.Array:
+    # librosa normalizes the chromagram to unit l1 per frame before the
+    # projection
+    l1 = jnp.sum(jnp.abs(chroma), axis=-2, keepdims=True)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, REAL_DTYPE)
+    cn = chroma / jnp.where(l1 < tiny, 1.0, l1)
+    return jnp.einsum(
+        "dc,...cf->...df", phi, cn, precision=MATMUL_PRECISION
+    ).astype(REAL_DTYPE)
+
+
+def tonnetz(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    chroma: ArrayLike | None = None,
+    **chroma_cqt_kwargs,
+) -> jax.Array:
+    """Tonal-centroid features (tonnetz), ``(6, F)`` / ``(batch, 6, F)``.
+
+    librosa `feature.tonnetz` semantics (Harte/Sandler/Gasser 2006): the
+    l1-normalized chromagram projected onto the 6-D harmonic network —
+    (sin, cos) pairs for the circles of fifths, minor thirds, and major
+    thirds. ``chroma`` may be precomputed (same protocol as the S-or-y
+    features); otherwise it is derived via :func:`chroma_cqt` with
+    ``**chroma_cqt_kwargs``.
+
+    Beyond-parity feature (the reference's roadmap family,
+    `/root/reference/ARCHITECTURE.md` "Potential Features"); one cached
+    (6, n_chroma) table + one jitted matmul.
+    """
+    if chroma is None:
+        if y is None:
+            raise ValueError("Either y (audio) or chroma must be provided")
+        chroma = chroma_cqt(y, sr=sr, **chroma_cqt_kwargs)
+    else:
+        chroma = jnp.asarray(chroma, dtype=REAL_DTYPE)
+    if chroma.ndim not in (2, 3):
+        raise ValueError(
+            f"tonnetz expects a 2-D or 3-D chromagram, got {chroma.ndim}-D"
+        )
+    phi = _tonnetz_basis(int(chroma.shape[-2]))
+    return _tonnetz_core(chroma, phi)

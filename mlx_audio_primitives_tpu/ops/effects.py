@@ -220,3 +220,94 @@ def pitch_shift(
     )
     y_shift = _resample(y_stretch, sr / rate, sr, res_type=res_type)
     return _fix_length(y_shift, y.shape[-1])
+
+
+def _nonsilent_frames(
+    y: jax.Array,
+    frame_length: int,
+    hop_length: int,
+    top_db: float,
+    ref: float | None,
+) -> np.ndarray:
+    """Boolean per-frame "above the silence threshold" mask (host numpy).
+
+    librosa `effects._signal_to_frame_nonsilent` semantics: framewise mean
+    square energy vs ``top_db`` below the reference power (default: the
+    peak frame energy, aggregated over any leading channel axes). The
+    energy computation is one jitted device program (:func:`~.framing.rms`);
+    only the boolean mask and the ragged interval extraction touch the
+    host — event boundaries are inherently ragged output.
+    """
+    from .convert import power_to_db
+    from .framing import rms
+
+    if top_db <= 0:
+        raise ValueError(f"top_db must be positive, got {top_db}")
+    mse = rms(y, frame_length=frame_length, hop_length=hop_length) ** 2
+    ref_power = float(jnp.max(mse)) if ref is None else float(ref) ** 2
+    db = np.asarray(power_to_db(mse[..., 0, :], ref=ref_power, top_db=None))
+    if db.ndim > 1:
+        db = db.max(axis=tuple(range(db.ndim - 1)))
+    return db > -float(top_db)
+
+
+def trim(
+    y: ArrayLike,
+    top_db: float = 60.0,
+    ref: float | None = None,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+) -> tuple[jax.Array, np.ndarray]:
+    """Trim leading/trailing silence: ``(y_trimmed, [start, end])``.
+
+    librosa `effects.trim` semantics: frames whose energy sits more than
+    ``top_db`` below the reference (default: the peak frame energy) are
+    silent; the returned slice spans the first through last non-silent
+    frame, converted to samples (``end`` exclusive, clipped to the signal).
+    An all-silent signal returns an empty slice and ``[0, 0]``.
+
+    Beyond-parity feature (reference has no effects module); batched input
+    trims ALL leading axes by the aggregated (max-over-batch) mask, exactly
+    like librosa's multi-channel handling.
+    """
+    validate_positive(frame_length, "frame_length")
+    validate_positive(hop_length, "hop_length")
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    non_silent = _nonsilent_frames(y, frame_length, hop_length, top_db, ref)
+    nz = np.flatnonzero(non_silent)
+    if nz.size:
+        start = int(nz[0]) * hop_length
+        end = min(int(y.shape[-1]), (int(nz[-1]) + 1) * hop_length)
+    else:
+        start = end = 0
+    idx = (slice(None),) * (y.ndim - 1) + (slice(start, end),)
+    return y[idx], np.asarray([start, end])
+
+
+def split(
+    y: ArrayLike,
+    top_db: float = 60.0,
+    ref: float | None = None,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+) -> np.ndarray:
+    """Non-silent intervals ``(n_intervals, 2)`` in samples (end exclusive).
+
+    librosa `effects.split` semantics: maximal runs of frames above the
+    silence threshold, edges converted to samples and clipped to the
+    signal length. Interval lists are inherently ragged, so this is a host
+    boundary by design (the energy computation itself is on-device).
+    """
+    validate_positive(frame_length, "frame_length")
+    validate_positive(hop_length, "hop_length")
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    non_silent = _nonsilent_frames(y, frame_length, hop_length, top_db, ref)
+    edges = np.flatnonzero(np.diff(non_silent.astype(np.int8))) + 1
+    parts = [edges]
+    if non_silent.size and non_silent[0]:
+        parts.insert(0, np.asarray([0]))
+    if non_silent.size and non_silent[-1]:
+        parts.append(np.asarray([non_silent.size]))
+    edges = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    samples = np.minimum(edges * hop_length, int(y.shape[-1]))
+    return samples.reshape(-1, 2)

@@ -235,3 +235,70 @@ class TestChromaCQT:
 
         with pytest.raises(ValueError):
             chroma_cqt(_tone(440.0), bins_per_octave=12, n_chroma=7)
+
+
+class TestTonnetz:
+    def _oracle(self, chroma):
+        """f64 transliteration of librosa.feature.tonnetz's projection."""
+        chroma = np.asarray(chroma, dtype=np.float64)
+        n_chroma = chroma.shape[-2]
+        dim_map = np.linspace(0, 12, num=n_chroma, endpoint=False)
+        scale = np.asarray([7.0/6, 7.0/6, 3.0/2, 3.0/2, 2.0/3, 2.0/3])
+        V = np.multiply.outer(scale, dim_map)
+        V[::2] -= 0.5
+        R = np.asarray([1.0, 1.0, 1.0, 1.0, 0.5, 0.5])
+        phi = R[:, None] * np.cos(np.pi * V)
+        l1 = np.abs(chroma).sum(axis=-2, keepdims=True)
+        l1 = np.where(l1 < np.finfo(np.float32).tiny, 1.0, l1)
+        return phi @ (chroma / l1)
+
+    def test_matches_oracle(self):
+        from mlx_audio_primitives_tpu import tonnetz
+
+        rng = np.random.default_rng(0)
+        C = rng.uniform(0, 1, size=(12, 20)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(tonnetz(chroma=C)), self._oracle(C), atol=1e-5
+        )
+
+    def test_batched_and_bounds(self):
+        from mlx_audio_primitives_tpu import tonnetz
+
+        rng = np.random.default_rng(1)
+        C = rng.uniform(0, 1, size=(3, 12, 8)).astype(np.float32)
+        T = np.asarray(tonnetz(chroma=C))
+        assert T.shape == (3, 6, 8)
+        # l1-normalized chroma projected on bounded bases: |coord| <= r
+        for d, r in enumerate([1.0, 1.0, 1.0, 1.0, 0.5, 0.5]):
+            assert np.abs(T[:, d]).max() <= r + 1e-6
+
+    def test_fifth_interval_geometry(self):
+        """Pitch classes a fifth apart land close on the fifths circle,
+        classes a tritone apart land opposite (Harte et al. 2006)."""
+        from mlx_audio_primitives_tpu import tonnetz
+
+        def centroid(klass):
+            C = np.zeros((12, 1), np.float32)
+            C[klass] = 1.0
+            return np.asarray(tonnetz(chroma=C))[:, 0]
+
+        c = centroid(0)
+        g = centroid(7)     # perfect fifth
+        fs = centroid(6)    # tritone
+        d_fifth = np.hypot(*(c[:2] - g[:2]))
+        d_tritone = np.hypot(*(c[:2] - fs[:2]))
+        assert d_fifth < d_tritone
+
+    def test_from_audio(self, sine_signal):
+        from mlx_audio_primitives_tpu import tonnetz
+
+        T = np.asarray(tonnetz(y=sine_signal, sr=22050))
+        assert T.shape[0] == 6 and np.all(np.isfinite(T))
+
+    def test_errors(self):
+        from mlx_audio_primitives_tpu import tonnetz
+
+        with pytest.raises(ValueError):
+            tonnetz()
+        with pytest.raises(ValueError):
+            tonnetz(chroma=np.zeros((2, 12, 3, 4), np.float32))

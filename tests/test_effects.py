@@ -159,3 +159,89 @@ class TestPipelineConsistency:
         )
         ours = np.asarray(time_stretch(random_signal, rate))
         np.testing.assert_allclose(ours, manual, rtol=0, atol=1e-6)
+
+
+class TestTrimSplit:
+    @staticmethod
+    def _clip():
+        sr = 22050
+        rng = np.random.default_rng(0)
+        sig = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+        quiet = 1e-5 * rng.standard_normal(sr // 2)
+        return np.concatenate([quiet, sig, quiet]).astype(np.float32), sr
+
+    def test_trim_removes_silence(self):
+        from mlx_audio_primitives_tpu import trim
+
+        y, sr = self._clip()
+        yt, idx = trim(y, top_db=30)
+        start, end = int(idx[0]), int(idx[1])
+        # the loud region spans [sr//2, sr//2 + sr); trim must land within
+        # one frame of it
+        assert abs(start - sr // 2) <= 2048
+        assert abs(end - (sr // 2 + sr)) <= 2048
+        assert yt.shape[-1] == end - start
+        np.testing.assert_array_equal(np.asarray(yt), y[start:end])
+
+    def test_trim_all_silent(self):
+        from mlx_audio_primitives_tpu import trim
+
+        y = np.zeros(4096, np.float32)
+        yt, idx = trim(y, ref=1.0, top_db=20)
+        assert yt.shape[-1] == 0
+        np.testing.assert_array_equal(idx, [0, 0])
+
+    def test_trim_all_loud(self):
+        from mlx_audio_primitives_tpu import trim
+
+        y = np.sin(np.linspace(0, 800 * np.pi, 22050)).astype(np.float32)
+        yt, idx = trim(y, top_db=60)
+        assert int(idx[0]) == 0 and int(idx[1]) == len(y)
+        assert yt.shape[-1] == len(y)
+
+    def test_trim_batched_aggregates(self):
+        from mlx_audio_primitives_tpu import trim
+
+        y, sr = self._clip()
+        Y = np.stack([y, np.zeros_like(y)])
+        yt, idx = trim(Y, top_db=30)
+        # the aggregated mask follows the loud channel
+        assert yt.shape == (2, int(idx[1]) - int(idx[0]))
+
+    def test_split_finds_islands(self):
+        from mlx_audio_primitives_tpu import split
+
+        sr = 22050
+        t = np.arange(sr // 2) / sr
+        burst = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        gap = np.zeros(sr // 2, np.float32)
+        y = np.concatenate([gap, burst, gap, burst, gap])
+        iv = split(y, ref=1.0, top_db=40)
+        assert iv.shape == (2, 2)
+        # island k spans [ (2k+1)*sr/2, (2k+2)*sr/2 ) within a frame
+        for k in range(2):
+            assert abs(int(iv[k, 0]) - (2 * k + 1) * sr // 2) <= 2048
+            assert abs(int(iv[k, 1]) - (2 * k + 2) * sr // 2) <= 2048
+
+    def test_split_silent_returns_empty(self):
+        from mlx_audio_primitives_tpu import split
+
+        iv = split(np.zeros(8192, np.float32), ref=1.0, top_db=20)
+        assert iv.shape == (0, 2)
+
+    def test_split_intervals_cover_signal_energy(self):
+        from mlx_audio_primitives_tpu import split
+
+        y, sr = self._clip()
+        iv = split(y, top_db=30)
+        inside = sum(float(np.sum(y[a:b] ** 2)) for a, b in iv)
+        total = float(np.sum(y**2))
+        assert inside >= 0.999 * total
+
+    def test_errors(self):
+        from mlx_audio_primitives_tpu import split, trim
+
+        with pytest.raises(ValueError):
+            trim(np.zeros(100, np.float32), top_db=0)
+        with pytest.raises(ValueError):
+            split(np.zeros(100, np.float32), frame_length=0)
