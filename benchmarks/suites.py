@@ -493,11 +493,13 @@ def bench_roadmap() -> list[BenchmarkResult]:
     roadmap, implemented here (no CPU oracle exists in the reference to
     compare against; report absolute device time)."""
     from mlx_audio_primitives_tpu import (
+        chroma_cens,
         chroma_stft,
         cqt,
         onset_strength,
         piptrack,
         pseudo_cqt,
+        tonnetz,
         yin,
     )
 
@@ -511,6 +513,8 @@ def bench_roadmap() -> list[BenchmarkResult]:
         ("onset_strength batch=8", lambda x: onset_strength(x, sr=SR)),
         ("yin batch=8", lambda x: yin(x, fmin=60.0, fmax=1000.0, sr=SR)),
         ("piptrack batch=8", lambda x: piptrack(y=x, sr=SR)),
+        ("chroma_cens batch=8", lambda x: chroma_cens(y=x, sr=SR)),
+        ("tonnetz batch=8", lambda x: tonnetz(y=x, sr=SR)),
     ]:
         out.append(
             BenchmarkResult(name=name, time_ms=time_jax_amortized(fn, yd) * 1e3)

@@ -72,12 +72,19 @@ from .ops import (
 )
 from .ops import augment  # noqa: F401  (spec_augment/time_mask/freq_mask/...)
 from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel/MFCC/Pitch)
-from .ops.chroma import chroma_cqt, chroma_filterbank, chroma_stft, tonnetz  # noqa: F401
+from .ops.chroma import (  # noqa: F401
+    chroma_cens,
+    chroma_cqt,
+    chroma_filterbank,
+    chroma_stft,
+    tonnetz,
+)
 from .ops.cqt import cqt, cqt_frequencies, pseudo_cqt  # noqa: F401
 from .ops.decompose import harmonic, hpss, percussive  # noqa: F401
 from .ops.effects import phase_vocoder, pitch_shift, split, time_stretch, trim  # noqa: F401
 from .ops.inverse import mel_to_audio, mel_to_stft  # noqa: F401
 from .ops.onset import onset_detect, onset_strength  # noqa: F401
+from .ops.beat import beat_track  # noqa: F401
 from .ops.lpc import lpc  # noqa: F401
 from .ops.pitch import piptrack, yin  # noqa: F401
 from .ops.rhythm import tempo, tempo_frequencies, tempogram  # noqa: F401

@@ -14,6 +14,7 @@ from .framing import deemphasis, frame, preemphasis, rms
 from .griffinlim import griffinlim
 from .mel import hz_to_mel, mel_filterbank, mel_to_hz, melspectrogram
 from .mfcc import dct, delta, mfcc
+from .beat import beat_track
 from .lpc import lpc
 from .pitch import autocorrelation, periodicity, piptrack, pitch_detect_acf, yin
 from .rhythm import tempo, tempo_frequencies, tempogram

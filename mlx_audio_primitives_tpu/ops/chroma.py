@@ -16,6 +16,7 @@ not care), otherwise the six-step / packed-FFT XLA pipeline.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -394,3 +395,88 @@ def tonnetz(
         )
     phi = _tonnetz_basis(int(chroma.shape[-2]))
     return _tonnetz_core(chroma, phi)
+
+
+_CENS_STEPS = (0.05, 0.1, 0.2, 0.4)
+_CENS_WEIGHTS = (0.25, 0.25, 0.25, 0.25)
+
+
+@partial(jax.jit, static_argnames=("win_len_smooth", "smoothing_window"))
+def _cens_core(
+    chroma: jax.Array, *, win_len_smooth: int | None, smoothing_window: str
+) -> jax.Array:
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, REAL_DTYPE)
+    # l1 per frame
+    l1 = jnp.sum(jnp.abs(chroma), axis=-2, keepdims=True)
+    cn = chroma / jnp.where(l1 < tiny, 1.0, l1)
+    # amplitude quantization: staircase of thresholded indicators
+    q = sum(
+        w * (cn > s).astype(REAL_DTYPE)
+        for s, w in zip(_CENS_STEPS, _CENS_WEIGHTS)
+    )
+    if win_len_smooth:
+        from .windows import get_window
+
+        win = get_window(smoothing_window, win_len_smooth + 2, fftbins=False)
+        win = win / jnp.sum(win)
+        pad = (win_len_smooth + 2) // 2
+        is_batched = q.ndim == 3
+        qb = q if is_batched else q[None]
+        qp = jnp.pad(qb, ((0, 0), (0, 0), (pad, pad)))
+        # time smoothing: one depthwise conv over frames
+        out = jax.lax.conv_general_dilated(
+            qp.reshape(-1, 1, qp.shape[-1]),
+            win[None, None, :],
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        q = out.reshape(qb.shape[:-1] + (out.shape[-1],))[
+            ..., : qb.shape[-1]
+        ]
+        if not is_batched:
+            q = q[0]
+    # final l2 per frame
+    l2 = jnp.sqrt(jnp.sum(q * q, axis=-2, keepdims=True))
+    return (q / jnp.where(l2 < tiny, 1.0, l2)).astype(REAL_DTYPE)
+
+
+def chroma_cens(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    chroma: ArrayLike | None = None,
+    win_len_smooth: int | None = 41,
+    smoothing_window: str = "hann",
+    **chroma_cqt_kwargs,
+) -> jax.Array:
+    """CENS chroma (Chroma Energy Normalized Statistics), librosa
+    `feature.chroma_cens` semantics (Mueller & Ewert 2011): l1-normalize
+    the CQT chromagram, quantize amplitudes through the published
+    (0.05/0.1/0.2/0.4 -> 0.25 each) staircase, smooth over time with a
+    ``hann(win_len_smooth + 2)`` window, l2-normalize per frame.
+
+    Tempo/articulation-robust features for music matching. Fully
+    vectorized: the quantization staircase is four thresholded masks, the
+    smoothing one depthwise convolution over frames. ``chroma`` may be
+    precomputed (pre-normalization chromagram, e.g.
+    ``chroma_cqt(..., norm=None)``); otherwise derived via
+    :func:`chroma_cqt` with ``**chroma_cqt_kwargs``.
+    """
+    if chroma is None:
+        if y is None:
+            raise ValueError("Either y (audio) or chroma must be provided")
+        chroma_cqt_kwargs.setdefault("norm", None)
+        chroma = chroma_cqt(y, sr=sr, **chroma_cqt_kwargs)
+    else:
+        chroma = jnp.asarray(chroma, dtype=REAL_DTYPE)
+    if chroma.ndim not in (2, 3):
+        raise ValueError(
+            f"chroma_cens expects a 2-D or 3-D chromagram, got {chroma.ndim}-D"
+        )
+    if win_len_smooth is not None:
+        validate_positive(int(win_len_smooth), "win_len_smooth")
+    return _cens_core(
+        chroma,
+        win_len_smooth=None if win_len_smooth is None else int(win_len_smooth),
+        smoothing_window=smoothing_window,
+    )

@@ -302,3 +302,80 @@ class TestTonnetz:
             tonnetz()
         with pytest.raises(ValueError):
             tonnetz(chroma=np.zeros((2, 12, 3, 4), np.float32))
+
+
+class TestChromaCens:
+    def _oracle(self, chroma, win_len_smooth=41):
+        """f64 transliteration of librosa.feature.chroma_cens
+        post-processing (l1 -> quantize -> smooth -> l2)."""
+        import scipy.ndimage
+        import scipy.signal
+
+        c = np.asarray(chroma, dtype=np.float64)
+        l1 = np.abs(c).sum(axis=-2, keepdims=True)
+        c = c / np.where(l1 < np.finfo(np.float32).tiny, 1.0, l1)
+        q = sum(
+            0.25 * (c > s) for s in (0.4, 0.2, 0.1, 0.05)
+        )
+        if win_len_smooth:
+            win = scipy.signal.get_window(
+                "hann", win_len_smooth + 2, fftbins=False
+            )
+            win /= win.sum()
+            q = scipy.ndimage.convolve1d(q, win, axis=-1, mode="constant")
+        l2 = np.sqrt((q * q).sum(axis=-2, keepdims=True))
+        return q / np.where(l2 < np.finfo(np.float32).tiny, 1.0, l2)
+
+    def test_matches_oracle(self):
+        from mlx_audio_primitives_tpu import chroma_cens
+
+        rng = np.random.default_rng(0)
+        C = rng.uniform(0, 1, size=(12, 100)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(chroma_cens(chroma=C)), self._oracle(C), atol=2e-5
+        )
+
+    def test_no_smoothing(self):
+        from mlx_audio_primitives_tpu import chroma_cens
+
+        rng = np.random.default_rng(1)
+        C = rng.uniform(0, 1, size=(12, 30)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(chroma_cens(chroma=C, win_len_smooth=None)),
+            self._oracle(C, win_len_smooth=None),
+            atol=2e-6,
+        )
+
+    def test_batched(self):
+        from mlx_audio_primitives_tpu import chroma_cens
+
+        rng = np.random.default_rng(2)
+        C = rng.uniform(0, 1, size=(3, 12, 50)).astype(np.float32)
+        out = np.asarray(chroma_cens(chroma=C))
+        assert out.shape == C.shape
+        np.testing.assert_allclose(out, self._oracle(C), atol=2e-5)
+
+    def test_unit_l2_frames(self):
+        from mlx_audio_primitives_tpu import chroma_cens
+
+        rng = np.random.default_rng(3)
+        C = rng.uniform(0.1, 1, size=(12, 40)).astype(np.float32)
+        out = np.asarray(chroma_cens(chroma=C))
+        norms = np.sqrt((out**2).sum(axis=0))
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+    def test_from_audio_tempo_robust(self, sine_signal):
+        from mlx_audio_primitives_tpu import chroma_cens
+
+        out = np.asarray(chroma_cens(y=sine_signal, sr=22050))
+        assert out.shape[0] == 12 and np.all(np.isfinite(out))
+        # a steady 440 Hz tone: class A dominates after CENS smoothing
+        assert int(np.argmax(out.mean(axis=-1))) == 9
+
+    def test_errors(self):
+        from mlx_audio_primitives_tpu import chroma_cens
+
+        with pytest.raises(ValueError):
+            chroma_cens()
+        with pytest.raises(ValueError):
+            chroma_cens(chroma=np.zeros((2, 3, 12, 5), np.float32))
