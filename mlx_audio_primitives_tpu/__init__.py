@@ -86,6 +86,7 @@ from .ops.inverse import mel_to_audio, mel_to_stft  # noqa: F401
 from .ops.onset import onset_detect, onset_strength  # noqa: F401
 from .ops.beat import beat_track  # noqa: F401
 from .ops.lpc import lpc  # noqa: F401
+from .ops.pcen import pcen  # noqa: F401
 from .ops.pitch import piptrack, yin  # noqa: F401
 from .ops.rhythm import tempo, tempo_frequencies, tempogram  # noqa: F401
 # mel inversion / effects / hpss stay out of __all__, which mirrors the

@@ -16,6 +16,7 @@ from .mel import hz_to_mel, mel_filterbank, mel_to_hz, melspectrogram
 from .mfcc import dct, delta, mfcc
 from .beat import beat_track
 from .lpc import lpc
+from .pcen import pcen
 from .pitch import autocorrelation, periodicity, piptrack, pitch_detect_acf, yin
 from .rhythm import tempo, tempo_frequencies, tempogram
 from .resample import resample, resample_poly
