@@ -82,13 +82,24 @@ from .ops.chroma import (  # noqa: F401
 from .ops.cqt import cqt, cqt_frequencies, pseudo_cqt  # noqa: F401
 from .ops.decompose import harmonic, hpss, percussive  # noqa: F401
 from .ops.effects import phase_vocoder, pitch_shift, split, time_stretch, trim  # noqa: F401
-from .ops.inverse import mel_to_audio, mel_to_stft  # noqa: F401
+from .ops.features import poly_features, stack_memory  # noqa: F401
+from .ops.inverse import (  # noqa: F401
+    mel_to_audio,
+    mel_to_stft,
+    mfcc_to_audio,
+    mfcc_to_mel,
+)
 from .ops.onset import onset_detect, onset_strength  # noqa: F401
 from .ops.beat import beat_track  # noqa: F401
 from .ops.lpc import lpc  # noqa: F401
 from .ops.pcen import pcen  # noqa: F401
 from .ops.pitch import piptrack, yin  # noqa: F401
-from .ops.rhythm import tempo, tempo_frequencies, tempogram  # noqa: F401
+from .ops.rhythm import (  # noqa: F401
+    fourier_tempogram,
+    tempo,
+    tempo_frequencies,
+    tempogram,
+)
 # mel inversion / effects / hpss stay out of __all__, which mirrors the
 # reference's exact 40-symbol surface (like the unexported griffinlim_iter /
 # streaming module)

@@ -2,11 +2,13 @@
 
 from .convert import amplitude_to_db, db_to_amplitude, db_to_power, power_to_db
 from .features import (
+    poly_features,
     spectral_bandwidth,
     spectral_centroid,
     spectral_contrast,
     spectral_flatness,
     spectral_rolloff,
+    stack_memory,
     zero_crossing_rate,
 )
 from .filterbanks import bark_filterbank, bark_to_hz, hz_to_bark, linear_filterbank
@@ -18,7 +20,7 @@ from .beat import beat_track
 from .lpc import lpc
 from .pcen import pcen
 from .pitch import autocorrelation, periodicity, piptrack, pitch_detect_acf, yin
-from .rhythm import tempo, tempo_frequencies, tempogram
+from .rhythm import fourier_tempogram, tempo, tempo_frequencies, tempogram
 from .resample import resample, resample_poly
 from .stft import check_nola, istft, magnitude, phase, stft
 from .windows import get_window

@@ -27,8 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .._config import REAL_DTYPE
+from .._config import MATMUL_PRECISION, REAL_DTYPE
 from ..kernels.precise_math import exp10, log10
+from ..utils.cache import table_cache
 from ..utils.validation import validate_positive, validate_range
 from ._frames import frame_signal_batched
 from .stft import magnitude_spectrogram
@@ -405,3 +406,96 @@ def zero_crossing_rate(
     zcr = jnp.sum(crossings, axis=-1, keepdims=True) / frame_length
     zcr = jnp.swapaxes(zcr, 1, 2)
     return zcr[0] if input_is_1d else zcr
+
+
+@table_cache("poly_basis", maxsize=8)
+def _poly_pinv_table(sr: int, n_fft: int, order: int) -> np.ndarray:
+    """Pseudo-inverse of the Vandermonde matrix over the rfft frequency
+    grid, host float64 (the least-squares operator np.polyfit applies);
+    rows ordered highest degree first, librosa/np.polyfit convention."""
+    freq = np.linspace(0, sr / 2.0, n_fft // 2 + 1)
+    V = np.vander(freq, order + 1)  # columns: f^order .. f^0
+    return np.linalg.pinv(V).astype(np.float32)  # (order+1, n_bins)
+
+
+def poly_features(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    S: ArrayLike | None = None,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    order: int = 1,
+    freq: ArrayLike | None = None,
+) -> jax.Array:
+    """Per-frame polynomial fit to the spectrum, ``(..., order+1, F)``.
+
+    librosa `feature.poly_features` semantics: least-squares coefficients
+    of a degree-``order`` polynomial in frequency fitted to each frame's
+    magnitudes, highest degree first (np.polyfit convention). The
+    least-squares solve is one cached pseudo-inverse table times the
+    spectrogram — a single MXU matmul for every frame at once, instead of
+    np.polyfit's per-call SVD.
+
+    ``freq`` overrides the fit grid (must be 1-D, one value per bin); a
+    custom grid computes its pseudo-inverse on the host per call rather
+    than via the cached table.
+    """
+    validate_positive(n_fft, "n_fft")
+    if order < 0:
+        raise ValueError(f"order must be non-negative, got {order}")
+    S = _compute_spectrogram(
+        y, S, n_fft, hop_length, win_length, window, center, pad_mode
+    )
+    if freq is None:
+        P = _poly_pinv_table(int(sr), int(n_fft), int(order))
+    else:
+        f = np.asarray(freq, dtype=np.float64)
+        if f.ndim != 1 or f.shape[0] != S.shape[-2]:
+            raise ValueError(
+                f"freq must be 1-D with one value per bin "
+                f"({S.shape[-2]}), got shape {f.shape}"
+            )
+        P = jnp.asarray(
+            np.linalg.pinv(np.vander(f, order + 1)).astype(np.float32)
+        )
+    return jnp.einsum(
+        "ck,...kf->...cf", P, S, precision=MATMUL_PRECISION
+    ).astype(REAL_DTYPE)
+
+
+def stack_memory(
+    data: ArrayLike, n_steps: int = 2, delay: int = 1
+) -> jax.Array:
+    """Short-term history embedding: vertically stack ``n_steps``
+    time-shifted copies of a feature matrix, ``(..., d*n_steps, F)``.
+
+    librosa `feature.stack_memory` semantics: block ``k`` holds the
+    features delayed by ``k * delay`` frames (zero-padded at the edge a
+    shift runs off); negative ``delay`` embeds the future instead.
+    """
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be at least 1, got {n_steps}")
+    if delay == 0:
+        raise ValueError("delay must be non-zero")
+    x = jnp.asarray(data, dtype=REAL_DTYPE)
+    if x.ndim < 2:
+        x = x[None]
+    F = x.shape[-1]
+    blocks = []
+    for k in range(n_steps):
+        shift = k * delay
+        if shift == 0:
+            blocks.append(x)
+        elif shift > 0:
+            pad = [(0, 0)] * x.ndim
+            pad[-1] = (shift, 0)
+            blocks.append(jnp.pad(x, pad)[..., :F])
+        else:
+            pad = [(0, 0)] * x.ndim
+            pad[-1] = (0, -shift)
+            blocks.append(jnp.pad(x, pad)[..., -F:])
+    return jnp.concatenate(blocks, axis=-2)

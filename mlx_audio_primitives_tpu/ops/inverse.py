@@ -34,7 +34,7 @@ from .mel import _mel_filterbank_table, mel_filterbank
 
 ArrayLike = Any
 
-__all__ = ["mel_to_stft", "mel_to_audio", "nnls"]
+__all__ = ["mel_to_stft", "mel_to_audio", "mfcc_to_mel", "mfcc_to_audio", "nnls"]
 
 
 @lru_cache(maxsize=64)
@@ -177,4 +177,96 @@ def mel_to_audio(
         S, n_iter=n_iter, hop_length=hop_length, win_length=win_length,
         n_fft=n_fft, window=window, center=center, length=length,
         pad_mode=pad_mode, random_state=random_state,
+    )
+
+
+def mfcc_to_mel(
+    M: ArrayLike,
+    n_mels: int = 128,
+    dct_type: int = 2,
+    norm: str | None = "ortho",
+    ref: float = 1.0,
+    lifter: int = 0,
+) -> jax.Array:
+    """Approximate the mel power spectrogram behind an MFCC matrix.
+
+    librosa `feature.inverse.mfcc_to_mel` semantics: undo liftering,
+    inverse DCT (zero-padding the missing high-quefrency coefficients),
+    and dB -> power. Lossy by construction — the forward MFCC discarded
+    ``n_mels - n_mfcc`` coefficients and clamped at ``top_db``.
+
+    The inverse DCT is the same cached-basis matmul idiom as the forward
+    (:func:`~.mfcc.dct`): for ``norm='ortho'`` the DCT-II basis is
+    orthonormal so its transpose inverts it; for ``norm=None`` the
+    unnormalized DCT-III (scipy ``idct(type=2)``) basis is the forward
+    table with its DC column halved.
+    """
+    from .convert import db_to_power
+    from .mfcc import _dct_basis_t, lifter_coeffs
+
+    validate_positive(n_mels, "n_mels")
+    if dct_type != 2:
+        raise ValueError(
+            f"Unsupported dct_type: {dct_type}. Only type 2 (librosa's "
+            "default) is invertible here"
+        )
+    M = jnp.asarray(M, dtype=REAL_DTYPE)
+    if M.ndim not in (2, 3):
+        raise ValueError(f"M must be 2-D or 3-D, got shape {M.shape}")
+    n_mfcc = M.shape[-2]
+    if n_mfcc > n_mels:
+        raise ValueError(
+            f"n_mfcc ({n_mfcc}) cannot exceed n_mels ({n_mels})"
+        )
+    if lifter > 0:
+        M = M / lifter_coeffs(n_mfcc, lifter)[:, None]
+    elif lifter != 0:
+        raise ValueError(f"lifter must be non-negative, got {lifter}")
+
+    # (n_mels, n_mfcc) inverse basis
+    A = _dct_basis_t(n_mfcc, n_mels, "ortho" if norm == "ortho" else None)
+    A = np.asarray(A)
+    if norm is None:
+        A = A.copy()
+        A[:, 0] *= 0.5
+    elif norm != "ortho":
+        raise ValueError(f"Unknown norm: '{norm}'. Supported: 'ortho', None")
+    logmel = jnp.einsum(
+        "mk,...kf->...mf", jnp.asarray(A, REAL_DTYPE), M,
+        precision=MATMUL_PRECISION,
+    )
+    return db_to_power(logmel, ref=ref)
+
+
+def mfcc_to_audio(
+    M: ArrayLike,
+    n_mels: int = 128,
+    dct_type: int = 2,
+    norm: str | None = "ortho",
+    ref: float = 1.0,
+    lifter: int = 0,
+    sr: int = 22050,
+    n_fft: int = 2048,
+    hop_length: int | None = None,
+    win_length: int | None = None,
+    window: str | ArrayLike = "hann",
+    center: bool = True,
+    pad_mode: str = "constant",
+    power: float = 2.0,
+    n_iter: int = 32,
+    length: int | None = None,
+    **mel_kwargs,
+) -> jax.Array:
+    """MFCC -> audio: inverse DCT to mel (:func:`mfcc_to_mel`), then the
+    NNLS + Griffin-Lim chain (:func:`mel_to_audio`) — librosa's
+    ``feature.inverse.mfcc_to_audio`` pipeline, fully on device."""
+    mel = mfcc_to_mel(
+        M, n_mels=n_mels, dct_type=dct_type, norm=norm, ref=ref,
+        lifter=lifter,
+    )
+    return mel_to_audio(
+        mel, sr=sr, n_fft=n_fft, hop_length=hop_length,
+        win_length=win_length, window=window, center=center,
+        pad_mode=pad_mode, power=power, n_iter=n_iter, length=length,
+        **mel_kwargs,
     )

@@ -142,3 +142,42 @@ def tempo(
                      axis=-1)
     out = bpms[best][:, None]
     return out[0] if input_is_1d else out
+
+
+def fourier_tempogram(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    onset_envelope: ArrayLike | None = None,
+    hop_length: int = 512,
+    win_length: int = 384,
+    center: bool = True,
+    window: str = "hann",
+    **strength_kwargs: Any,
+) -> jax.Array:
+    """Fourier tempogram: complex STFT of the onset envelope,
+    ``(1 + win_length//2, F)`` / ``(B, 1 + win_length//2, F)``.
+
+    librosa `feature.fourier_tempogram` semantics: the envelope's
+    short-time spectrum at an envelope hop of ONE frame, so bin ``k``
+    oscillates at ``k * sr / (hop_length * win_length)`` Hz — i.e. tempo
+    ``60 * k * sr / (hop_length * win_length)`` BPM. Complements the ACF
+    :func:`tempogram` (same windowing convention, frequency- instead of
+    lag-axis).
+
+    Complex output: on restricted remote runtimes fetch ``jnp.abs`` of it
+    (see the :func:`~.cqt.cqt` note).
+    """
+    from .stft import stft as _stft
+
+    validate_positive(win_length, "win_length")
+    if onset_envelope is None:
+        if y is None:
+            raise ValueError("Either y or onset_envelope must be provided")
+        onset_envelope = onset_strength(
+            y, sr=sr, hop_length=hop_length, **strength_kwargs
+        )
+    env = jnp.asarray(onset_envelope, dtype=REAL_DTYPE)
+    return _stft(
+        env, n_fft=win_length, hop_length=1, window=window, center=center,
+        pad_mode="constant",
+    )
