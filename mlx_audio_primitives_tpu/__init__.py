@@ -79,7 +79,7 @@ from .ops.chroma import (  # noqa: F401
     chroma_stft,
     tonnetz,
 )
-from .ops.cqt import cqt, cqt_frequencies, pseudo_cqt  # noqa: F401
+from .ops.cqt import cqt, cqt_frequencies, pseudo_cqt, vqt  # noqa: F401
 from .ops.decompose import harmonic, hpss, percussive  # noqa: F401
 from .ops.effects import phase_vocoder, pitch_shift, split, time_stretch, trim  # noqa: F401
 from .ops.features import poly_features, stack_memory  # noqa: F401

@@ -252,3 +252,101 @@ def pseudo_cqt(
 def _pseudo_cqt_apply(basis_ri: jax.Array, M: jax.Array) -> jax.Array:
     mag = jnp.sqrt(basis_ri[0] ** 2 + basis_ri[1] ** 2).astype(REAL_DTYPE)
     return jnp.matmul(mag, M, precision=MATMUL_PRECISION)
+
+
+def _vqt_alpha(bins_per_octave: int) -> float:
+    """Relative bandwidth of one bin: (2^(1/B) - 2^(-1/B)) / 2."""
+    r = 2.0 ** (1.0 / bins_per_octave)
+    return (r - 1.0 / r) / 2.0
+
+
+@table_cache("vqt_basis", maxsize=FILTERBANK_CACHE_SIZE)
+def _vqt_fft_basis(
+    sr: int, n_fft: int, n_bins: int, fmin: float, bins_per_octave: int,
+    filter_scale: float, gamma: float,
+) -> np.ndarray:
+    """Variable-Q analog of :func:`_cqt_fft_basis`: filter k has length
+    ``Q_a * sr / (f_k + gamma / alpha)`` with ``Q_a = filter_scale/alpha``
+    — constant-Q at high frequency, approaching constant-bandwidth
+    (``gamma`` Hz) at the low end. Same hann window, l1 normalization,
+    centering, conjugated rfft storage as the CQT table.
+    """
+    freqs = cqt_frequencies(n_bins, fmin, bins_per_octave)
+    alpha = _vqt_alpha(bins_per_octave)
+    Qa = float(filter_scale) / alpha
+    basis = np.zeros((n_bins, n_fft), dtype=np.complex128)
+    for k, f in enumerate(freqs):
+        ilen = min(int(np.ceil(Qa * sr / (f + gamma / alpha))), n_fft)
+        w = _cqt_window(ilen)
+        t = np.arange(ilen, dtype=np.float64) - (ilen - 1) / 2.0
+        h = w * np.exp(2j * np.pi * f * t / sr)
+        h /= np.sum(np.abs(h))
+        start = (n_fft - ilen) // 2
+        basis[k, start : start + ilen] = h
+    B = np.conj(np.fft.fft(basis, axis=1)[:, : n_fft // 2 + 1]) / n_fft
+    return np.ascontiguousarray(np.stack([B.real, B.imag]))
+
+
+def vqt(
+    y: ArrayLike,
+    sr: int = 22050,
+    hop_length: int = 512,
+    fmin: float | None = None,
+    n_bins: int = 84,
+    gamma: float | None = None,
+    bins_per_octave: int = 12,
+    tuning: float = 0.0,
+    filter_scale: float = 1.0,
+    pad_mode: str = "constant",
+    fft_mode: str = "auto",
+) -> jax.Array:
+    """Complex variable-Q transform, ``(n_bins, F)`` / ``(B, n_bins, F)``.
+
+    librosa `vqt` semantics: like :func:`cqt` but each filter's bandwidth
+    is ``alpha * f_k + gamma`` — ``gamma = 0`` reduces to a constant-Q
+    bank; the default ``gamma = 24.7 * alpha / 0.108`` Hz tracks the ERB
+    auditory bandwidth (Glasberg & Moore), giving better time resolution
+    in the low octaves at the cost of Q. Same single-GEMM
+    frequency-domain evaluation and magnitude contract as :func:`cqt`
+    (tone of amplitude A at a bin center -> ``|V| ~= A/2``), and the same
+    complex64-fetch caveat on restricted runtimes.
+    """
+    validate_positive(hop_length, "hop_length")
+    validate_positive(n_bins, "n_bins")
+    validate_positive(bins_per_octave, "bins_per_octave")
+    validate_positive(filter_scale, "filter_scale")
+    if fmin is None:
+        fmin = _C1
+    fmin = float(fmin) * 2.0 ** (float(tuning) / bins_per_octave)
+    if fmin <= 0:
+        raise ValueError(f"fmin must be positive, got {fmin}")
+    alpha = _vqt_alpha(int(bins_per_octave))
+    if gamma is None:
+        gamma = 24.7 * alpha / 0.108
+    if gamma < 0:
+        raise ValueError(f"gamma must be non-negative, got {gamma}")
+    f_top = fmin * 2.0 ** ((n_bins - 1) / bins_per_octave)
+    if f_top > sr / 2.0:
+        raise ValueError(
+            f"highest VQT bin ({f_top:.1f} Hz) exceeds Nyquist "
+            f"({sr / 2.0:.1f} Hz): reduce n_bins or raise sr"
+        )
+    # longest filter sets the shared transform length
+    max_len = int(np.ceil(
+        (float(filter_scale) / alpha) * sr / (fmin + float(gamma) / alpha)
+    ))
+    n_fft = 1 << int(np.ceil(np.log2(max(max_len, 2))))
+    basis = _vqt_fft_basis(
+        int(sr), n_fft, int(n_bins), fmin, int(bins_per_octave),
+        float(filter_scale), float(gamma),
+    )
+    D = stft(
+        y,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        window="ones",
+        center=True,
+        pad_mode=pad_mode,
+        fft_mode=fft_mode,
+    )
+    return _cqt_apply(basis, D)
