@@ -566,3 +566,60 @@ class StreamingResample:
         out = out[:, : self.m0]
         self.reset()
         return out
+
+
+class StreamingPCEN:
+    """Chunked PCEN-mel frontend: StreamingSTFT + mel GEMM + PCEN with the
+    smoother state carried across chunks.
+
+    PCEN is causal (the one-pole smoother only looks backward), so the
+    streamed output equals offline
+    ``pcen(melspectrogram(..., center=False))`` frame-for-frame — exactly,
+    not just asymptotically (unlike the global dB clip in MFCC pipelines).
+    The carried state is scipy's lfilter ``zi`` convention, the same
+    contract :func:`~.pcen.pcen` exposes through ``zi``/``return_zf``.
+    """
+
+    def __init__(
+        self,
+        sr: int = 22050,
+        n_fft: int = 2048,
+        hop_length: int | None = None,
+        n_mels: int = 128,
+        gain: float = 0.98,
+        bias: float = 2.0,
+        power: float = 0.5,
+        time_constant: float = 0.4,
+        eps: float = 1e-6,
+        b: float | None = None,
+        window: str | ArrayLike = "hann",
+        batch: int = 1,
+    ):
+        self.stft = StreamingSTFT(n_fft, hop_length, window, batch)
+        self.fb_t = mel_filterbank(sr, n_fft, n_mels=n_mels).T
+        self._pcen_kwargs = dict(
+            sr=sr, hop_length=self.stft.hop_length, gain=gain, bias=bias,
+            power=power, time_constant=time_constant, eps=eps, b=b,
+        )
+        self._zi: jax.Array | None = None
+
+    def push(self, chunk: ArrayLike) -> jax.Array:
+        """Push ``(B, k*hop)`` samples -> ``(B, k, n_mels)`` PCEN frames."""
+        from .pcen import pcen
+
+        spec = self.stft.push(chunk)
+        if spec.shape[1] == 0:
+            return jnp.zeros(
+                (spec.shape[0], 0, self.fb_t.shape[1]), REAL_DTYPE
+            )
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        mel = jnp.matmul(power, self.fb_t, precision=MATMUL_PRECISION)
+        out, self._zi = pcen(
+            jnp.swapaxes(mel, 1, 2), zi=self._zi, return_zf=True,
+            **self._pcen_kwargs,
+        )
+        return jnp.swapaxes(out, 1, 2)
+
+    def reset(self) -> None:
+        self.stft.reset()
+        self._zi = None

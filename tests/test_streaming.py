@@ -412,3 +412,46 @@ class TestStreamingResample:
         np.testing.assert_array_equal(first, second)
         want = np.asarray(resample_poly(y, 160, 441, padtype="constant"))
         np.testing.assert_allclose(first, want, rtol=1e-5, atol=2e-6)
+
+
+class TestStreamingPCEN:
+    def test_matches_offline_exactly(self, signal):
+        from mlx_audio_primitives_tpu import pcen
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingPCEN
+
+        p = StreamingPCEN(sr=22050, n_fft=N_FFT, hop_length=HOP, n_mels=40)
+        cs = 8 * HOP
+        got = []
+        for i in range(0, len(signal), cs):
+            got.append(np.asarray(p.push(signal[i : i + cs]))[0])
+        streamed = np.concatenate(got, axis=0)  # (F, n_mels)
+
+        ypad = np.pad(signal, (PAD, 0))
+        M = melspectrogram(ypad, sr=22050, n_fft=N_FFT, hop_length=HOP,
+                           n_mels=40, center=False, fft_mode="fft")
+        offline = np.asarray(pcen(np.asarray(M), sr=22050,
+                                  hop_length=HOP)).T
+        n = min(len(streamed), len(offline))
+        # PCEN is causal: streamed == offline, not just asymptotically
+        np.testing.assert_allclose(streamed[:n], offline[:n], atol=5e-5)
+
+    def test_single_frame_chunks(self, signal):
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingPCEN
+
+        p = StreamingPCEN(sr=22050, n_fft=N_FFT, hop_length=HOP, n_mels=24)
+        q = StreamingPCEN(sr=22050, n_fft=N_FFT, hop_length=HOP, n_mels=24)
+        big = np.asarray(p.push(signal[: 16 * HOP]))[0]
+        small = np.concatenate(
+            [np.asarray(q.push(signal[i * HOP : (i + 1) * HOP]))[0]
+             for i in range(16)], axis=0,
+        )
+        np.testing.assert_allclose(small, big, atol=2e-5)
+
+    def test_reset(self, signal):
+        from mlx_audio_primitives_tpu.ops.streaming import StreamingPCEN
+
+        p = StreamingPCEN(sr=22050, n_fft=N_FFT, hop_length=HOP)
+        a = np.asarray(p.push(signal[: 8 * HOP]))
+        p.reset()
+        b = np.asarray(p.push(signal[: 8 * HOP]))
+        np.testing.assert_array_equal(a, b)
