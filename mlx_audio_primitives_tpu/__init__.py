@@ -80,7 +80,7 @@ from .ops.chroma import (  # noqa: F401
     tonnetz,
 )
 from .ops.cqt import cqt, cqt_frequencies, pseudo_cqt, vqt  # noqa: F401
-from .ops.decompose import harmonic, hpss, percussive  # noqa: F401
+from .ops.decompose import decompose, harmonic, hpss, percussive  # noqa: F401
 from .ops.effects import phase_vocoder, pitch_shift, split, time_stretch, trim  # noqa: F401
 from .ops.features import poly_features, stack_memory  # noqa: F401
 from .ops.inverse import (  # noqa: F401

@@ -24,13 +24,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .._config import REAL_DTYPE
+from .._config import MATMUL_PRECISION, REAL_DTYPE
 from ..utils.validation import validate_positive
 from .stft import istft, stft
 
 ArrayLike = Any
 
-__all__ = ["median_filter_1d", "hpss", "harmonic", "percussive"]
+__all__ = ["median_filter_1d", "hpss", "harmonic", "percussive", "decompose"]
 
 
 @partial(jax.jit, static_argnames=("size", "axis"))
@@ -199,3 +199,99 @@ def percussive(
         y, 1, n_fft, hop_length, win_length, window, center, pad_mode,
         **hpss_kwargs,
     )
+
+
+@partial(jax.jit, static_argnames=("n_components", "n_iter"))
+def _nmf_mu(S: jax.Array, W0: jax.Array, H0: jax.Array, *,
+            n_components: int, n_iter: int):
+    """Multiplicative-update NMF (Lee & Seung 2001, Frobenius objective):
+    W, H >= 0 minimizing ||S - W H||_F. Every update is two MXU GEMMs per
+    factor — the whole solver is one jitted fori_loop, batched-friendly.
+    """
+    eps = jnp.asarray(np.finfo(np.float32).tiny, REAL_DTYPE)
+
+    def body(_, wh):
+        W, H = wh
+        # H <- H * (W^T S) / (W^T W H)
+        WtS = jnp.einsum("fk,ft->kt", W, S, precision=MATMUL_PRECISION)
+        WtWH = jnp.einsum(
+            "fk,fj,jt->kt", W, W, H, precision=MATMUL_PRECISION
+        )
+        H = H * WtS / (WtWH + eps)
+        # W <- W * (S H^T) / (W H H^T)
+        SHt = jnp.einsum("ft,kt->fk", S, H, precision=MATMUL_PRECISION)
+        WHHt = jnp.einsum(
+            "fj,jt,kt->fk", W, H, H, precision=MATMUL_PRECISION
+        )
+        W = W * SHt / (WHHt + eps)
+        return W, H
+
+    return jax.lax.fori_loop(0, n_iter, body, (W0, H0))
+
+
+def decompose(
+    S: ArrayLike,
+    n_components: int = 8,
+    n_iter: int = 200,
+    seed: int = 0,
+    W: ArrayLike | None = None,
+    fit_W: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Nonnegative spectrogram factorization ``S ~ W @ H`` (on-device NMF).
+
+    The librosa `decompose.decompose` role (spectral template + activation
+    separation) with a TPU-native solver: librosa delegates to sklearn's
+    host NMF; here Lee-Seung multiplicative updates run as one jitted
+    ``fori_loop`` of MXU GEMMs — deterministic given ``seed``, monotone
+    nonincreasing in the Frobenius objective. Returns
+    ``(components, activations)`` = ``(W (bins, k), H (k, frames))``.
+
+    ``W`` supplies fixed or warm-start templates (librosa's supervised
+    mode): with ``fit_W=False`` only activations are fitted (template
+    decomposition); with ``fit_W=True`` it is a warm start.
+    """
+    validate_positive(n_components, "n_components")
+    validate_positive(n_iter, "n_iter")
+    S = jnp.asarray(S, dtype=REAL_DTYPE)
+    if S.ndim != 2:
+        raise ValueError(
+            f"decompose expects a 2-D (bins, frames) spectrogram, got "
+            f"{S.ndim}-D"
+        )
+    if bool(jnp.any(S < 0)):
+        raise ValueError("decompose requires a nonnegative spectrogram")
+    nb, nf = S.shape
+    rng = np.random.default_rng(seed)
+    scale = float(np.sqrt(float(jnp.mean(S)) / max(n_components, 1) + 1e-12))
+    if W is None:
+        W0 = jnp.asarray(
+            scale * rng.uniform(0.1, 1.0, (nb, n_components)), REAL_DTYPE
+        )
+    else:
+        W0 = jnp.asarray(W, dtype=REAL_DTYPE)
+        if W0.shape != (nb, n_components):
+            raise ValueError(
+                f"W must have shape ({nb}, {n_components}), got "
+                f"{tuple(W0.shape)}"
+            )
+    H0 = jnp.asarray(
+        scale * rng.uniform(0.1, 1.0, (n_components, nf)), REAL_DTYPE
+    )
+    if W is not None and not fit_W:
+        eps = jnp.asarray(np.finfo(np.float32).tiny, REAL_DTYPE)
+
+        @partial(jax.jit, static_argnames=("n_iter",))
+        def _fit_h(S, W, H0, n_iter: int):
+            WtW = jnp.einsum("fk,fj->kj", W, W, precision=MATMUL_PRECISION)
+            WtS = jnp.einsum("fk,ft->kt", W, S, precision=MATMUL_PRECISION)
+
+            def body(_, H):
+                return H * WtS / (
+                    jnp.einsum("kj,jt->kt", WtW, H,
+                               precision=MATMUL_PRECISION) + eps
+                )
+
+            return jax.lax.fori_loop(0, n_iter, body, H0)
+
+        return W0, _fit_h(S, W0, H0, n_iter)
+    return _nmf_mu(S, W0, H0, n_components=n_components, n_iter=n_iter)
