@@ -496,7 +496,10 @@ def bench_roadmap() -> list[BenchmarkResult]:
         chroma_cens,
         chroma_stft,
         cqt,
+        lpc,
+        melspectrogram,
         onset_strength,
+        pcen,
         piptrack,
         pseudo_cqt,
         tonnetz,
@@ -515,6 +518,9 @@ def bench_roadmap() -> list[BenchmarkResult]:
         ("piptrack batch=8", lambda x: piptrack(y=x, sr=SR)),
         ("chroma_cens batch=8", lambda x: chroma_cens(y=x, sr=SR)),
         ("tonnetz batch=8", lambda x: tonnetz(y=x, sr=SR)),
+        ("pcen-mel batch=8", lambda x: pcen(
+            melspectrogram(x, sr=SR, n_mels=128), sr=SR)),
+        ("lpc order-16 batch=8", lambda x: lpc(x, 16)),
     ]:
         out.append(
             BenchmarkResult(name=name, time_ms=time_jax_amortized(fn, yd) * 1e3)

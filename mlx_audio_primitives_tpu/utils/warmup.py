@@ -26,6 +26,8 @@ from collections.abc import Iterable, Sequence
 import numpy as np
 
 _DEFAULT_OPS = ("stft", "istft", "melspectrogram", "mfcc")
+# opt-in extras a serving config may add to ``ops``
+_EXTRA_OPS = ("chroma_stft", "pcen")
 
 
 def warmup(
@@ -46,12 +48,12 @@ def warmup(
     """
     import jax
 
-    from .. import istft, melspectrogram, mfcc, stft
+    from .. import chroma_stft, istft, melspectrogram, mfcc, pcen, stft
 
     if hop_length is None:
         hop_length = n_fft // 4
     ops = tuple(ops)
-    known = set(_DEFAULT_OPS)
+    known = set(_DEFAULT_OPS) | set(_EXTRA_OPS)
     unknown = [o for o in ops if o not in known]
     if unknown:
         raise ValueError(f"unknown warmup ops {unknown}; available: {sorted(known)}")
@@ -88,6 +90,18 @@ def warmup(
                         jax.block_until_ready(
                             mfcc(y, sr=sr, n_fft=n_fft, hop_length=hop_length,
                                  n_mels=n_mels)
+                        )
+                    elif op == "chroma_stft":
+                        jax.block_until_ready(
+                            chroma_stft(y, sr=sr, n_fft=n_fft,
+                                        hop_length=hop_length)
+                        )
+                    elif op == "pcen":
+                        jax.block_until_ready(
+                            pcen(melspectrogram(
+                                y, sr=sr, n_fft=n_fft,
+                                hop_length=hop_length, n_mels=n_mels,
+                            ), sr=sr, hop_length=hop_length)
                         )
                 times[f"{op} b={B} len={L}"] = time.perf_counter() - t0
     return times

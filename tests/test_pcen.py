@@ -124,3 +124,32 @@ class TestPcenPhysics:
             pcen(melspec, max_size=1000)
         with pytest.raises(ValueError):
             pcen(np.ones(5, np.float32))
+
+
+class TestPcenGrad:
+    def test_grad_flows(self, melspec):
+        """PCEN's reason to exist is trainable frontends — the whole chain
+        (incl. the associative-scan smoother) must be differentiable."""
+        import jax
+        import jax.numpy as jnp
+
+        S = jnp.asarray(melspec)
+        g = jax.grad(lambda s: jnp.sum(pcen(s)))(S)
+        assert g.shape == S.shape
+        assert bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_grad_matches_finite_difference(self):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        S = jnp.asarray(rng.uniform(0.5, 1.0, (4, 6)).astype(np.float32))
+        f = lambda s: jnp.sum(pcen(s) ** 2)
+        g = np.asarray(jax.grad(f)(S))
+        eps = 1e-3
+        for idx in [(0, 0), (2, 3), (3, 5)]:
+            e = np.zeros(S.shape, np.float32)
+            e[idx] = eps
+            fd = (float(f(S + e)) - float(f(S - e))) / (2 * eps)
+            np.testing.assert_allclose(g[idx], fd, rtol=5e-2, atol=1e-4)
