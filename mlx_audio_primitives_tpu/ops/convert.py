@@ -12,6 +12,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -84,3 +86,33 @@ def db_to_amplitude(S_db: ArrayLike, ref: float = 1.0) -> jax.Array:
     """
     S_db = jnp.asarray(S_db, dtype=REAL_DTYPE)
     return ref * exp10(S_db / 20.0)
+
+
+def perceptual_weighting(
+    S: ArrayLike,
+    frequencies: ArrayLike,
+    kind: str = "A",
+    **power_to_db_kwargs,
+) -> jax.Array:
+    """Perceptually weighted power spectrogram in dB:
+    ``frequency_weighting(f)[:, None] + power_to_db(S)`` (librosa
+    `perceptual_weighting` semantics). ``frequencies`` is one center
+    frequency per row of ``S``; ``kind`` selects the A/B/C/D/Z curve
+    (:func:`~.units.frequency_weighting`, host f64 table) and the rest of
+    the pipeline stays on device."""
+    from .units import frequency_weighting
+
+    S = jnp.asarray(S, dtype=REAL_DTYPE)
+    w = np.atleast_1d(
+        frequency_weighting(np.asarray(frequencies, dtype=np.float64),
+                            kind=kind)
+    )
+    if w.shape[0] != S.shape[-2]:
+        raise ValueError(
+            f"frequencies must have one value per spectrogram row "
+            f"({S.shape[-2]}), got {w.shape[0]}"
+        )
+    return (
+        jnp.asarray(w.astype(np.float32))[:, None]
+        + power_to_db(S, **power_to_db_kwargs)
+    ).astype(REAL_DTYPE)

@@ -172,4 +172,86 @@ __all__ = [
     "fourier_tempo_frequencies",
     "midi_to_hz", "hz_to_midi", "note_to_midi", "midi_to_note",
     "note_to_hz", "hz_to_note",
+    "A_weighting", "B_weighting", "C_weighting", "D_weighting",
+    "frequency_weighting",
 ]
+
+
+# ------------------------------------------------------- weighting curves
+
+def A_weighting(frequencies: ArrayLike, min_db: float | None = -80.0) -> np.ndarray:
+    """A-weighting in dB (IEC 61672:2003), librosa-compatible."""
+    f2 = np.asanyarray(frequencies, dtype=np.float64) ** 2
+    const = np.array([12194.217, 20.598997, 107.65265, 737.86223]) ** 2
+    with np.errstate(divide="ignore"):
+        weights = 2.0 + 20.0 * (
+            np.log10(const[0])
+            + 2 * np.log10(f2)
+            - np.log10(f2 + const[0])
+            - np.log10(f2 + const[1])
+            - 0.5 * np.log10(f2 + const[2])
+            - 0.5 * np.log10(f2 + const[3])
+        )
+    return weights if min_db is None else np.maximum(min_db, weights)
+
+
+def B_weighting(frequencies: ArrayLike, min_db: float | None = -80.0) -> np.ndarray:
+    """B-weighting in dB, librosa-compatible."""
+    f2 = np.asanyarray(frequencies, dtype=np.float64) ** 2
+    const = np.array([12194.217, 20.598997, 158.48932]) ** 2
+    with np.errstate(divide="ignore"):
+        weights = 0.17 + 20.0 * (
+            np.log10(const[0])
+            + 1.5 * np.log10(f2)
+            - np.log10(f2 + const[0])
+            - np.log10(f2 + const[1])
+            - 0.5 * np.log10(f2 + const[2])
+        )
+    return weights if min_db is None else np.maximum(min_db, weights)
+
+
+def C_weighting(frequencies: ArrayLike, min_db: float | None = -80.0) -> np.ndarray:
+    """C-weighting in dB, librosa-compatible."""
+    f2 = np.asanyarray(frequencies, dtype=np.float64) ** 2
+    const = np.array([12194.217, 20.598997]) ** 2
+    with np.errstate(divide="ignore"):
+        weights = 0.062 + 20.0 * (
+            np.log10(const[0])
+            + np.log10(f2)
+            - np.log10(f2 + const[0])
+            - np.log10(f2 + const[1])
+        )
+    return weights if min_db is None else np.maximum(min_db, weights)
+
+
+def D_weighting(frequencies: ArrayLike, min_db: float | None = -80.0) -> np.ndarray:
+    """D-weighting in dB (IEC 537 aircraft-noise curve), librosa-compatible."""
+    f2 = np.asanyarray(frequencies, dtype=np.float64) ** 2
+    freq_sq = f2
+    h_freq = (1037918.48 - freq_sq) ** 2 + 1080768.16 * freq_sq
+    l_freq = (9837328.0 - freq_sq) ** 2 + 11723776.0 * freq_sq
+    with np.errstate(divide="ignore"):
+        weights = 20.0 * (
+            0.5 * (np.log10(h_freq) - np.log10(l_freq))
+            - np.log10(6.8966888496476e-5)
+            + 0.5 * (np.log10(freq_sq) - np.log10(freq_sq + 79919.29)
+                     - np.log10(freq_sq + 1345600.0))
+        )
+    return weights if min_db is None else np.maximum(min_db, weights)
+
+
+_WEIGHTINGS = {"A": A_weighting, "B": B_weighting, "C": C_weighting,
+               "D": D_weighting, "Z": lambda f, min_db=None: np.zeros_like(
+                   np.asanyarray(f, dtype=np.float64))}
+
+
+def frequency_weighting(frequencies: ArrayLike, kind: str = "A",
+                        **kwargs) -> np.ndarray:
+    """Dispatch to one of the A/B/C/D/Z weighting curves."""
+    try:
+        return _WEIGHTINGS[kind](frequencies, **kwargs)
+    except KeyError:
+        raise ValueError(
+            f"Unknown weighting kind: '{kind}'. Supported: "
+            f"{sorted(_WEIGHTINGS)}"
+        ) from None

@@ -104,3 +104,41 @@ class TestNotes:
             u.note_to_midi("H4")
         with pytest.raises(ValueError):
             u.note_to_midi("C##x")
+
+
+class TestWeighting:
+    def test_iec_anchor_points(self):
+        """Published IEC 61672 table values (dB, tolerance 0.2 dB)."""
+        anchors_a = {31.5: -39.4, 100.0: -19.1, 1000.0: 0.0, 4000.0: 1.0,
+                     16000.0: -6.6}
+        for f, db in anchors_a.items():
+            np.testing.assert_allclose(u.A_weighting(f), db, atol=0.2)
+        np.testing.assert_allclose(u.C_weighting(1000.0), 0.0, atol=0.05)
+        np.testing.assert_allclose(u.C_weighting(31.5), -3.0, atol=0.1)
+        np.testing.assert_allclose(u.B_weighting(1000.0), 0.0, atol=0.05)
+        np.testing.assert_allclose(u.D_weighting(1000.0), 0.0, atol=0.05)
+
+    def test_min_db_clamp(self):
+        assert u.A_weighting(1.0) == -80.0
+        assert u.A_weighting(1.0, min_db=None) < -80.0
+
+    def test_dispatch_and_z(self):
+        f = np.array([100.0, 1000.0])
+        np.testing.assert_array_equal(u.frequency_weighting(f, "A"),
+                                      u.A_weighting(f))
+        np.testing.assert_array_equal(u.frequency_weighting(f, "Z"), 0.0)
+        with pytest.raises(ValueError):
+            u.frequency_weighting(f, "Q")
+
+    def test_perceptual_weighting(self):
+        from mlx_audio_primitives_tpu import perceptual_weighting, power_to_db
+
+        rng = np.random.default_rng(0)
+        S = rng.uniform(0.1, 1, (1025, 8)).astype(np.float32)
+        freqs = u.fft_frequencies(22050, 2048)
+        out = np.asarray(perceptual_weighting(S, freqs, top_db=None))
+        ref = (np.atleast_1d(u.A_weighting(freqs))[:, None]
+               + np.asarray(power_to_db(S, top_db=None)))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+        with pytest.raises(ValueError):
+            perceptual_weighting(S, freqs[:10])
