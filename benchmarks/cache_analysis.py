@@ -69,6 +69,11 @@ _TABLE_CASES: dict[str, list[tuple[str, tuple]]] = {
     ],
     "cq_to_chroma": [("84to12", (84, 12, 12, 32.70319566257483, True))],
     "tonnetz_basis": [("12", (12,))],
+    "poly_basis": [("order2-2048", (22050, 2048, 2))],
+    "vqt_basis": [
+        ("84x12-c1-erb", (22050, 2048, 84, 32.70319566257483, 12, 1.0,
+                          13.217791238133179))
+    ],
 }
 
 

@@ -94,6 +94,7 @@ from .ops.beat import beat_track  # noqa: F401
 from .ops.lpc import lpc  # noqa: F401
 from .ops.pcen import pcen  # noqa: F401
 from .ops.convert import perceptual_weighting  # noqa: F401
+from .ops.harmonics import interp_harmonics, salience  # noqa: F401
 from .ops.reassign import reassigned_spectrogram  # noqa: F401
 from .ops.segment import cross_similarity, recurrence_matrix  # noqa: F401
 from .ops import units  # noqa: F401  (frames/time/notes/MIDI converters)

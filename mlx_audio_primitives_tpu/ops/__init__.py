@@ -19,6 +19,7 @@ from .mfcc import dct, delta, mfcc
 from .beat import beat_track
 from .lpc import lpc
 from .pcen import pcen
+from .harmonics import interp_harmonics, salience
 from .reassign import reassigned_spectrogram
 from .segment import cross_similarity, recurrence_matrix
 from . import units
