@@ -23,10 +23,19 @@ from .harmonics import interp_harmonics, salience
 from .reassign import reassigned_spectrogram
 from .segment import cross_similarity, recurrence_matrix
 from . import units
-from .pitch import autocorrelation, periodicity, piptrack, pitch_detect_acf, yin
+from .pitch import (
+    autocorrelation,
+    estimate_tuning,
+    periodicity,
+    piptrack,
+    pitch_detect_acf,
+    pitch_tuning,
+    yin,
+)
+from .signals import chirp, clicks, tone
 from .rhythm import fourier_tempogram, tempo, tempo_frequencies, tempogram
 from .resample import resample, resample_poly
-from .stft import check_nola, istft, magnitude, phase, stft
+from .stft import check_nola, istft, magnitude, magphase, phase, stft
 from .windows import get_window
 
 __all__ = [

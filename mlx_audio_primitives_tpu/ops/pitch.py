@@ -754,3 +754,60 @@ def piptrack(
         jnp.asarray(sr / float(n_fft), REAL_DTYPE),
     )
     return (pitches[0], mags[0]) if input_is_1d else (pitches, mags)
+
+
+def pitch_tuning(
+    frequencies: ArrayLike,
+    resolution: float = 0.01,
+    bins_per_octave: int = 12,
+) -> float:
+    """Tuning offset in fractional bins from a set of detected pitches.
+
+    librosa `pitch_tuning` semantics: fold each frequency's fractional
+    chroma-bin residual into ``[-0.5, 0.5)`` and take the histogram mode
+    at the given ``resolution``. Host NumPy — input is the (usually
+    sparse) pitch list, output one scalar.
+    """
+    validate_positive(resolution, "resolution")
+    validate_positive(bins_per_octave, "bins_per_octave")
+    f = np.asarray(frequencies, dtype=np.float64).ravel()
+    f = f[np.isfinite(f) & (f > 0)]
+    if f.size == 0:
+        return 0.0
+    octs = np.log2(f / 440.0)
+    residual = np.mod(bins_per_octave * octs, 1.0)
+    residual[residual >= 0.5] -= 1.0
+    bins = np.linspace(-0.5, 0.5, int(np.ceil(1.0 / resolution)) + 1)
+    counts, edges = np.histogram(residual, bins=bins)
+    return float(edges[np.argmax(counts)])
+
+
+def estimate_tuning(
+    y: ArrayLike | None = None,
+    sr: int = 22050,
+    S: ArrayLike | None = None,
+    n_fft: int = 2048,
+    resolution: float = 0.01,
+    bins_per_octave: int = 12,
+    **piptrack_kwargs,
+) -> float:
+    """Estimate the global tuning deviation of a signal in fractional
+    chroma bins (librosa `estimate_tuning`): run :func:`piptrack`, keep
+    pitches at cells whose magnitude clears the median of the non-zero
+    magnitudes, and take their :func:`pitch_tuning` histogram mode.
+    """
+    pitches, mags = piptrack(
+        y=y, sr=sr, S=S, n_fft=n_fft, **piptrack_kwargs
+    )
+    pitches = np.asarray(pitches).ravel()
+    mags = np.asarray(mags).ravel()
+    sel = pitches > 0
+    if not sel.any():
+        return 0.0
+    threshold = np.median(mags[sel])
+    keep = sel & (mags >= threshold)
+    return pitch_tuning(
+        pitches[keep if keep.any() else sel],
+        resolution=resolution,
+        bins_per_octave=bins_per_octave,
+    )

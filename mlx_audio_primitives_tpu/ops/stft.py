@@ -578,3 +578,20 @@ __all__ = [
     "num_frames",
     "reconstruction_length",
 ]
+
+
+def magphase(D: ArrayLike, power: float = 1.0) -> tuple[jax.Array, jax.Array]:
+    """Split a complex spectrogram into ``(|D|**power, unit phasors)``
+    with ``mag * phase == D`` when ``power=1`` (librosa `magphase`
+    semantics). Zero-magnitude cells get phase ``1+0j`` rather than NaN.
+    """
+    D = jnp.asarray(D)
+    mag = jnp.abs(D)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, mag.dtype)
+    ph = jnp.where(
+        mag > tiny, D / jnp.maximum(mag, tiny).astype(D.dtype),
+        jnp.asarray(1.0 + 0.0j, D.dtype),
+    )
+    if power != 1.0:
+        mag = mag**power
+    return mag.astype(REAL_DTYPE), ph
