@@ -195,3 +195,79 @@ def test_mel_finite_and_shaped(cfg):
     )
     assert np.isfinite(m).all()
     assert m.shape[-2] == n_mels
+
+
+# ---------------------------------------------------------------------------
+# Round-3 op sweep: randomized configs through the analysis-op surface.
+# Invariant checks (finite, shaped, in-band, nonnegative where required) —
+# the per-op oracle tests live in their own files; this net catches
+# edge-config crashes (odd hops, short signals, tiny n_fft, batch mixes).
+
+_R3_RNG = np.random.default_rng(20260820)
+
+
+def _r3_config(rng):
+    sr = int(rng.choice([8000, 16000, 22050]))
+    n_fft = int(rng.choice([256, 512, 1024, 2048]))
+    hop = int(rng.integers(max(32, n_fft // 8), n_fft // 2 + 1))
+    length = int(rng.integers(3 * n_fft, 8 * n_fft))
+    batch = int(rng.choice([1, 2, 4]))
+    return sr, n_fft, hop, length, batch
+
+
+R3_CONFIGS = [_r3_config(_R3_RNG) for _ in range(10)]
+
+
+@pytest.mark.parametrize(
+    "cfg", R3_CONFIGS, ids=lambda c: f"sr{c[0]}-n{c[1]}-h{c[2]}-L{c[3]}-b{c[4]}"
+)
+def test_roundthree_ops_fuzz(cfg):
+    import mlx_audio_primitives_tpu as ap
+
+    sr, n_fft, hop, length, batch = cfg
+    rng = np.random.default_rng(hash(cfg) % (2**32))
+    y = rng.standard_normal((batch, length)).astype(np.float32)
+    y1 = y[0]
+
+    # piptrack: pitches in [0, fmax+binwidth], zero off-peak
+    p, m = ap.piptrack(y=y, sr=sr, n_fft=n_fft, hop_length=hop)
+    p, m = np.asarray(p), np.asarray(m)
+    assert np.all(np.isfinite(p)) and np.all(np.isfinite(m))
+    assert p.max() < 4000.0 + sr / n_fft and p.min() >= 0.0
+
+    # pcen over a mel spectrogram: finite, nonnegative
+    n_mels = min(40, n_fft // 4)
+    M = ap.melspectrogram(y, sr=sr, n_fft=n_fft, hop_length=hop,
+                          n_mels=n_mels)
+    P = np.asarray(ap.pcen(np.asarray(M), sr=sr, hop_length=hop))
+    assert np.all(np.isfinite(P)) and np.all(P >= 0)
+
+    # onset/beat chain on the 1-D row: monotone beat frames in range
+    env = ap.onset_strength(y1, sr=sr, hop_length=hop, n_fft=n_fft,
+                            n_mels=n_mels)
+    bpm, beats = ap.beat_track(onset_envelope=np.asarray(env), sr=sr,
+                               hop_length=hop)
+    assert np.isfinite(bpm)
+    if beats.size:
+        assert np.all(np.diff(beats) > 0)
+        assert beats.min() >= 0 and beats.max() < len(np.asarray(env))
+
+    # lpc: leading one, finite
+    a = np.asarray(ap.lpc(y, 8))
+    assert a.shape == (batch, 9)
+    np.testing.assert_array_equal(a[:, 0], 1.0)
+    assert np.all(np.isfinite(a))
+
+    # trim/split: consistent slicing
+    yt, idx = ap.trim(y1, top_db=40)
+    assert 0 <= idx[0] <= idx[1] <= length
+    iv = ap.split(y1, top_db=40)
+    assert np.all(iv[:, 0] <= iv[:, 1]) if iv.size else True
+
+    # recurrence over MFCCs: square, zero diagonal band
+    C = np.asarray(ap.mfcc(y=y1, sr=sr, n_fft=n_fft, hop_length=hop,
+                           n_mfcc=13, n_mels=n_mels))
+    if C.shape[1] >= 8:
+        R = np.asarray(ap.recurrence_matrix(C, k=2, width=2))
+        assert R.shape == (C.shape[1],) * 2
+        assert np.trace(R) == 0.0
