@@ -88,6 +88,17 @@ def main(bpm: float = 120.0, sr: int = 22050) -> None:
     for got, want in zip(onsets, true_onsets):
         assert abs(got - want) < 0.06, f"onset {got:.3f}s vs {want:.3f}s"
 
+    # --- tempo + beat grid ------------------------------------------------
+    # only 4 beats of audio: hand the tracker the known prior via start_bpm
+    est_bpm, beats = ap.beat_track(y=y, sr=sr, hop_length=hop,
+                                   start_bpm=bpm, units="time")
+    print(f"tempo: {est_bpm:.1f} BPM (true {bpm:.0f}); "
+          f"beats (s): {np.round(beats, 3).tolist()}")
+    assert abs(est_bpm - bpm) / bpm < 0.1, f"tempo {est_bpm} vs {bpm}"
+    if beats.size >= 2:
+        spacing = float(np.median(np.diff(beats)))
+        assert abs(spacing - 60.0 / bpm) < 0.08
+
     # --- chords from chroma ----------------------------------------------
     C = np.asarray(ap.chroma_cqt(y, sr=sr, hop_length=hop))
     beat_frames = int(round(60.0 / bpm * sr / hop))
@@ -120,7 +131,20 @@ def main(bpm: float = 120.0, sr: int = 22050) -> None:
         print(f"beat {i}: melody f0 {med:.1f} Hz (true {melody_hz:.1f})")
         assert abs(med - melody_hz) / melody_hz < 0.03
 
-    print("music analysis OK: onsets, chords, and melody all recovered")
+    # --- structure: the repeated C chord links across the clip ------------
+    R = np.asarray(ap.recurrence_matrix(C, k=4, width=beat_frames // 2,
+                                        metric="cosine"))
+    first_c = slice(lead_frames + beat_frames // 4,
+                    lead_frames + 3 * beat_frames // 4)
+    last_c = slice(lead_frames + 3 * beat_frames + beat_frames // 4,
+                   lead_frames + 3 * beat_frames + 3 * beat_frames // 4)
+    cross = R[first_c, last_c]
+    print(f"structure: first-C x last-C recurrence density "
+          f"{float(cross.mean()):.2f}")
+    assert cross.mean() > 0.05, "repeated chord sections failed to link"
+
+    print("music analysis OK: onsets, tempo/beats, chords, melody, and "
+          "structure all recovered")
 
 
 if __name__ == "__main__":
