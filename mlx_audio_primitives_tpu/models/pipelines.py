@@ -138,7 +138,8 @@ class TrainableLogMelFrontend:
         return {"fb_t": jnp.asarray(fb).T}
 
     def apply(
-        self, params: dict, y: ArrayLike, use_pallas: bool | None = None
+        self, params: dict, y: ArrayLike, use_pallas: bool | None = None,
+        db: bool = True,
     ) -> jax.Array:
         from ..kernels.mel_fused import (
             melspectrogram_pallas,
@@ -167,7 +168,7 @@ class TrainableLogMelFrontend:
                 y, self.win, fb_t, n_fft=self.n_fft,
                 hop_length=self.hop_length, center=True, pad_mode="constant",
             )
-        out = power_to_db(mel, top_db=None)
+        out = power_to_db(mel, top_db=None) if db else mel
         return out[0] if input_is_1d else out
 
 
@@ -266,3 +267,77 @@ def make_sharded_train_step(
         return new_params, loss
 
     return step
+
+
+class TrainablePCENFrontend:
+    """PCEN-mel frontend with LEARNABLE per-channel compression.
+
+    The Wang et al. (2017) trainable frontend: on top of the (optionally
+    learnable) mel filterbank, each mel channel owns its own PCEN gain,
+    bias, root-compression power, and smoother coefficient — all trained
+    end-to-end. Positivity/range constraints are enforced by
+    parameterization (softplus for gain/bias/power, sigmoid for the
+    smoother coefficient), so plain SGD cannot step out of the valid
+    region. Gradients flow through everything: the fused mel kernel's
+    VJP, the associative-scan smoother (:func:`~.ops.pcen.pcen_smoother`),
+    and the expm1/log1p compression.
+
+    ``init_params()`` -> ``{"fb_t", "gain_raw", "bias_raw", "power_raw",
+    "b_logit"}`` initialized at the published defaults
+    (gain 0.98, bias 2, power 0.5, b from a 0.4 s time constant);
+    ``apply(params, y)`` -> ``(B, n_mels, F)`` PCEN features.
+    """
+
+    def __init__(
+        self,
+        sr: int = 22050,
+        n_fft: int = 2048,
+        hop_length: int = 512,
+        n_mels: int = 128,
+        window: str = "hann",
+        eps: float = 1e-6,
+    ):
+        self.mel = TrainableLogMelFrontend(
+            sr=sr, n_fft=n_fft, hop_length=hop_length, n_mels=n_mels,
+            window=window,
+        )
+        self.n_mels = n_mels
+        self.eps = float(eps)
+        t_frames = 0.4 * sr / float(hop_length)
+        self._b0 = float(
+            (np.sqrt(1.0 + 4.0 * t_frames**2) - 1.0) / (2.0 * t_frames**2)
+        )
+
+    @staticmethod
+    def _inv_softplus(x: float) -> float:
+        return float(np.log(np.expm1(x)))
+
+    def init_params(self) -> dict[str, jax.Array]:
+        m = self.n_mels
+        p = self.mel.init_params()
+        p["gain_raw"] = jnp.full((m,), self._inv_softplus(0.98))
+        p["bias_raw"] = jnp.full((m,), self._inv_softplus(2.0))
+        p["power_raw"] = jnp.full((m,), self._inv_softplus(0.5))
+        p["b_logit"] = jnp.full(
+            (m,), float(np.log(self._b0 / (1.0 - self._b0)))
+        )
+        return p
+
+    def apply(self, params: dict, y: ArrayLike) -> jax.Array:
+        from ..ops.pcen import pcen_smoother
+
+        # mel POWER (the log/dB step of the parent class is replaced by
+        # the PCEN compression law)
+        # the learned filterbank can project negative values; PCEN's
+        # compression law needs nonnegative energies (log1p/`**-gain`
+        # otherwise NaN within two SGD steps — seen in testing)
+        mel = jnp.maximum(self.mel.apply(params, y, db=False), 0.0)
+        gain = jax.nn.softplus(params["gain_raw"])[:, None]
+        bias = jax.nn.softplus(params["bias_raw"])[:, None]
+        power = jax.nn.softplus(params["power_raw"])[:, None]
+        b = jax.nn.sigmoid(params["b_logit"])
+        M = pcen_smoother(mel, b)
+        smooth = (self.eps + M) ** (-gain)
+        return (bias**power) * jnp.expm1(
+            power * jnp.log1p(mel * smooth / bias)
+        )

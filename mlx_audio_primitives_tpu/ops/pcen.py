@@ -162,4 +162,35 @@ def pcen(
     )
 
 
-__all__ = ["pcen"]
+__all__ = ["pcen", "pcen_smoother"]
+
+
+def pcen_smoother(
+    ref: jax.Array, b: jax.Array, zi: jax.Array | None = None
+) -> jax.Array:
+    """The PCEN one-pole running mean as a first-order associative scan.
+
+    ``M[t] = (1 - b) M[t-1] + b ref[t]`` along the last axis, with the
+    scipy ``zi`` initialization convention (``zi=None`` -> lfilter_zi
+    steady state, i.e. ``M[0] = ref[0]``). ``b`` may be a scalar or any
+    shape broadcastable to ``ref`` minus the time axis — PER-CHANNEL
+    smoothing coefficients are first-class (the trainable-frontend case,
+    Wang et al. 2017), which scipy's lfilter cannot express in one call.
+    Differentiable in both ``ref`` and ``b``.
+    """
+    b = jnp.broadcast_to(
+        jnp.asarray(b, ref.dtype)[..., None], ref.shape
+    )
+    c = 1.0 - b
+    coef = c.at[..., 0].set(0.0)
+    d = b * ref
+    d0 = ref[..., 0] if zi is None else d[..., 0] + zi
+    d = d.at[..., 0].set(d0)
+
+    def combine(x, y):
+        cx, dx = x
+        cy, dy = y
+        return cx * cy, cy * dx + dy
+
+    _, M = jax.lax.associative_scan(combine, (coef, d), axis=-1)
+    return M

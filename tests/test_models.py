@@ -194,3 +194,81 @@ class TestVmapDispatchGate:
         )
         f0n, _ = pitch_detect_acf(y, sr=22050)
         np.testing.assert_allclose(np.asarray(f0v), np.asarray(f0n))
+
+
+class TestTrainablePCENFrontend:
+    def test_init_matches_published_pcen(self):
+        """At init the learnable frontend equals ops.pcen with defaults."""
+        from mlx_audio_primitives_tpu import melspectrogram, pcen
+        from mlx_audio_primitives_tpu.models.pipelines import (
+            TrainablePCENFrontend,
+        )
+
+        fe = TrainablePCENFrontend(sr=22050, n_fft=512, hop_length=128,
+                                   n_mels=32)
+        params = fe.init_params()
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal((2, 4096)).astype(np.float32)
+        ours = np.asarray(fe.apply(params, y))
+        M = melspectrogram(y, sr=22050, n_fft=512, hop_length=128, n_mels=32)
+        ref = np.asarray(pcen(np.asarray(M), sr=22050, hop_length=128))
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
+
+    def test_all_parameters_receive_gradients(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mlx_audio_primitives_tpu.models.pipelines import (
+            TrainablePCENFrontend,
+        )
+
+        fe = TrainablePCENFrontend(sr=22050, n_fft=512, hop_length=128,
+                                   n_mels=32)
+        params = fe.init_params()
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
+        g = jax.grad(lambda p: jnp.sum(fe.apply(p, y) ** 2))(params)
+        for name, leaf in g.items():
+            assert bool(jnp.all(jnp.isfinite(leaf))), name
+            assert float(jnp.abs(leaf).max()) > 0, name
+
+    def test_training_reduces_loss(self):
+        """Two-class toy task: SGD through the full frontend descends."""
+        import jax
+        import jax.numpy as jnp
+
+        from mlx_audio_primitives_tpu.models.pipelines import (
+            TrainablePCENFrontend,
+        )
+
+        fe = TrainablePCENFrontend(sr=22050, n_fft=512, hop_length=128,
+                                   n_mels=16)
+        params = fe.init_params()
+        w = jnp.zeros((16, 2))
+        params["head"] = w
+        rng = np.random.default_rng(2)
+        t = np.arange(4096) / 22050
+        y0 = np.stack([np.sin(2 * np.pi * 300 * t),
+                       np.sin(2 * np.pi * 3000 * t)]).astype(np.float32)
+        y0 += 0.05 * rng.standard_normal(y0.shape).astype(np.float32)
+        labels = jnp.asarray([0, 1])
+
+        def loss_fn(p):
+            feats = fe.apply(
+                {k: v for k, v in p.items() if k != "head"}, y0
+            ).mean(axis=-1)  # (B, n_mels)
+            logits = feats @ p["head"]
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(logp[jnp.arange(2), labels])
+
+        @jax.jit
+        def step(p):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            return jax.tree.map(lambda a, b: a - 0.05 * b, p, g), l
+
+        losses = []
+        for _ in range(12):
+            params, l = step(params)
+            losses.append(float(l))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
