@@ -82,7 +82,7 @@ from .ops.chroma import (  # noqa: F401
 from .ops.cqt import cqt, cqt_frequencies, pseudo_cqt, vqt  # noqa: F401
 from .ops.decompose import decompose, harmonic, hpss, percussive  # noqa: F401
 from .ops.effects import phase_vocoder, pitch_shift, split, time_stretch, trim  # noqa: F401
-from .ops.features import poly_features, stack_memory  # noqa: F401
+from .ops.features import poly_features, stack_memory, sync  # noqa: F401
 from .ops.inverse import (  # noqa: F401
     mel_to_audio,
     mel_to_stft,
@@ -96,7 +96,7 @@ from .ops.pcen import pcen  # noqa: F401
 from .ops.convert import perceptual_weighting  # noqa: F401
 from .ops.harmonics import interp_harmonics, salience  # noqa: F401
 from .ops.reassign import reassigned_spectrogram  # noqa: F401
-from .ops.segment import cross_similarity, recurrence_matrix  # noqa: F401
+from .ops.segment import cross_similarity, nn_filter, recurrence_matrix  # noqa: F401
 from .ops import units  # noqa: F401  (frames/time/notes/MIDI converters)
 from .ops.pitch import estimate_tuning, piptrack, pitch_tuning, yin  # noqa: F401
 from .ops.signals import chirp, clicks, tone  # noqa: F401

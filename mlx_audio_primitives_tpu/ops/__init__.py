@@ -9,6 +9,7 @@ from .features import (
     spectral_flatness,
     spectral_rolloff,
     stack_memory,
+    sync,
     zero_crossing_rate,
 )
 from .filterbanks import bark_filterbank, bark_to_hz, hz_to_bark, linear_filterbank
@@ -21,7 +22,7 @@ from .lpc import lpc
 from .pcen import pcen
 from .harmonics import interp_harmonics, salience
 from .reassign import reassigned_spectrogram
-from .segment import cross_similarity, recurrence_matrix
+from .segment import cross_similarity, nn_filter, recurrence_matrix
 from . import units
 from .pitch import (
     autocorrelation,

@@ -499,3 +499,53 @@ def stack_memory(
             pad[-1] = (0, -shift)
             blocks.append(jnp.pad(x, pad)[..., -F:])
     return jnp.concatenate(blocks, axis=-2)
+
+
+def sync(
+    data: ArrayLike,
+    idx: ArrayLike,
+    aggregate: str = "mean",
+    pad: bool = True,
+    axis: int = -1,
+) -> jax.Array:
+    """Aggregate a feature matrix between boundary frames (librosa
+    `util.sync` semantics) — the beat-synchronous feature reducer:
+    ``sync(C, beat_frames)`` collapses a chromagram to one column per
+    beat interval.
+
+    ``idx`` holds ordered slice boundaries; ``pad=True`` prepends 0 and
+    appends the axis length so leading/trailing partial segments are
+    kept. ``aggregate``: 'mean', 'median', 'max', or 'min'. Segments are
+    inherently ragged, so this is a host boundary by design (one NumPy
+    reduction per segment over device-fetched data); empty segments
+    produce zeros like librosa's.
+    """
+    x = np.asarray(jnp.asarray(data, dtype=REAL_DTYPE))
+    x = np.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    bounds = np.asarray(idx, dtype=np.int64).ravel()
+    if np.any(np.diff(bounds) < 0):
+        raise ValueError("idx must be non-decreasing")
+    if bounds.size and (bounds[0] < 0 or bounds[-1] > n):
+        raise ValueError(f"idx out of range for axis length {n}")
+    if pad:
+        bounds = np.concatenate([[0], bounds, [n]])
+    bounds = np.unique(bounds)
+    agg = {"mean": np.mean, "median": np.median, "max": np.max,
+           "min": np.min}.get(aggregate)
+    if agg is None:
+        raise ValueError(
+            f"Unknown aggregate: '{aggregate}'. Supported: 'mean', "
+            "'median', 'max', 'min'"
+        )
+    cols = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b > a:
+            cols.append(agg(x[..., a:b], axis=-1))
+        else:
+            cols.append(np.zeros(x.shape[:-1], x.dtype))
+    out = (
+        np.stack(cols, axis=-1)
+        if cols else np.zeros(x.shape[:-1] + (0,), x.dtype)
+    )
+    return jnp.asarray(np.moveaxis(out, -1, axis))

@@ -179,4 +179,62 @@ def cross_similarity(
     return _cross_core(X.T, Y.T, k=k, metric=metric, mode=mode)
 
 
-__all__ = ["recurrence_matrix", "cross_similarity"]
+__all__ = ["recurrence_matrix", "cross_similarity", "nn_filter"]
+
+
+def nn_filter(
+    data: ArrayLike,
+    rec: ArrayLike | None = None,
+    aggregate: str = "mean",
+    **recurrence_kwargs,
+) -> jax.Array:
+    """Nearest-neighbor smoothing of a feature sequence (librosa
+    `decompose.nn_filter` role): each frame is replaced by the aggregate
+    of its recurrence-neighbors — the classic self-similarity denoiser
+    (REPET-SIM when applied to spectrograms).
+
+    ``rec`` is a precomputed (t, t) recurrence/affinity matrix; otherwise
+    :func:`recurrence_matrix` runs with ``**recurrence_kwargs`` (affinity
+    mode recommended). ``aggregate``: 'mean' (affinity-weighted) or
+    'median' (masked median over neighbors, the REPET-SIM choice). One
+    GEMM for the mean path; a masked sort for the median.
+    """
+    X = jnp.asarray(data, dtype=REAL_DTYPE)
+    if X.ndim == 1:
+        X = X[None]
+    if X.ndim != 2:
+        raise ValueError("nn_filter expects (d, t) features")
+    if rec is None:
+        recurrence_kwargs.setdefault("mode", "affinity")
+        R = recurrence_matrix(X, **recurrence_kwargs)
+    else:
+        R = jnp.asarray(rec, dtype=REAL_DTYPE)
+        if R.shape != (X.shape[1], X.shape[1]):
+            raise ValueError(
+                f"rec must be ({X.shape[1]}, {X.shape[1]}), got "
+                f"{tuple(R.shape)}"
+            )
+    if aggregate == "mean":
+        # include each frame itself with unit weight (librosa adds the
+        # identity so empty-neighbor frames pass through unchanged)
+        Rw = R + jnp.eye(R.shape[0], dtype=REAL_DTYPE)
+        norm = jnp.sum(Rw, axis=1)
+        return (X @ Rw.T / norm[None, :]).astype(REAL_DTYPE)
+    if aggregate == "median":
+        t = X.shape[1]
+        keep = (R + jnp.eye(t, dtype=REAL_DTYPE)) > 0
+        big = jnp.asarray(np.float32(np.finfo(np.float32).max), REAL_DTYPE)
+        # masked median per (feature, frame): sort neighbor values with
+        # non-neighbors pushed to +inf, then index the middle of the
+        # actual neighbor count
+        vals = jnp.where(keep[None, :, :], X[:, None, :], big)  # (d,t,t)
+        s = jnp.sort(vals, axis=-1)
+        n = jnp.sum(keep, axis=1)  # neighbors per frame (t,)
+        lo = jnp.take_along_axis(
+            s, ((n - 1) // 2)[None, :, None], axis=-1
+        )[..., 0]
+        hi = jnp.take_along_axis(s, (n // 2)[None, :, None], axis=-1)[..., 0]
+        return (0.5 * (lo + hi)).astype(REAL_DTYPE)
+    raise ValueError(
+        f"Unknown aggregate: '{aggregate}'. Supported: 'mean', 'median'"
+    )

@@ -114,3 +114,90 @@ class TestCrossSimilarity:
     def test_errors(self, feats):
         with pytest.raises(ValueError):
             cross_similarity(feats, feats[:3])
+
+
+class TestNNFilter:
+    def test_mean_matches_manual(self, feats):
+        from mlx_audio_primitives_tpu import nn_filter, recurrence_matrix
+
+        R = np.asarray(recurrence_matrix(feats, k=3, mode="affinity"))
+        out = np.asarray(nn_filter(feats, rec=R))
+        Rw = R + np.eye(R.shape[0])
+        ref = (feats.astype(np.float64) @ Rw.T) / Rw.sum(axis=1)[None, :]
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_median_matches_manual(self, feats):
+        from mlx_audio_primitives_tpu import nn_filter, recurrence_matrix
+
+        R = np.asarray(recurrence_matrix(feats, k=3))
+        out = np.asarray(nn_filter(feats, rec=R, aggregate="median"))
+        keep = (R + np.eye(R.shape[0])) > 0
+        ref = np.stack(
+            [np.median(feats[:, keep[t]], axis=1)
+             for t in range(R.shape[0])], axis=1,
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_denoises_repeated_structure(self):
+        """Frames repeating across the clip: nn_filter averages away the
+        independent noise (the REPET-SIM mechanism)."""
+        rng = np.random.default_rng(0)
+        clean = rng.uniform(0, 1, (8, 10)).astype(np.float32)
+        X = np.tile(clean, (1, 4)) + 0.3 * rng.standard_normal(
+            (8, 40)
+        ).astype(np.float32)
+        from mlx_audio_primitives_tpu import nn_filter
+
+        out = np.asarray(nn_filter(X, k=3, width=5, mode="affinity"))
+        tiled = np.tile(clean, (1, 4))
+        assert (np.abs(out - tiled).mean()
+                < 0.85 * np.abs(X - tiled).mean())
+
+    def test_errors(self, feats):
+        from mlx_audio_primitives_tpu import nn_filter
+
+        with pytest.raises(ValueError):
+            nn_filter(feats, rec=np.ones((3, 3), np.float32))
+        with pytest.raises(ValueError):
+            nn_filter(feats, aggregate="mode")
+
+
+class TestSync:
+    def test_beat_sync_chroma(self):
+        from mlx_audio_primitives_tpu import sync
+
+        rng = np.random.default_rng(1)
+        C = rng.uniform(0, 1, (12, 20)).astype(np.float32)
+        out = np.asarray(sync(C, [5, 10, 15]))
+        assert out.shape == (12, 4)
+        np.testing.assert_allclose(out[:, 0], C[:, :5].mean(axis=1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(out[:, 2], C[:, 10:15].mean(axis=1),
+                                   atol=1e-6)
+
+    def test_no_pad(self):
+        from mlx_audio_primitives_tpu import sync
+
+        C = np.arange(20, dtype=np.float32).reshape(2, 10)
+        out = np.asarray(sync(C, [2, 6], pad=False))
+        assert out.shape == (2, 1)
+        np.testing.assert_allclose(out[:, 0], C[:, 2:6].mean(axis=1))
+
+    def test_aggregates(self):
+        from mlx_audio_primitives_tpu import sync
+
+        C = np.asarray([[1.0, 5.0, 3.0, 9.0]], np.float32)
+        assert float(np.asarray(sync(C, [4], aggregate="max",
+                                     pad=True))[0, 0]) == 9.0
+        assert float(np.asarray(sync(C, [4], aggregate="median"))[0, 0]) == 4.0
+
+    def test_errors(self):
+        from mlx_audio_primitives_tpu import sync
+
+        C = np.ones((2, 10), np.float32)
+        with pytest.raises(ValueError):
+            sync(C, [5, 3])
+        with pytest.raises(ValueError):
+            sync(C, [99])
+        with pytest.raises(ValueError):
+            sync(C, [5], aggregate="mode")
