@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.dispatch import pallas_interpret_mode, vma_struct
-from .block_policy import LANE, SUBLANE, VMEM_BUDGET, cdiv, round_up
+from .block_policy import LANE, SUBLANE, VMEM_BUDGET, round_up
 
 # beyond this k the O(kW) extraction loop approaches the sort's cost and
 # compile time grows linearly — fall back to jnp.sort

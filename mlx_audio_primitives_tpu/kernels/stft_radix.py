@@ -24,7 +24,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .._config import MATMUL_PRECISION
 from ..utils.dispatch import pallas_interpret_mode, vma_struct
 from .block_policy import LANE, SUBLANE, VMEM_BUDGET, radix_shape_ok, round_up
 from .mel_fused import (

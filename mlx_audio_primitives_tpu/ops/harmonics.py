@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .._config import REAL_DTYPE
-from ..utils.validation import validate_positive
 
 ArrayLike = Any
 

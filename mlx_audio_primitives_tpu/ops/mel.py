@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .._config import FILTERBANK_CACHE_SIZE, MATMUL_PRECISION, REAL_DTYPE
+from .._config import FILTERBANK_CACHE_SIZE, MATMUL_PRECISION
 from ..kernels.bluestein import rfft_power_len
 from ..kernels.dft import forward_basis
 from ..utils.cache import table_cache
