@@ -525,6 +525,65 @@ def bench_roadmap() -> list[BenchmarkResult]:
         out.append(
             BenchmarkResult(name=name, time_ms=time_jax_amortized(fn, yd) * 1e3)
         )
+
+    # the two ops with natural scipy/numpy CPU baselines get speedup rows
+    import scipy.signal
+
+    Mh = np.asarray(melspectrogram(yd, sr=SR, n_mels=128))
+    t_pcen = time_jax_amortized(
+        lambda m: pcen(m, sr=SR), jax.device_put(jnp.asarray(Mh))
+    )
+    tf = 0.4 * SR / 512.0
+    b = float((np.sqrt(1 + 4 * tf * tf) - 1) / (2 * tf * tf))
+
+    def pcen_cpu():
+        zi = scipy.signal.lfilter_zi([b], [1, b - 1])[..., 0] * Mh[..., 0:1]
+        M, _ = scipy.signal.lfilter([b], [1, b - 1], Mh, axis=-1, zi=zi)
+        return (2.0**0.5) * np.expm1(
+            0.5 * np.log1p(Mh * (1e-6 + M) ** -0.98 / 2.0)
+        )
+
+    out.append(
+        BenchmarkResult(
+            name="pcen (mel in) batch=8",
+            time_ms=t_pcen * 1e3,
+            baseline_name="scipy lfilter + numpy",
+            baseline_time_ms=time_function(pcen_cpu, warmup=1, runs=5) * 1e3,
+        )
+    )
+
+    t_lpc = time_jax_amortized(lambda x: lpc(x, 16), yd)
+
+    def lpc_cpu():
+        # scalar Burg per row (the loop librosa jit-compiles with numba;
+        # plain numpy here)
+        outs = []
+        for row in y:
+            r = row.astype(np.float64)
+            ar = np.zeros(17)
+            ar[0] = 1.0
+            fwd, bwd = r[1:].copy(), r[:-1].copy()
+            den = fwd @ fwd + bwd @ bwd
+            for i in range(16):
+                k = 0.0 if den <= 0 else -2.0 * (bwd @ fwd) / den
+                prev = ar.copy()
+                for j in range(1, i + 2):
+                    ar[j] = prev[j] + k * prev[i + 1 - j]
+                f_new = fwd + k * bwd
+                b_new = bwd + k * fwd
+                den = (1 - k * k) * den - f_new[0] ** 2 - b_new[-1] ** 2
+                fwd, bwd = f_new[1:], b_new[:-1]
+            outs.append(ar)
+        return np.asarray(outs)
+
+    out.append(
+        BenchmarkResult(
+            name="lpc order-16 batch=8 (vs CPU Burg)",
+            time_ms=t_lpc * 1e3,
+            baseline_name="numpy Burg loop",
+            baseline_time_ms=time_function(lpc_cpu, warmup=1, runs=3) * 1e3,
+        )
+    )
     return out
 
 
