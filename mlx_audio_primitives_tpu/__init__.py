@@ -81,7 +81,14 @@ from .ops.chroma import (  # noqa: F401
 )
 from .ops.cqt import cqt, cqt_frequencies, pseudo_cqt, vqt  # noqa: F401
 from .ops.decompose import decompose, harmonic, hpss, percussive  # noqa: F401
-from .ops.effects import phase_vocoder, pitch_shift, split, time_stretch, trim  # noqa: F401
+from .ops.effects import (  # noqa: F401
+    phase_vocoder,
+    pitch_shift,
+    remix,
+    split,
+    time_stretch,
+    trim,
+)
 from .ops.features import poly_features, stack_memory, sync  # noqa: F401
 from .ops.inverse import (  # noqa: F401
     mel_to_audio,
@@ -89,7 +96,7 @@ from .ops.inverse import (  # noqa: F401
     mfcc_to_audio,
     mfcc_to_mel,
 )
-from .ops.onset import onset_detect, onset_strength  # noqa: F401
+from .ops.onset import onset_backtrack, onset_detect, onset_strength  # noqa: F401
 from .ops.beat import beat_track  # noqa: F401
 from .ops.lpc import lpc  # noqa: F401
 from .ops.pcen import pcen  # noqa: F401

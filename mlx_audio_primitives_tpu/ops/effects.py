@@ -311,3 +311,39 @@ def split(
     edges = np.concatenate(parts) if parts else np.empty(0, np.int64)
     samples = np.minimum(edges * hop_length, int(y.shape[-1]))
     return samples.reshape(-1, 2)
+
+
+def remix(
+    y: ArrayLike, intervals: ArrayLike, align_zeros: bool = True
+) -> jax.Array:
+    """Re-order a signal by concatenating the given sample intervals
+    (librosa `effects.remix` semantics): the shuffle/loop primitive that
+    pairs with :func:`split` and beat intervals.
+
+    ``align_zeros`` snaps each boundary to the nearest zero crossing of
+    the (first-channel) signal, suppressing clicks at the joins. Interval
+    lists are ragged, so assembly happens on the host; the result is a
+    device array.
+    """
+    y = jnp.asarray(y, dtype=REAL_DTYPE)
+    yh = np.asarray(y)
+    n = yh.shape[-1]
+    iv = np.asarray(intervals, dtype=np.int64)
+    if iv.ndim != 2 or iv.shape[1] != 2:
+        raise ValueError(
+            f"intervals must be (n_intervals, 2), got {tuple(iv.shape)}"
+        )
+    if np.any(iv < 0) or np.any(iv > n):
+        raise ValueError(f"interval bounds out of range for length {n}")
+    if align_zeros and n > 1:
+        mono = yh.reshape(-1, n)[0]
+        zc = np.flatnonzero(np.abs(np.diff(np.signbit(mono))) > 0)
+        if zc.size:
+            snapped = zc[
+                np.clip(np.searchsorted(zc, iv.ravel()), 0, zc.size - 1)
+            ].reshape(iv.shape)
+            iv = np.minimum(snapped, n)
+    parts = [yh[..., a:b] for a, b in iv if b > a]
+    if not parts:
+        return jnp.zeros(yh.shape[:-1] + (0,), REAL_DTYPE)
+    return jnp.asarray(np.concatenate(parts, axis=-1))

@@ -305,3 +305,14 @@ def _backtrack(onsets: np.ndarray, energy: np.ndarray) -> np.ndarray:
     minima = np.flatnonzero(np.concatenate(([True], interior, [False])))
     pos = np.searchsorted(minima, onsets, side="right") - 1
     return minima[np.maximum(pos, 0)]
+
+
+def onset_backtrack(events: ArrayLike, energy: ArrayLike) -> np.ndarray:
+    """Roll each detected onset back to the preceding local minimum of an
+    energy curve (librosa `onset.onset_backtrack` public API; the same
+    routine :func:`onset_detect` uses for ``backtrack=True``). Host NumPy
+    — a handful of ragged events."""
+    return _backtrack(
+        np.asarray(events, dtype=np.int64),
+        np.asarray(energy, dtype=np.float64).ravel(),
+    )

@@ -245,3 +245,43 @@ class TestTrimSplit:
             trim(np.zeros(100, np.float32), top_db=0)
         with pytest.raises(ValueError):
             split(np.zeros(100, np.float32), frame_length=0)
+
+
+class TestRemix:
+    def test_reorders_intervals(self):
+        from mlx_audio_primitives_tpu import remix
+
+        y = np.arange(100, dtype=np.float32)
+        out = np.asarray(remix(y, [[50, 60], [0, 10]], align_zeros=False))
+        np.testing.assert_array_equal(out, np.r_[y[50:60], y[0:10]])
+
+    def test_align_zeros_snaps(self):
+        from mlx_audio_primitives_tpu import remix
+
+        t = np.arange(22050) / 22050
+        y = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+        out = np.asarray(remix(y, [[1000, 5000]], align_zeros=True))
+        # boundaries land at zero crossings: first/last samples near zero
+        assert abs(out[0]) < 0.05 and abs(out[-1]) < 0.05
+
+    def test_split_remix_roundtrip(self):
+        from mlx_audio_primitives_tpu import remix, split
+
+        sr = 22050
+        t = np.arange(sr // 2) / sr
+        burst = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        gap = np.zeros(sr // 2, np.float32)
+        y = np.concatenate([gap, burst, gap, burst, gap])
+        iv = split(y, ref=1.0, top_db=40)
+        out = np.asarray(remix(y, iv, align_zeros=False))
+        # the remix keeps essentially all the energy in half the samples
+        assert out.shape[-1] < 0.6 * len(y)
+        assert np.sum(out**2) > 0.99 * np.sum(y**2)
+
+    def test_errors(self):
+        from mlx_audio_primitives_tpu import remix
+
+        with pytest.raises(ValueError):
+            remix(np.ones(10, np.float32), [[0, 5, 7]])
+        with pytest.raises(ValueError):
+            remix(np.ones(10, np.float32), [[0, 99]])

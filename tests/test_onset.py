@@ -206,3 +206,17 @@ class TestOnsetDetect:
             onset_detect(None)
         with pytest.raises(ValueError):
             onset_detect(onset_envelope=np.zeros((2, 50), np.float32))
+
+
+class TestOnsetBacktrackPublic:
+    def test_matches_internal(self):
+        from mlx_audio_primitives_tpu import onset_backtrack
+
+        energy = np.array([0.5, 0.2, 0.0, 0.1, 0.4, 1.0, 0.3], np.float64)
+        out = onset_backtrack([5], energy)
+        np.testing.assert_array_equal(out, [2])
+
+    def test_empty(self):
+        from mlx_audio_primitives_tpu import onset_backtrack
+
+        assert onset_backtrack([], np.ones(10)).size == 0
