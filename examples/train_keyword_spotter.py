@@ -62,7 +62,8 @@ def make_clips(batch: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def main(steps: int = 60, batch: int = 32, lr: float = 3e-2,
-         checkpoint_dir: str | None = None) -> float:
+         checkpoint_dir: str | None = None,
+         frontend_kind: str = "logmel") -> float:
     from mlx_audio_primitives_tpu.models import (
         TrainableLogMelFrontend,
         audio_classifier_apply,
@@ -78,9 +79,21 @@ def main(steps: int = 60, batch: int = 32, lr: float = 3e-2,
     mesh = make_mesh(n_data=n_dev, n_time=1)
     print(f"devices: {n_dev} ({jax.default_backend()}), mesh {dict(mesh.shape)}")
 
-    frontend = TrainableLogMelFrontend(
-        sr=SR, n_fft=512, hop_length=128, n_mels=40
-    )
+    if frontend_kind == "pcen":
+        # the Wang et al. trainable frontend: per-channel PCEN
+        # (gain/bias/power/smoother all learned) over the learnable
+        # filterbank — the production far-field/KWS configuration
+        from mlx_audio_primitives_tpu.models.pipelines import (
+            TrainablePCENFrontend,
+        )
+
+        frontend = TrainablePCENFrontend(
+            sr=SR, n_fft=512, hop_length=128, n_mels=40
+        )
+    else:
+        frontend = TrainableLogMelFrontend(
+            sr=SR, n_fft=512, hop_length=128, n_mels=40
+        )
     channels = (16, 32)
     params = init_audio_classifier_params(frontend, N_CLASSES, channels=channels)
     step = jax.jit(
@@ -121,5 +134,8 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-2)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--frontend", choices=["logmel", "pcen"],
+                    default="logmel")
     a = ap.parse_args()
-    main(steps=a.steps, batch=a.batch, lr=a.lr, checkpoint_dir=a.checkpoint_dir)
+    main(steps=a.steps, batch=a.batch, lr=a.lr,
+         checkpoint_dir=a.checkpoint_dir, frontend_kind=a.frontend)

@@ -323,15 +323,18 @@ class TrainablePCENFrontend:
         )
         return p
 
-    def apply(self, params: dict, y: ArrayLike) -> jax.Array:
+    def apply(
+        self, params: dict, y: ArrayLike, use_pallas: bool | None = None
+    ) -> jax.Array:
         from ..ops.pcen import pcen_smoother
 
         # mel POWER (the log/dB step of the parent class is replaced by
-        # the PCEN compression law)
-        # the learned filterbank can project negative values; PCEN's
-        # compression law needs nonnegative energies (log1p/`**-gain`
-        # otherwise NaN within two SGD steps — seen in testing)
-        mel = jnp.maximum(self.mel.apply(params, y, db=False), 0.0)
+        # the PCEN compression law); the learned filterbank can project
+        # negative values and PCEN's compression law needs nonnegative
+        # energies (log1p/`**-gain` otherwise NaN within two SGD steps)
+        mel = jnp.maximum(
+            self.mel.apply(params, y, use_pallas=use_pallas, db=False), 0.0
+        )
         gain = jax.nn.softplus(params["gain_raw"])[:, None]
         bias = jax.nn.softplus(params["bias_raw"])[:, None]
         power = jax.nn.softplus(params["power_raw"])[:, None]
