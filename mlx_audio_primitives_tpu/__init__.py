@@ -75,6 +75,7 @@ from .ops import streaming  # noqa: F401  (StreamingSTFT/ISTFT/LogMel/MFCC/Pitch
 from .ops.chroma import (  # noqa: F401
     chroma_cens,
     chroma_cqt,
+    chroma_vqt,
     chroma_filterbank,
     chroma_stft,
     tonnetz,

@@ -480,3 +480,47 @@ def chroma_cens(
         win_len_smooth=None if win_len_smooth is None else int(win_len_smooth),
         smoothing_window=smoothing_window,
     )
+
+
+def chroma_vqt(
+    y: ArrayLike,
+    sr: int = 22050,
+    hop_length: int = 512,
+    fmin: float | None = None,
+    n_bins: int = 84,
+    gamma: float | None = None,
+    bins_per_octave: int = 12,
+    tuning: float = 0.0,
+    n_chroma: int = 12,
+    norm: float | None = np.inf,
+    base_c: bool = True,
+) -> jax.Array:
+    """Chromagram from the variable-Q transform,
+    ``(n_chroma, F)`` / ``(batch, n_chroma, F)``.
+
+    Like :func:`chroma_cqt` but over :func:`~.cqt.vqt` — the default
+    ERB-tracking ``gamma`` trades low-octave frequency selectivity for
+    much better time resolution, which sharpens chroma onsets on
+    percussive material. Same pitch-class aggregation table and
+    per-frame normalization.
+    """
+    from .cqt import _C1, vqt
+
+    if fmin is None:
+        fmin = _C1
+    V = vqt(
+        y,
+        sr=sr,
+        hop_length=hop_length,
+        fmin=fmin,
+        n_bins=n_bins,
+        gamma=gamma,
+        bins_per_octave=bins_per_octave,
+        tuning=tuning,
+    )
+    M = _cq_to_chroma_table(
+        int(n_bins), int(bins_per_octave), int(n_chroma), float(fmin),
+        bool(base_c),
+    )
+    raw = _apply_chroma_fb(jnp.abs(V), M)
+    return _normalize_frames(raw, norm)

@@ -379,3 +379,28 @@ class TestChromaCens:
             chroma_cens()
         with pytest.raises(ValueError):
             chroma_cens(chroma=np.zeros((2, 3, 12, 5), np.float32))
+
+
+class TestChromaVqt:
+    def test_tone_pitch_class(self, sine_signal):
+        from mlx_audio_primitives_tpu import chroma_vqt
+
+        C = np.asarray(chroma_vqt(sine_signal, sr=22050))
+        assert C.shape[0] == 12
+        # 440 Hz = A -> class 9 (base C)
+        assert int(np.argmax(np.median(C, axis=-1))) == 9
+
+    def test_gamma_zero_close_to_cqt_chroma(self, sine_signal):
+        from mlx_audio_primitives_tpu import chroma_cqt, chroma_vqt
+
+        Cv = np.asarray(chroma_vqt(sine_signal, sr=22050, gamma=0.0))
+        Cc = np.asarray(chroma_cqt(sine_signal, sr=22050))
+        # both normalized chromagrams agree on the dominant class profile
+        assert int(np.argmax(Cv.mean(-1))) == int(np.argmax(Cc.mean(-1)))
+
+    def test_batched(self, sine_signal):
+        from mlx_audio_primitives_tpu import chroma_vqt
+
+        Y = np.stack([sine_signal, sine_signal])
+        C = chroma_vqt(Y, sr=22050)
+        assert C.ndim == 3 and C.shape[:2] == (2, 12)
