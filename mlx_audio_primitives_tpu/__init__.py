@@ -106,6 +106,7 @@ from .ops.harmonics import interp_harmonics, salience  # noqa: F401
 from .ops.reassign import reassigned_spectrogram  # noqa: F401
 from .ops.segment import cross_similarity, nn_filter, recurrence_matrix  # noqa: F401
 from .ops import units  # noqa: F401  (frames/time/notes/MIDI converters)
+from .ops import utilx as util  # noqa: F401  (normalize/peak_pick/localmax/...)
 from .ops.pitch import estimate_tuning, piptrack, pitch_tuning, yin  # noqa: F401
 from .ops.signals import chirp, clicks, tone  # noqa: F401
 from .ops.stft import magphase  # noqa: F401

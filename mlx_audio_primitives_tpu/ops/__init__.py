@@ -24,6 +24,7 @@ from .harmonics import interp_harmonics, salience
 from .reassign import reassigned_spectrogram
 from .segment import cross_similarity, nn_filter, recurrence_matrix
 from . import units
+from . import utilx
 from .pitch import (
     autocorrelation,
     estimate_tuning,
