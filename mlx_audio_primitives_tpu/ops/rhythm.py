@@ -106,14 +106,21 @@ def tempo(
     std_bpm: float = 1.0,
     ac_size: float = 8.0,
     max_tempo: float | None = 320.0,
+    aggregate: bool = True,
     **strength_kwargs: Any,
 ) -> np.ndarray:
-    """Global tempo estimate in BPM, shape ``(1,)`` / ``(B, 1)`` (host).
+    """Tempo estimate in BPM (host array).
 
     librosa `feature.rhythm.tempo` semantics: the tempogram (window
     ``ac_size`` seconds) is averaged over time, weighted by a log-normal
     prior centered at ``start_bpm`` with spread ``std_bpm`` octaves, and
     the best lag wins; candidates at or above ``max_tempo`` are excluded.
+
+    ``aggregate=True`` (default, librosa's ``aggregate=np.mean``) gives
+    one global estimate, shape ``(1,)`` / ``(B, 1)``;
+    ``aggregate=False`` (librosa ``aggregate=None``) scores every frame's
+    tempogram column independently -> per-frame tempo, shape ``(F,)`` /
+    ``(B, F)`` — the time-varying-tempo tracker.
     """
     validate_positive(start_bpm, "start_bpm")
     validate_positive(std_bpm, "std_bpm")
@@ -130,7 +137,10 @@ def tempo(
     input_is_1d = tg.ndim == 2
     if input_is_1d:
         tg = tg[None]
-    mean_ac = np.asarray(jnp.mean(tg, axis=-1))  # (B, win)
+    if aggregate:
+        ac = np.asarray(jnp.mean(tg, axis=-1))  # (B, win)
+    else:
+        ac = np.swapaxes(np.asarray(tg), 1, 2)  # (B, F, win)
 
     bpms = tempo_frequencies(win_length, hop_length, sr)
     with np.errstate(divide="ignore"):
@@ -138,9 +148,9 @@ def tempo(
     if max_tempo is not None:
         logprior[bpms >= max_tempo] = -np.inf
     logprior[0] = -np.inf  # lag 0 = infinite BPM
-    best = np.argmax(np.log1p(1e6 * np.maximum(mean_ac, 0.0)) + logprior,
+    best = np.argmax(np.log1p(1e6 * np.maximum(ac, 0.0)) + logprior,
                      axis=-1)
-    out = bpms[best][:, None]
+    out = bpms[best] if not aggregate else bpms[best][:, None]
     return out[0] if input_is_1d else out
 
 

@@ -123,3 +123,43 @@ class TestTempo:
         est = float(tempo(onset_envelope=env, sr=SR, hop_length=HOP,
                           start_bpm=want)[0])
         np.testing.assert_allclose(est, want, rtol=1e-6)
+
+
+class TestPerFrameTempo:
+    def test_constant_clicks_constant_per_frame(self):
+        from mlx_audio_primitives_tpu.ops.rhythm import tempo
+
+        env = np.tile(np.r_[1.0, np.zeros(21)], 60).astype(np.float32)
+        per = tempo(onset_envelope=env, sr=22050, hop_length=512,
+                    aggregate=False)
+        glob = tempo(onset_envelope=env, sr=22050, hop_length=512)
+        assert per.shape == (len(env),)
+        mid = per[len(env) // 4 : 3 * len(env) // 4]
+        # interior frames agree with the global estimate
+        assert np.median(np.abs(mid - glob[0])) < 1e-6
+
+    def test_tempo_change_tracked(self):
+        from mlx_audio_primitives_tpu.ops.rhythm import tempo
+
+        # clicks every 22 frames, then every 11 (double tempo). ACF tempo
+        # is metrically ambiguous toward subharmonics (period-11 clicks
+        # also peak at lag 22), so anchor the prior at the FAST level: in
+        # the slow half lag 11 has no ACF peak and the estimate falls to
+        # 117; in the fast half it does and 235 wins.
+        a = np.tile(np.r_[1.0, np.zeros(21)], 40)
+        b = np.tile(np.r_[1.0, np.zeros(10)], 80)
+        env = np.concatenate([a, b]).astype(np.float32)
+        per = tempo(onset_envelope=env, sr=22050, hop_length=512,
+                    aggregate=False, start_bpm=240.0)
+        F = len(env)
+        first = np.median(per[F // 8 : 3 * F // 8])
+        second = np.median(per[5 * F // 8 : 7 * F // 8])
+        np.testing.assert_allclose(second / first, 2.0, rtol=0.1)
+
+    def test_batched_shape(self):
+        from mlx_audio_primitives_tpu.ops.rhythm import tempo
+
+        env = np.tile(np.r_[1.0, np.zeros(21)], 40).astype(np.float32)
+        per = tempo(onset_envelope=np.stack([env, env]), sr=22050,
+                    aggregate=False)
+        assert per.shape == (2, len(env))
