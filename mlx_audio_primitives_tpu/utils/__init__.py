@@ -1,7 +1,7 @@
 """Runtime utilities: validation, table caches, dispatch policy, profilers,
 audio file I/O."""
 
-from .audio_io import read_wav, wav_info, write_wav
+from .audio_io import get_duration, load, read_wav, to_mono, wav_info, write_wav
 from .cache import TableCache, cache_stats, clear_all_caches, table_cache
 from .data import batch_iterator, prefetch_to_device
 from .dispatch import (
@@ -55,6 +55,9 @@ from .warmup import enable_persistent_compilation_cache, warmup
 __all__ = [
     "read_wav",
     "write_wav",
+    "load",
+    "to_mono",
+    "get_duration",
     "wav_info",
     "prefetch_to_device",
     "batch_iterator",

@@ -286,3 +286,71 @@ def write_wav(
         f.write(payload)
         if len(payload) & 1:
             f.write(b"\x00")
+
+
+def to_mono(y: Any) -> np.ndarray:
+    """Average a ``(channels, frames)`` signal down to ``(frames,)``
+    (librosa `to_mono`); 1-D input passes through."""
+    y = np.asarray(y, dtype=np.float32)
+    if y.ndim == 1:
+        return y
+    if y.ndim == 2:
+        return y.mean(axis=0).astype(np.float32)
+    raise ValueError(f"to_mono expects 1-D or (channels, frames), got {y.ndim}-D")
+
+
+def get_duration(
+    y: Any | None = None,
+    sr: int = 22050,
+    path: str | os.PathLike | None = None,
+) -> float:
+    """Duration in seconds of a signal or a WAV file (librosa
+    `get_duration` subset: from ``y`` + ``sr``, or header-only from
+    ``path``)."""
+    if path is not None:
+        info = wav_info(path)
+        return info["frames"] / float(info["sr"])
+    if y is None:
+        raise ValueError("Either y or path must be provided")
+    return int(np.asarray(y).shape[-1]) / float(sr)
+
+
+def load(
+    path: str | os.PathLike,
+    sr: int | None = 22050,
+    mono: bool = True,
+    offset: float = 0.0,
+    duration: float | None = None,
+    use_native: bool | None = None,
+):
+    """Load a WAV file -> ``(y, sr)`` — the librosa `load` entry point
+    for this package's codec: decode (native C++ or NumPy RIFF parser),
+    optional mono mixdown, optional ``offset``/``duration`` cropping, and
+    resampling to ``sr`` via the on-device FFT method (``sr=None`` keeps
+    the file's rate). ``y`` is float32 in [-1, 1).
+    """
+    y, file_sr = read_wav(path, use_native=use_native)
+    if mono:
+        y = to_mono(y)
+    if offset < 0:
+        raise ValueError(f"offset must be non-negative, got {offset}")
+    if offset or duration is not None:
+        start = int(np.round(offset * file_sr))
+        if start > y.shape[-1]:
+            raise ValueError(
+                f"offset {offset}s is past the end of the file "
+                f"({y.shape[-1] / file_sr:.3f}s)"
+            )
+        stop = (
+            y.shape[-1] if duration is None
+            else min(y.shape[-1], start + int(np.round(duration * file_sr)))
+        )
+        y = y[..., start:stop]
+    if sr is not None and sr != file_sr and y.shape[-1]:
+        from ..ops.resample import resample as _resample
+
+        y = np.asarray(_resample(y, file_sr, sr))
+        file_sr = sr
+    elif sr is not None:
+        file_sr = sr
+    return y, file_sr

@@ -261,3 +261,70 @@ def test_use_native_true_bad_file_raises_valueerror(tmp_path):
     p.write_bytes(blob)
     with pytest.raises(ValueError, match="bit depth"):
         read_wav(p, use_native=True)
+
+
+class TestLoad:
+    def test_load_roundtrip(self, tmp_path):
+        from mlx_audio_primitives_tpu.utils import load, write_wav
+
+        rng = np.random.default_rng(0)
+        y = (0.5 * rng.standard_normal(22050)).astype(np.float32)
+        p = tmp_path / "a.wav"
+        write_wav(p, y, 22050, bits=32)
+        out, sr = load(p, sr=None)
+        assert sr == 22050
+        np.testing.assert_array_equal(out, y)
+
+    def test_load_resamples(self, tmp_path):
+        from mlx_audio_primitives_tpu.utils import load, write_wav
+
+        t = np.arange(44100) / 44100
+        y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        p = tmp_path / "b.wav"
+        write_wav(p, y, 44100, bits=32)
+        out, sr = load(p, sr=22050)
+        assert sr == 22050
+        assert abs(out.shape[-1] - 22050) <= 1
+        # the tone survives resampling at the same frequency
+        zc = np.sum(np.abs(np.diff(np.signbit(out[100:-100]))))
+        np.testing.assert_allclose(zc / 2 / (len(out[100:-100]) / 22050),
+                                   440.0, rtol=0.01)
+
+    def test_load_mono_mixdown(self, tmp_path):
+        from mlx_audio_primitives_tpu.utils import load, write_wav
+
+        rng = np.random.default_rng(1)
+        st = (0.25 * rng.standard_normal((2, 1000))).astype(np.float32)
+        p = tmp_path / "c.wav"
+        write_wav(p, st, 22050, bits=32)
+        mono, _ = load(p, sr=None)
+        np.testing.assert_allclose(mono, st.mean(axis=0), atol=1e-7)
+        stereo, _ = load(p, sr=None, mono=False)
+        assert stereo.shape == (2, 1000)
+
+    def test_offset_duration(self, tmp_path):
+        from mlx_audio_primitives_tpu.utils import load, write_wav
+
+        y = np.arange(1000, dtype=np.float32) / 2000.0
+        p = tmp_path / "d.wav"
+        write_wav(p, y, 1000, bits=32)
+        out, _ = load(p, sr=None, offset=0.25, duration=0.5)
+        np.testing.assert_array_equal(out, y[250:750])
+        with pytest.raises(ValueError):
+            load(p, sr=None, offset=5.0)
+
+    def test_get_duration_and_to_mono(self, tmp_path):
+        from mlx_audio_primitives_tpu.utils import (
+            get_duration,
+            to_mono,
+            write_wav,
+        )
+
+        y = np.zeros(4410, np.float32)
+        p = tmp_path / "e.wav"
+        write_wav(p, y, 22050)
+        np.testing.assert_allclose(get_duration(path=p), 0.2)
+        np.testing.assert_allclose(get_duration(y=y, sr=22050), 0.2)
+        assert to_mono(np.ones((2, 5), np.float32)).shape == (5,)
+        with pytest.raises(ValueError):
+            get_duration()
