@@ -108,6 +108,7 @@ from .ops.segment import cross_similarity, nn_filter, recurrence_matrix  # noqa:
 from .ops import units  # noqa: F401  (frames/time/notes/MIDI converters)
 from .ops import utilx as util  # noqa: F401  (normalize/peak_pick/localmax/...)
 from .ops.pitch import estimate_tuning, piptrack, pitch_tuning, yin  # noqa: F401
+from .ops.pyin import pyin  # noqa: F401
 from .ops.signals import chirp, clicks, tone  # noqa: F401
 from .ops.stft import magphase  # noqa: F401
 from .ops.rhythm import (  # noqa: F401

@@ -34,6 +34,7 @@ from .pitch import (
     pitch_tuning,
     yin,
 )
+from .pyin import pyin
 from .signals import chirp, clicks, tone
 from .rhythm import fourier_tempogram, tempo, tempo_frequencies, tempogram
 from .resample import resample, resample_poly
