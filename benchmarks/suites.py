@@ -552,6 +552,16 @@ def bench_roadmap() -> list[BenchmarkResult]:
         )
     )
 
+    from mlx_audio_primitives_tpu import pyin
+
+    t_pyin = time_function(
+        lambda: pyin(y[:2], fmin=65.0, fmax=1000.0, sr=SR), warmup=1, runs=3
+    )
+    out.append(
+        BenchmarkResult(name="pyin batch=2 (incl. host backtrace)",
+                        time_ms=t_pyin * 1e3)
+    )
+
     t_lpc = time_jax_amortized(lambda x: lpc(x, 16), yd)
 
     def lpc_cpu():
