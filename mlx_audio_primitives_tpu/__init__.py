@@ -101,7 +101,7 @@ from .ops.onset import onset_backtrack, onset_detect, onset_strength  # noqa: F4
 from .ops.beat import beat_track  # noqa: F401
 from .ops.lpc import lpc  # noqa: F401
 from .ops.pcen import pcen  # noqa: F401
-from .ops.convert import perceptual_weighting  # noqa: F401
+from .ops.convert import mu_compress, mu_expand, perceptual_weighting  # noqa: F401
 from .ops.harmonics import interp_harmonics, salience  # noqa: F401
 from .ops.reassign import reassigned_spectrogram  # noqa: F401
 from .ops.segment import cross_similarity, nn_filter, recurrence_matrix  # noqa: F401

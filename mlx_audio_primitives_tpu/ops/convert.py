@@ -116,3 +116,44 @@ def perceptual_weighting(
         jnp.asarray(w.astype(np.float32))[:, None]
         + power_to_db(S, **power_to_db_kwargs)
     ).astype(REAL_DTYPE)
+
+
+def mu_compress(
+    x: ArrayLike, mu: float = 255.0, quantize: bool = True
+) -> jax.Array:
+    """Mu-law companding (librosa `mu_compress` semantics): map [-1, 1]
+    through ``sign(x) ln(1 + mu|x|) / ln(1 + mu)``; ``quantize=True``
+    returns integer codes in ``[-(mu+1)/2, (mu+1)/2 - 1]`` (the WaveNet
+    preprocessing convention)."""
+    if mu <= 0:
+        raise ValueError(f"mu must be positive, got {mu}")
+    x = jnp.asarray(x, dtype=REAL_DTYPE)
+    x = jnp.clip(x, -1.0, 1.0)
+    mu = float(mu)
+    y = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
+    if not quantize:
+        return y.astype(REAL_DTYPE)
+    return jnp.clip(
+        ((y + 1.0) / 2.0 * mu + 0.5).astype(jnp.int32) - int((mu + 1) // 2),
+        -int((mu + 1) // 2),
+        int((mu + 1) // 2) - 1,
+    )
+
+
+def mu_expand(
+    x: ArrayLike, mu: float = 255.0, quantize: bool = True
+) -> jax.Array:
+    """Inverse of :func:`mu_compress`: ``quantize=True`` treats ``x`` as
+    integer codes, else as companded floats in [-1, 1]."""
+    if mu <= 0:
+        raise ValueError(f"mu must be positive, got {mu}")
+    mu = float(mu)
+    x = jnp.asarray(x)
+    if quantize:
+        y = (x.astype(REAL_DTYPE) + int((mu + 1) // 2)) * 2.0 / mu - 1.0
+    else:
+        y = jnp.asarray(x, dtype=REAL_DTYPE)
+    y = jnp.clip(y, -1.0, 1.0)
+    return (
+        jnp.sign(y) * ((1.0 + mu) ** jnp.abs(y) - 1.0) / mu
+    ).astype(REAL_DTYPE)

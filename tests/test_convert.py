@@ -105,3 +105,43 @@ def test_precise_log10_edge_semantics():
     assert e[2] == 0.0
     assert np.isposinf(e[3])
     assert np.isnan(e[4])
+
+
+class TestMuLaw:
+    def test_roundtrip_float(self):
+        from mlx_audio_primitives_tpu import mu_compress, mu_expand
+
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, 1000).astype(np.float32)
+        y = mu_expand(mu_compress(x, quantize=False), quantize=False)
+        np.testing.assert_allclose(np.asarray(y), x, atol=1e-5)
+
+    def test_quantized_roundtrip_error_bound(self):
+        from mlx_audio_primitives_tpu import mu_compress, mu_expand
+
+        rng = np.random.default_rng(1)
+        x = rng.uniform(-1, 1, 2000).astype(np.float32)
+        codes = np.asarray(mu_compress(x))
+        assert codes.dtype == np.int32
+        assert codes.min() >= -128 and codes.max() <= 127
+        rec = np.asarray(mu_expand(codes))
+        # 8-bit mu-law SNR: max error bounded by one companded step
+        assert np.abs(rec - x).max() < 0.04
+        # small amplitudes get FINER resolution than uniform 8-bit
+        small = np.abs(x) < 0.05
+        assert np.abs(rec - x)[small].max() < 2.0 / 255
+
+    def test_monotone_codes(self):
+        from mlx_audio_primitives_tpu import mu_compress
+
+        x = np.linspace(-1, 1, 512).astype(np.float32)
+        codes = np.asarray(mu_compress(x))
+        assert np.all(np.diff(codes) >= 0)
+
+    def test_errors(self):
+        from mlx_audio_primitives_tpu import mu_compress, mu_expand
+
+        with pytest.raises(ValueError):
+            mu_compress(np.zeros(4, np.float32), mu=0)
+        with pytest.raises(ValueError):
+            mu_expand(np.zeros(4, np.float32), mu=-1)
