@@ -10,8 +10,10 @@ stage (static chunk shape), so the steady state never recompiles.
 Usage:
     python examples/streaming_realtime.py [--streams 64] [--seconds 2.0]
 
-Runs on TPU or CPU. Streamed log-mel output is exact: it equals the offline
-op over the concatenated signal (verified at the end of the run).
+Runs on TPU or CPU. Streamed output equals the offline ops over the
+concatenated signal (verified at the end of the run — exactly on CPU where
+both sides share one FFT algorithm; to the f32 algorithm-pair tolerance on
+TPU where the offline op uses the fused radix kernel).
 """
 
 from __future__ import annotations
@@ -107,11 +109,45 @@ def main(streams: int = 64, seconds: float = 2.0, sr: int = 16000,
         ),
         top_db=None,
     )  # (B, n_mels, F)
-    err = float(
-        jnp.abs(streamed - jnp.swapaxes(offline, 1, 2)[:, : streamed.shape[1]]).max()
+    off = jnp.swapaxes(offline, 1, 2)[:, : streamed.shape[1]]
+    # Same FRAMES, different TRANSFORM ALGORITHMS: on TPU the offline op
+    # rides the fused radix kernel while the stream's chunks use the XLA
+    # FFT; both are f32-exact to ~1e-6 RELATIVE TO EACH FRAME'S PEAK, so
+    # a bin 40 dB down legitimately differs by ~1e-2 dB. Compare above a
+    # -80 dB floor at the dB bar that algorithm-pair supports (on CPU the
+    # paths coincide and the diff is exactly 0).
+    floor = float(jnp.max(off)) - 80.0
+    err = float(jnp.abs(
+        jnp.maximum(streamed, floor) - jnp.maximum(off, floor)
+    ).max())
+    print(f"streamed vs offline log-mel max |diff| (above -80 dB): {err:.2e}")
+    assert err < 2e-2, err
+
+    # PCEN frontend variant: causal by construction, so the streamed
+    # output equals offline pcen(melspectrogram(center=False)) EXACTLY
+    from mlx_audio_primitives_tpu import pcen
+    from mlx_audio_primitives_tpu.ops.streaming import StreamingPCEN
+
+    sp = StreamingPCEN(sr=sr, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+                       batch=streams)
+    got = jnp.concatenate(
+        [sp.push(audio[:, i * chunk:(i + 1) * chunk]) for i in range(n_push)],
+        axis=1,
     )
-    print(f"streamed vs offline log-mel max |diff|: {err:.2e}")
-    assert err < 1e-3, err
+    offline_pcen = pcen(
+        jnp.asarray(melspectrogram(
+            pad, sr=sr, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+            center=False,
+        )),
+        sr=sr, hop_length=hop,
+    )
+    err_p = float(jnp.abs(
+        got - jnp.swapaxes(offline_pcen, 1, 2)[:, : got.shape[1]]
+    ).max())
+    print(f"streamed vs offline PCEN max |diff|: {err_p:.2e}")
+    # PCEN's root compression keeps the comparison well-conditioned even
+    # across the two transform algorithms (no log of noise-floor bins)
+    assert err_p < 1e-3, err_p
 
 
 if __name__ == "__main__":
