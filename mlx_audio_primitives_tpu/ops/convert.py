@@ -123,8 +123,9 @@ def mu_compress(
 ) -> jax.Array:
     """Mu-law companding (librosa `mu_compress` semantics): map [-1, 1]
     through ``sign(x) ln(1 + mu|x|) / ln(1 + mu)``; ``quantize=True``
-    returns integer codes in ``[-(mu+1)/2, (mu+1)/2 - 1]`` (the WaveNet
-    preprocessing convention)."""
+    bins the companded value with librosa's ``np.digitize`` over
+    ``linspace(-1, 1, mu+1)``, yielding integer codes in
+    ``[-(mu+1)/2 + 1, (mu+1)/2]`` (e.g. [-127, 128] for mu=255)."""
     if mu <= 0:
         raise ValueError(f"mu must be positive, got {mu}")
     x = jnp.asarray(x, dtype=REAL_DTYPE)
@@ -133,24 +134,25 @@ def mu_compress(
     y = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
     if not quantize:
         return y.astype(REAL_DTYPE)
-    return jnp.clip(
-        ((y + 1.0) / 2.0 * mu + 0.5).astype(jnp.int32) - int((mu + 1) // 2),
-        -int((mu + 1) // 2),
-        int((mu + 1) // 2) - 1,
-    )
+    # np.digitize(y, linspace(-1, 1, mu+1)) == searchsorted(edges, y,
+    # side='right'); for uniform edges that is floor((y+1)*mu/2) + 1.
+    idx = jnp.floor((y + 1.0) * (mu / 2.0)).astype(jnp.int32) + 1
+    idx = jnp.clip(idx, 1, int(mu) + 1)
+    return idx - int((mu + 1) // 2)
 
 
 def mu_expand(
     x: ArrayLike, mu: float = 255.0, quantize: bool = True
 ) -> jax.Array:
     """Inverse of :func:`mu_compress`: ``quantize=True`` treats ``x`` as
-    integer codes, else as companded floats in [-1, 1]."""
+    integer codes and de-quantizes with librosa's ``x * 2/(1+mu)``
+    (no offset), else as companded floats in [-1, 1]."""
     if mu <= 0:
         raise ValueError(f"mu must be positive, got {mu}")
     mu = float(mu)
     x = jnp.asarray(x)
     if quantize:
-        y = (x.astype(REAL_DTYPE) + int((mu + 1) // 2)) * 2.0 / mu - 1.0
+        y = x.astype(REAL_DTYPE) * 2.0 / (1.0 + mu)
     else:
         y = jnp.asarray(x, dtype=REAL_DTYPE)
     y = jnp.clip(y, -1.0, 1.0)

@@ -530,7 +530,9 @@ def sync(
         raise ValueError(f"idx out of range for axis length {n}")
     if pad:
         bounds = np.concatenate([[0], bounds, [n]])
-    bounds = np.unique(bounds)
+    # keep duplicate boundaries (librosa util.sync does): each requested
+    # segment yields a column, empty segments emitting zeros as documented
+    bounds = np.sort(bounds)
     agg = {"mean": np.mean, "median": np.median, "max": np.max,
            "min": np.min}.get(aggregate)
     if agg is None:

@@ -48,9 +48,11 @@ def _pcen_core(
     S = S.astype(REAL_DTYPE)
     ref = S
     if max_size > 1:
-        # frequency-axis max filter (librosa max_size semantics): centered
-        # window, edge-extended
-        pad_lo = (max_size - 1) // 2
+        # frequency-axis max filter (librosa max_size semantics via
+        # scipy.ndimage.maximum_filter1d, origin=0): for even sizes the
+        # window is LEFT-biased — the extra element sits before the
+        # center — so pad_lo = max_size//2, not (max_size-1)//2.
+        pad_lo = max_size // 2
         pad_hi = max_size - 1 - pad_lo
         ref = jax.lax.reduce_window(
             S,

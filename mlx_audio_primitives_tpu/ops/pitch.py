@@ -721,6 +721,11 @@ def piptrack(
         )
     else:
         S = jnp.asarray(S, dtype=REAL_DTYPE)
+        # librosa's _spectrogram infers n_fft from the provided S
+        # (n_fft = 2*(n_bins-1)), overriding the argument, so the
+        # sr/n_fft pitch scale stays consistent with the frequency grid.
+        if S.shape[-2] >= 2:
+            n_fft = 2 * (S.shape[-2] - 1)
 
     input_is_1d = S.ndim == 2
     if input_is_1d:

@@ -187,7 +187,13 @@ def fourier_tempogram(
             y, sr=sr, hop_length=hop_length, **strength_kwargs
         )
     env = jnp.asarray(onset_envelope, dtype=REAL_DTYPE)
+    if center:
+        # librosa pads the envelope itself with mode='linear_ramp'
+        # (end_values=0) and runs an UNcentered stft, so boundary frames
+        # taper linearly instead of stepping to zero.
+        pad = [(0, 0)] * (env.ndim - 1) + [(win_length // 2,) * 2]
+        env = jnp.pad(env, pad, mode="linear_ramp", end_values=0.0)
     return _stft(
-        env, n_fft=win_length, hop_length=1, window=window, center=center,
+        env, n_fft=win_length, hop_length=1, window=window, center=False,
         pad_mode="constant",
     )

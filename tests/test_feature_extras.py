@@ -24,12 +24,20 @@ class TestFourierTempogram:
         assert peak == win // 8
 
     def test_matches_stft_directly(self):
+        # librosa formulation: linear_ramp-pad the envelope by win//2
+        # each side, then an UNcentered stft at hop 1
         rng = np.random.default_rng(0)
         env = rng.uniform(0, 1, 200).astype(np.float32)
         T = np.asarray(ap.fourier_tempogram(onset_envelope=env,
                                             win_length=64))
-        D = np.asarray(ap.stft(env, n_fft=64, hop_length=1))
+        padded = np.pad(env, 32, mode="linear_ramp", end_values=0.0)
+        D = np.asarray(ap.stft(padded, n_fft=64, hop_length=1,
+                               center=False))
         np.testing.assert_allclose(np.abs(T), np.abs(D), atol=1e-5)
+        # interior frames unaffected by the boundary convention
+        Dc = np.asarray(ap.stft(env, n_fft=64, hop_length=1))
+        np.testing.assert_allclose(np.abs(T)[:, 40:-40],
+                                   np.abs(Dc)[:, 40:-40], atol=1e-5)
 
     def test_from_audio_shape(self, sine_signal):
         T = ap.fourier_tempogram(y=sine_signal, sr=SR, win_length=128)

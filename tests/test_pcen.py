@@ -68,6 +68,8 @@ class TestPcenOracle:
             dict(b=0.2),
             dict(time_constant=0.06),
             dict(max_size=3),
+            # even size: scipy's origin-0 window is LEFT-biased
+            dict(max_size=4),
         ],
     )
     def test_variants_match(self, melspec, kw):

@@ -144,6 +144,22 @@ class TestPiptrackPhysics:
         with pytest.raises(ValueError):
             piptrack(S=np.zeros((2, 3, 4, 5), np.float32))
 
+    def test_user_S_infers_n_fft(self):
+        # librosa infers n_fft = 2*(n_bins-1) from a provided S, ignoring
+        # the n_fft argument: a 1 kHz tone passed as a 1024-FFT
+        # spectrogram must NOT read as ~500 Hz under the default n_fft
+        t = np.arange(SR) / SR
+        y = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+        S = np.abs(np.asarray(
+            __import__("mlx_audio_primitives_tpu").stft(
+                y, n_fft=1024, hop_length=256)))
+        p, m = piptrack(S=S, sr=SR, n_fft=2048)  # wrong n_fft on purpose
+        p, m = np.asarray(p), np.asarray(m)
+        voiced = p[p > 0]
+        assert voiced.size
+        med = float(np.median(voiced))
+        assert abs(med - 1000.0) < 30.0
+
     def test_tiny_spectrogram(self):
         p, m = piptrack(S=np.ones((2, 4), np.float32), sr=SR, n_fft=2,
                         hop_length=1)

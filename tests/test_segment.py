@@ -183,6 +183,18 @@ class TestSync:
         assert out.shape == (2, 1)
         np.testing.assert_allclose(out[:, 0], C[:, 2:6].mean(axis=1))
 
+    def test_duplicate_boundaries_kept(self):
+        # librosa util.sync keeps duplicate boundaries: each requested
+        # segment yields a column, empty segments emitting zeros
+        from mlx_audio_primitives_tpu import sync
+
+        C = np.arange(10, dtype=np.float32)[None]
+        out = np.asarray(sync(C, [4, 4, 8]))
+        assert out.shape == (1, 4)
+        np.testing.assert_allclose(out[0, 0], C[0, :4].mean())
+        assert out[0, 1] == 0.0  # empty [4, 4) segment
+        np.testing.assert_allclose(out[0, 2], C[0, 4:8].mean())
+
     def test_aggregates(self):
         from mlx_audio_primitives_tpu import sync
 
