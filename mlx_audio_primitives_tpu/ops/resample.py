@@ -79,7 +79,14 @@ def resample(
     scale: bool = False,
     axis: int = -1,
 ) -> jax.Array:
-    """Resample audio between sample rates ('fft' bandlimited or 'linear').
+    """Resample audio between sample rates.
+
+    ``res_type``: 'fft' (bandlimited spectrum surgery), 'linear', or the
+    librosa-familiar polyphase family — 'polyphase' (scipy
+    resample_poly's default kaiser-beta-5 FIR), 'kaiser_best' /
+    'kaiser_fast' (resampy's published windowed-sinc designs mapped onto
+    the same owned polyphase GEMM; librosa `resample.py` res_type
+    surface, reference `mlx_audio_primitives/resample.py:84-139`).
 
     Reference parity: `mlx_audio_primitives/resample.py:21-212` (librosa-style
     fix/scale semantics).
@@ -89,8 +96,19 @@ def resample(
     y = jnp.asarray(y, dtype=REAL_DTYPE)
     if orig_sr == target_sr:
         return y
-    if res_type not in ("fft", "linear"):
-        raise ValueError(f"Unknown res_type: '{res_type}'. Supported: 'fft', 'linear'")
+    _POLY_TYPES = ("polyphase", "kaiser_best", "kaiser_fast")
+    if res_type not in ("fft", "linear", *_POLY_TYPES):
+        raise ValueError(
+            f"Unknown res_type: '{res_type}'. Supported: 'fft', 'linear', "
+            "'polyphase', 'kaiser_best', 'kaiser_fast'"
+        )
+    if res_type in _POLY_TYPES and (
+        int(orig_sr) != orig_sr or int(target_sr) != target_sr
+    ):
+        raise ValueError(
+            f"res_type='{res_type}' requires integer sample rates, got "
+            f"{orig_sr} -> {target_sr}"
+        )
 
     if axis != -1:
         y = jnp.moveaxis(y, axis, -1)
@@ -106,6 +124,22 @@ def resample(
         out = y
     elif res_type == "fft":
         out = _resample_fft_core(y, target_length=target_length)
+    elif res_type in _POLY_TYPES:
+        g = math.gcd(int(target_sr), int(orig_sr))
+        up, down = int(target_sr) // g, int(orig_sr) // g
+        design = "scipy" if res_type == "polyphase" else res_type
+        _, Lpmax, W, m0 = _polyphase_geometry(up, down, design)
+        Kt = _polyphase_kernel(up, down, design)
+        n_poly = n * up // down + bool((n * up) % down)
+        out = _polyphase_core(
+            y, Kt, up=up, down=down, n_out=n_poly, m0=m0, Lpmax=Lpmax, W=W,
+        )
+        # librosa fixes the polyphase output (ceil(n*up/down) samples) to
+        # the target length: crop, or zero-pad the tail if short
+        if n_poly > target_length:
+            out = out[:, :target_length]
+        elif n_poly < target_length:
+            out = jnp.pad(out, ((0, 0), (0, target_length - n_poly)))
     else:
         out = _resample_linear_core(y, target_length=target_length)
     if scale and target_length != n:
@@ -118,10 +152,33 @@ def resample(
     return out
 
 
-def _polyphase_geometry(up: int, down: int) -> tuple[int, int, int, int]:
-    """Static geometry shared by kernel builder and core: (Lh, Lpmax, W, m0)."""
+#: librosa-familiar kaiser res_types, with resampy's published filter
+#: designs (num_zeros, rolloff, kaiser beta) — `resampy/filters.py`
+#: (Smith's windowed-sinc parameterization). 'scipy' is
+#: scipy.signal.resample_poly's default (10*max_rate half-length,
+#: cutoff 1/max_rate, beta 5).
+_FIR_DESIGNS = {
+    "scipy": (None, 1.0, 5.0),
+    "kaiser_best": (64, 0.9475937167399596, 14.769656459379492),
+    "kaiser_fast": (16, 0.85, 8.555504641634386),
+}
+
+
+def _fir_half_len(up: int, down: int, design: str) -> int:
     max_rate = max(up, down)
-    half_len = 10 * max_rate
+    num_zeros, rolloff, _ = _FIR_DESIGNS[design]
+    if num_zeros is None:
+        return 10 * max_rate
+    # sinc zero-crossings sit max_rate/rolloff up-rate samples apart;
+    # span num_zeros of them each side like resampy's precomputed table
+    return int(math.ceil(num_zeros * max_rate / rolloff))
+
+
+def _polyphase_geometry(
+    up: int, down: int, design: str = "scipy"
+) -> tuple[int, int, int, int]:
+    """Static geometry shared by kernel builder and core: (Lh, Lpmax, W, m0)."""
+    half_len = _fir_half_len(up, down, design)
     n_pre_pad = down - half_len % down
     Lh = n_pre_pad + 2 * half_len + 1
     Lpmax = -(-Lh // up)
@@ -131,10 +188,10 @@ def _polyphase_geometry(up: int, down: int) -> tuple[int, int, int, int]:
 
 
 @table_cache("polyphase_kernel", maxsize=32)
-def _polyphase_kernel(up: int, down: int) -> np.ndarray:
+def _polyphase_kernel(up: int, down: int, design: str = "scipy") -> np.ndarray:
     """Packed polyphase kernel matrix ``K^T (W, up)``.
 
-    scipy.signal.resample_poly's default anti-aliasing FIR (kaiser beta=5,
+    The anti-aliasing FIR (kaiser-windowed sinc per ``_FIR_DESIGNS``,
     gain ``up``) decomposed into ``up`` phases: output ``m = up*s + p`` is
     ``sum_t h[up*t + p] * x[s*down + c_p - t]`` with ``c_p = (p*down)//up``,
     so every group of ``up`` consecutive outputs is one row of a
@@ -143,11 +200,13 @@ def _polyphase_kernel(up: int, down: int) -> np.ndarray:
     from scipy.signal import firwin
 
     max_rate = max(up, down)
-    half_len = 10 * max_rate
+    _, rolloff, beta = _FIR_DESIGNS[design]
+    half_len = _fir_half_len(up, down, design)
     n_pre_pad = down - half_len % down
-    h = firwin(2 * half_len + 1, 1.0 / max_rate, window=("kaiser", 5.0)) * up
+    h = firwin(2 * half_len + 1, rolloff / max_rate,
+               window=("kaiser", beta)) * up
     h_full = np.concatenate([np.zeros(n_pre_pad), h])
-    Lh, Lpmax, W, _ = _polyphase_geometry(up, down)
+    Lh, Lpmax, W, _ = _polyphase_geometry(up, down, design)
     K = np.zeros((up, W), dtype=np.float64)
     for p in range(up):
         # output m = up*s + p uses FIR phase (m*down) % up = (p*down) % up

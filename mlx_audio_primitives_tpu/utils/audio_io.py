@@ -321,13 +321,16 @@ def load(
     mono: bool = True,
     offset: float = 0.0,
     duration: float | None = None,
+    res_type: str = "kaiser_best",
     use_native: bool | None = None,
 ):
     """Load a WAV file -> ``(y, sr)`` — the librosa `load` entry point
     for this package's codec: decode (native C++ or NumPy RIFF parser),
     optional mono mixdown, optional ``offset``/``duration`` cropping, and
-    resampling to ``sr`` via the on-device FFT method (``sr=None`` keeps
-    the file's rate). ``y`` is float32 in [-1, 1).
+    resampling to ``sr`` (``sr=None`` keeps the file's rate). ``y`` is
+    float32 in [-1, 1). ``res_type`` defaults to the librosa-shaped
+    'kaiser_best' polyphase design (:func:`~.ops.resample.resample`);
+    pass 'fft' for the spectrum-surgery method.
     """
     y, file_sr = read_wav(path, use_native=use_native)
     if mono:
@@ -349,7 +352,7 @@ def load(
     if sr is not None and sr != file_sr and y.shape[-1]:
         from ..ops.resample import resample as _resample
 
-        y = np.asarray(_resample(y, file_sr, sr))
+        y = np.asarray(_resample(y, file_sr, sr, res_type=res_type))
         file_sr = sr
     elif sr is not None:
         file_sr = sr
