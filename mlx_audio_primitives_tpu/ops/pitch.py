@@ -437,34 +437,36 @@ def _yin_cmnd(
     ``win_length`` (de Cheveigné & Kawahara 2002, steps 1-3):
 
         d(tau) = sum_{j<W} (x_j - x_{j+tau})^2
-               = e(0) + e(tau) - 2 r(tau)
 
-    with e(tau) the W-sample energy starting at tau (frame cumsum) and
-    r(tau) = sum_{j<W} x_j x_{j+tau} the cross-correlation of the frame
-    against its own head — computed for all frames at once with the
-    pair-packed pow2 rfft (Wiener-Khinchin style, like the ACF core).
+    computed DIRECTLY (squared differences summed per tau in a
+    ``lax.scan``), not via the ``e(0) + e(tau) - 2 r(tau)`` FFT identity:
+    in float32 that identity catastrophically cancels when the head
+    window is orders of magnitude quieter than the rest of the frame
+    (silence -> onset boundary frames), because the rfft's absolute error
+    scales with the frame's LOUD section while d itself is at the quiet
+    head's scale — measured garbage CMND -> spuriously voiced frames.
+    librosa is immune only because np.fft always computes in float64
+    (`tests/test_pyin_oracle.py` caught this against a scalar f64
+    oracle). The direct form has no cancellation: every summand is
+    non-negative at the scale of the answer. Cost is O(F * P * W) VPU
+    flops — sub-ms at default librosa geometries on TPU.
     The normalization d'(tau) = d(tau) * tau / cumsum(d)(tau) removes the
     energy trend; returns d' for tau in [min_period, max_period].
     """
     frames = frame_signal_batched(y, frame_length, hop_length)  # (B, F, L)
     W = win_length
 
-    # energy e(tau), tau in [0, max_period]
-    sq = frames * frames
-    cs = jnp.cumsum(sq, axis=-1)
-    e_tau = cs[..., W - 1 : W + max_period] - jnp.pad(
-        cs[..., : max_period], ((0, 0), (0, 0), (1, 0))
-    )  # e[tau] = cs[tau+W-1] - cs[tau-1]
+    head = frames[..., :W]
 
-    # cross-correlation r(tau) via linear-safe circular FFT: the head is
-    # zero-extended past W, so wraps touch only zeros for tau <= L - W
-    n_fft = _next_pow2(frame_length)
-    head = frames * (jnp.arange(frame_length) < W).astype(frames.dtype)
-    A = rfft_len(head, n_fft)
-    Bs = rfft_len(frames, n_fft)
-    r = jnp.fft.irfft(jnp.conj(A) * Bs, n=n_fft, axis=-1)[..., : max_period + 1]
+    def _d_step(_, tau):
+        seg = jax.lax.dynamic_slice_in_dim(frames, tau, W, axis=-1)
+        diff = head - seg
+        return None, jnp.sum(diff * diff, axis=-1)
 
-    d = e_tau[..., :1] + e_tau - 2.0 * r  # d(0) = 0 up to rounding
+    _, d = jax.lax.scan(
+        _d_step, None, jnp.arange(0, max_period + 1)
+    )  # (P+1, B, F)
+    d = jnp.moveaxis(d, 0, -1)
     # cumulative mean normalization; d'(0) := 1 by definition
     denom = jnp.cumsum(d[..., 1:], axis=-1)
     tau = jnp.arange(1, max_period + 1, dtype=REAL_DTYPE)
