@@ -77,7 +77,10 @@ class TestPlatform:
         assert platform_key() == platform_key()
 
     def test_expected_speedup(self):
-        assert expected_speedup("TPU v5p something") == 1.6
+        # table normalized to the measured generation (v5e = 1.0); longest
+        # prefix wins so 'TPU v5p' is not shadowed by 'TPU v5'
+        assert expected_speedup("TPU v5 lite0") == 1.0
+        assert expected_speedup("TPU v5p something") == 2.3
         assert expected_speedup("unknown chip") == 1.0
 
 
