@@ -111,14 +111,21 @@ def _twiddle_table(n_fft: int, hop: int) -> np.ndarray:
 
 @table_cache("mel_radix_basis", maxsize=8)
 def _basis_table(hop: int) -> np.ndarray:
-    """(R2, 2, 128, 128) base DFT matrices with the stage-2 twiddle folded:
-    ``B_{r'}[t', j] = W_{hop}^{t' r'} * W_128^{t' j}`` (f64 host)."""
+    """(R2, 4, 128, 128) base DFT matrices with the stage-2 twiddle folded:
+    ``B_{r'}[t', j] = W_{hop}^{t' r'} * W_128^{t' j}`` (f64 host).
+
+    Planes 0/1 are cos/sin (``br``/``bi``); planes 2/3 are the Karatsuba
+    combinations ``bi - br`` / ``br + bi`` used by the 3-GEMM complex base
+    multiply (`_radix_group_spectra` with ``kara=True``) — precomputed on
+    the host so the 3M scheme costs zero in-kernel basis arithmetic."""
     R2 = hop // LANE
     tp = np.arange(LANE)
     jj = np.arange(LANE)
-    B = np.zeros((R2, 2, LANE, LANE), np.float64)
+    B = np.zeros((R2, 4, LANE, LANE), np.float64)
     for rp in range(R2):
         B[rp, 0], B[rp, 1] = _omega(np.outer(tp, rp + R2 * jj), R2 * LANE)
+        B[rp, 2] = B[rp, 1] - B[rp, 0]
+        B[rp, 3] = B[rp, 0] + B[rp, 1]
     return B
 
 
@@ -211,7 +218,7 @@ def _group_dot(a, b, fast: bool = False):
 
 
 def _radix_group_spectra(sig_scr, w_ref, t_ref, b_ref, C, R2, NC, FBb,
-                         fast: bool = False):
+                         fast: bool = False, kara: bool = False):
     """Shared radix body of the fused mel and fused STFT kernels.
 
     Windowed chunks -> radix-C butterfly -> T twiddle -> radix-R2 butterfly
@@ -262,11 +269,24 @@ def _radix_group_spectra(sig_scr, w_ref, t_ref, b_ref, C, R2, NC, FBb,
                     er = _add(er, _scaled(hic[c2], -wi))
                     ei = _add(ei, _scaled(hic[c2], wr))
             br, bi = b_ref[rp, 0], b_ref[rp, 1]
-            xr = _group_dot(er, br, fast)
-            xi = _group_dot(er, bi, fast)
-            if ei is not None:
-                xr = xr - _group_dot(ei, bi, fast)
-                xi = xi + _group_dot(ei, br, fast)
+            if ei is None:
+                xr = _group_dot(er, br, fast)
+                xi = _group_dot(er, bi, fast)
+            elif kara:
+                # 3-GEMM complex multiply (Karatsuba/3M): the combined
+                # bases bi-br / br+bi are host-precomputed table planes,
+                # so the only extra VPU work is er+ei and two adds.
+                # 25% fewer MXU passes than the 4-GEMM form; ~2x the
+                # rounding (a subtractive cancellation) — reconstruction
+                # paths keep the 4-GEMM form, analysis paths opt in.
+                p1 = _group_dot(er + ei, br, fast)
+                p2 = _group_dot(er, b_ref[rp, 2], fast)
+                p3 = _group_dot(ei, b_ref[rp, 3], fast)
+                xr = p1 - p3
+                xi = p1 + p2
+            else:
+                xr = _group_dot(er, br, fast) - _group_dot(ei, bi, fast)
+                xi = _group_dot(er, bi, fast) + _group_dot(ei, br, fast)
             yield r * R2 + rp, xr, xi
 
 
@@ -310,7 +330,8 @@ def _double_buffered_rows(sig_hbm, sig_scr, sem, CB, FBb, FBk, GJ):
     return sig_scr.at[slot]
 
 
-def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, POW, GJ, FAST):
+def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, POW, GJ, FAST,
+                              KARA=False):
     """Kernel: double-buffered row DMA -> shared radix body
     (`_radix_group_spectra`) -> |.|^POW -> mel GEMM per group (nothing
     larger than (CB, FBb, 128) stays live past its mel accumulation).
@@ -324,7 +345,7 @@ def _mel_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, POW, GJ, FAST):
 
         acc = None
         for g, xr, xi in _radix_group_spectra(
-            cur, w_ref, t_ref, b_ref, C, R2, NC, FBb, FAST
+            cur, w_ref, t_ref, b_ref, C, R2, NC, FBb, FAST, KARA
         ):
             p = xr * xr + xi * xi
             if POW == 1:
@@ -510,6 +531,7 @@ def _mel_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str,
     jax.jit,
     static_argnames=(
         "n_fft", "hop_length", "center", "pad_mode", "power", "fast_gemm",
+        "kara",
     ),
 )
 def _mel_radix_core(
@@ -525,6 +547,7 @@ def _mel_radix_core(
     pad_mode: str,
     power: int = 2,
     fast_gemm: bool = False,
+    kara: bool = False,
 ) -> jax.Array:
     B, L = y.shape
     C = n_fft // hop_length
@@ -553,7 +576,7 @@ def _mel_radix_core(
     out = pl.pallas_call(
         _mel_radix_kernel_factory(
             CB, FBb, C, R2, NC, hop_length, FBk, power, F_pad // FBb,
-            fast_gemm,
+            fast_gemm, kara,
         ),
         out_shape=vma_struct((B, F_pad, n_mels), jnp.float32, sig2d, fbf),
         grid=(B // CB, F_pad // FBb),
@@ -563,7 +586,7 @@ def _mel_radix_core(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NC, 2, hop_length), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R2, 2, LANE, LANE), lambda i, j: (0, 0, 0, 0),
+            pl.BlockSpec((R2, 4, LANE, LANE), lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NC * R2, LANE, n_mels), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),

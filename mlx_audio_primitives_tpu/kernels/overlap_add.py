@@ -112,6 +112,37 @@ def overlap_add_pallas(
             f"within the VMEM budget; got n_fft={n_fft}, hop={hop_length} "
             f"(C={cdiv(n_fft, hop_length)})"
         )
+    def _xla_ref(fw, env):
+        # pure-XLA formulation of the same op — the backward differentiates
+        # this (pallas_call has no JVP rule; same contract as
+        # `istft_fused.py`'s custom_vjp)
+        from ..ops._frames import overlap_add
+
+        y = overlap_add(fw, hop_length, output_length)
+        e = env
+        if e.shape[0] < output_length:
+            e = jnp.pad(e, (0, output_length - e.shape[0]),
+                        constant_values=1.0)
+        return y / e[:output_length]
+
+    @jax.custom_vjp
+    def _ola(fw, env):
+        return _pallas_forward(fw, env, hop_length, output_length)
+
+    def _ola_fwd(fw, env):
+        return _ola(fw, env), (fw, env)
+
+    def _ola_bwd(res, ct):
+        fw_r, env_r = res
+        _, vjp = jax.vjp(_xla_ref, fw_r, env_r)
+        return vjp(ct)
+
+    _ola.defvjp(_ola_fwd, _ola_bwd)
+    return _ola(fw, env)
+
+
+def _pallas_forward(fw, env, hop_length, output_length):
+    B, F, n_fft = fw.shape
     C = cdiv(n_fft, hop_length)
     # staged frame width: chunked extent, padded to a full lane multiple so
     # the VMEM scratch tiles cleanly (Mosaic rejects ragged minormost dims)

@@ -163,7 +163,152 @@ def stft_magnitude_pallas(
     return jnp.swapaxes(m[:, :, jnp.asarray(pos)], 1, 2)
 
 
-def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ, FAST=False):
+def naturalize_spectrum_t(xt: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    """Transposed group layout ``(B, 2, G, 128, F)`` -> natural complex
+    ``(B, n_bins, F)``.
+
+    The transposed layout puts FRAMES on the minor axis, so restoring
+    librosa's bin order is a ROW gather — every gathered element is a
+    contiguous ``(F,)`` row — followed by one elementwise sign/complex
+    pass. No transpose: the kernel already paid it in VMEM (where it is
+    cheap) instead of XLA paying a strided HBM pass (where it is not).
+    """
+    B = xt.shape[0]
+    F = xt.shape[-1]
+    pos, sgn = _natural_maps(n_fft, hop_length)
+    flat = xt.reshape(B, 2, -1, F)
+    pos_d = jnp.asarray(pos)
+    xr = flat[:, 0, pos_d, :]
+    xi = flat[:, 1, pos_d, :] * jnp.asarray(sgn)[:, None]
+    return jax.lax.complex(xr, xi)
+
+
+def _stft_radix_t_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ, FAST=False,
+                                 KARA=False):
+    """Transposed-emit variant: per group, transpose the (CB, FBb, 128)
+    spectrum tile to (CB, 128, FBb) in VMEM and store it frames-minor, so
+    the XLA naturalize is a coalesced row gather (`naturalize_spectrum_t`)
+    instead of a minor-axis gather + full transpose."""
+
+    def kernel(sig_hbm, w_ref, t_ref, b_ref, out_ref, sig_scr, sem):
+        cur = _double_buffered_rows(sig_hbm, sig_scr, sem, CB, FBb, FBk, GJ)
+
+        for g, xr, xi in _radix_group_spectra(
+            cur, w_ref, t_ref, b_ref, C, R2, NC, FBb, FAST, KARA
+        ):
+            out_ref[:, 0, g] = jnp.swapaxes(xr, 1, 2)
+            out_ref[:, 1, g] = jnp.swapaxes(xi, 1, 2)
+
+    return kernel
+
+
+def stft_pallas_grouped_t(
+    y: jax.Array,
+    win: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+    fast_gemm: bool = False,
+    kara: bool = False,
+) -> jax.Array:
+    """(B, L) -> float32 (B, 2, G, 128, F) STFT in the transposed group
+    layout (planes r/i, frames minor). See :func:`naturalize_spectrum_t`."""
+    if not stft_radix_supported(n_fft, hop_length):
+        raise ValueError(
+            f"fused STFT kernel requires pow2 n_fft = C*hop, hop = R2*128 "
+            f"within the VMEM budget; got n_fft={n_fft}, hop={hop_length}"
+        )
+    pad_total = n_fft if center else 0
+    if y.shape[1] + pad_total < n_fft:
+        raise ValueError(
+            f"signal length ({y.shape[1]}) must be >= n_fft ({n_fft}) "
+            "when center=False"
+        )
+    T = _twiddle_table(n_fft, hop_length)
+    Bt = _basis_table(hop_length)
+    return _stft_radix_core_t(
+        y, win, T, Bt, n_fft=n_fft, hop_length=hop_length, center=center,
+        pad_mode=pad_mode, fast_gemm=bool(fast_gemm), kara=bool(kara),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "center", "pad_mode", "fast_gemm",
+                     "kara"),
+)
+def _stft_radix_core_t(
+    y: jax.Array,
+    win: jax.Array,
+    T: jax.Array,
+    Bt: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    center: bool,
+    pad_mode: str,
+    fast_gemm: bool = False,
+    kara: bool = False,
+) -> jax.Array:
+    """Kernel driver: (B, L) -> transposed group layout (B, 2, G, 128, F)."""
+    B, L = y.shape
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    NC = C // 2 + 1
+    G = NC * R2
+
+    wch = win.reshape(C, hop_length)
+    pad = n_fft // 2 if center else 0
+    F = 1 + (L + 2 * pad - n_fft) // hop_length
+    CB, FBb = _pick_blocks_stft(B, C, R2, NC, hop_length)
+    FBb = min(FBb, round_up(F, SUBLANE))
+    F_pad = round_up(F, FBb)
+    FBk = round_up(FBb + C - 1, SUBLANE)
+    R = F_pad + FBk
+
+    if center and pad_mode != "constant":
+        yp = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+        yp = jnp.pad(yp, ((0, 0), (0, R * hop_length - L - 2 * pad)))
+    else:
+        yp = jnp.pad(y, ((0, 0), (pad, R * hop_length - L - pad)))
+    sig2d = yp.reshape(B, R, hop_length)
+
+    out = pl.pallas_call(
+        _stft_radix_t_kernel_factory(
+            CB, FBb, C, R2, NC, hop_length, FBk, F_pad // FBb, fast_gemm,
+            kara,
+        ),
+        out_shape=vma_struct((B, 2, G, LANE, F_pad), jnp.float32, sig2d),
+        grid=(B // CB, F_pad // FBb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((C, hop_length), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, 2, hop_length), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, 4, LANE, LANE), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (CB, 2, G, LANE, FBb), lambda i, j: (i, 0, 0, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CB, FBk, hop_length), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=pallas_interpret_mode(),
+    )(sig2d, wch, T, Bt)
+    return out[..., :F]
+
+
+def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ, FAST=False,
+                               KARA=False):
     """Kernel: DMA rows -> shared radix body (`mel_fused._radix_group_spectra`)
     -> write (xr | xi) group blocks; differs from the mel kernel only in the
     consumer of each group's complex spectrum. ``FAST`` selects the 3-pass
@@ -174,7 +319,7 @@ def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ, FAST=False):
 
         G = NC * R2
         for g, xr, xi in _radix_group_spectra(
-            cur, w_ref, t_ref, b_ref, C, R2, NC, FBb, FAST
+            cur, w_ref, t_ref, b_ref, C, R2, NC, FBb, FAST, KARA
         ):
             # store each group's 128-lane slices as produced: no full-width
             # concat buffer in VMEM, and stores overlap the next group's GEMMs
@@ -306,7 +451,8 @@ def _stft_grouped_vjp_fn(n_fft: int, hop_length: int, center: bool,
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "center", "pad_mode", "fast_gemm"),
+    static_argnames=("n_fft", "hop_length", "center", "pad_mode", "fast_gemm",
+                     "kara"),
 )
 def _stft_radix_core(
     y: jax.Array,
@@ -319,6 +465,7 @@ def _stft_radix_core(
     center: bool,
     pad_mode: str,
     fast_gemm: bool = False,
+    kara: bool = False,
 ) -> jax.Array:
     """Kernel driver: (B, L) -> group-layout float32 (B, F, 2*G*128)."""
     B, L = y.shape
@@ -345,7 +492,8 @@ def _stft_radix_core(
 
     out = pl.pallas_call(
         _stft_radix_kernel_factory(
-            CB, FBb, C, R2, NC, hop_length, FBk, F_pad // FBb, fast_gemm
+            CB, FBb, C, R2, NC, hop_length, FBk, F_pad // FBb, fast_gemm,
+            kara,
         ),
         # vma_struct: under vma-tracked shard_map the output must carry the
         # operands' varying axes; degrades to a plain struct outside
@@ -357,7 +505,7 @@ def _stft_radix_core(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NC, 2, hop_length), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R2, 2, LANE, LANE), lambda i, j: (0, 0, 0, 0),
+            pl.BlockSpec((R2, 4, LANE, LANE), lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

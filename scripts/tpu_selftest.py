@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Run the kernel/equivalence test subset on the REAL TPU chip and record a
+driver-checkable artifact (VERDICT r3 item 5: turn "the Pallas suite also
+passes on the real TPU" from an assertion into a recorded result).
+
+Usage:  python scripts/tpu_selftest.py [round_number]
+Writes: TPU_SELFTEST_r{NN}.json at the repo root.
+
+Each test file runs in its own subprocess (the axon remote-TPU session can
+be poisoned by an unsupported transfer; isolation keeps one incident from
+cascading) with the persistent compile cache shared across files and rounds.
+The conftest's MLX_AUDIO_TEST_PLATFORM=axon mode re-routes complex
+host<->device transfers through real/imag pairs (the tunnel lacks complex
+transfer support); everything else is the stock test suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import xml.etree.ElementTree as ET
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The kernel/equivalence subset: Pallas kernels vs XLA, FFT kernels,
+# gradients, and the core transform suite.
+FILES = [
+    "tests/test_pallas_kernels.py",
+    "tests/test_bluestein.py",
+    "tests/test_grad.py",
+    "tests/test_stft.py",
+]
+
+PER_FILE_TIMEOUT_S = float(os.environ.get("MAPT_SELFTEST_TIMEOUT_S", "900"))
+
+
+def run_file(path: str) -> dict:
+    xml_path = f"/tmp/selftest_{os.path.basename(path)}.xml"
+    env = dict(
+        os.environ,
+        MLX_AUDIO_TEST_PLATFORM="axon",
+        JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_compile_cache"),
+    )
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", path, "-q", "--tb=line",
+             f"--junitxml={xml_path}"],
+            cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=PER_FILE_TIMEOUT_S,
+        )
+        rc = proc.returncode
+    except subprocess.TimeoutExpired:
+        rc = -1
+    elapsed = round(time.time() - t0, 1)
+    counts = {"tests": 0, "failures": 0, "errors": 0, "skipped": 0}
+    failed_ids = []
+    try:
+        suite = ET.parse(xml_path).getroot().find("testsuite")
+        for k in counts:
+            counts[k] = int(suite.get(k, 0))
+        for case in suite.iter("testcase"):
+            if case.find("failure") is not None or case.find("error") is not None:
+                failed_ids.append(
+                    f"{case.get('classname')}::{case.get('name')}")
+    except Exception:
+        counts = {k: -1 for k in counts}  # no XML: crashed before writing
+    return {
+        "file": path, "rc": rc, "seconds": elapsed, **counts,
+        **({"failed_ids": failed_ids[:20]} if failed_ids else {}),
+    }
+
+
+def main() -> None:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    # platform snapshot from the real chip
+    plat = subprocess.run(
+        [sys.executable, "-c",
+         "import jax, json; d = jax.devices()[0]; "
+         "print(json.dumps({'backend': jax.default_backend(), "
+         "'device': str(d), 'device_kind': d.device_kind, "
+         "'jax': jax.__version__}))"],
+        capture_output=True, text=True, timeout=120,
+    )
+    try:
+        platform = json.loads(plat.stdout.strip().splitlines()[-1])
+    except Exception:
+        platform = {"error": plat.stderr[-200:]}
+
+    results = [run_file(f) for f in FILES]
+    ok = all(
+        r["rc"] == 0 and r["failures"] == 0 and r["errors"] == 0
+        for r in results
+    )
+    artifact = {
+        "round": rnd,
+        "ok": ok,
+        "platform": platform,
+        "total_tests": sum(max(r["tests"], 0) for r in results),
+        "total_skipped": sum(max(r["skipped"], 0) for r in results),
+        "files": results,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "note": (
+            "pytest run per-file in subprocesses on the axon-attached TPU "
+            "chip (MLX_AUDIO_TEST_PLATFORM=axon); complex host<->device "
+            "transfers shimmed in tests/conftest.py (tunnel limitation)."
+        ),
+    }
+    out = os.path.join(REPO, f"TPU_SELFTEST_r{rnd:02d}.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: artifact[k] for k in
+                      ("round", "ok", "total_tests", "total_skipped")}))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -661,3 +661,75 @@ class TestSelectExtremes:
         np.testing.assert_allclose(
             np.asarray(g_kernel), np.asarray(g_sort), rtol=1e-6, atol=1e-7
         )
+
+
+class TestTransposedEmitAndKaratsuba:
+    """Round-4 kernel variants: transposed-emit grouped STFT (coalesced
+    row-gather naturalize) and the 3-GEMM Karatsuba complex base."""
+
+    @staticmethod
+    def _rel(a, b):
+        return float(jnp.abs(a - b).max() / jnp.abs(b).max())
+
+    @pytest.mark.parametrize("n_fft,hop", [(2048, 512), (1024, 256),
+                                           (2048, 256)])
+    def test_transposed_emit_matches_stft_pallas(self, n_fft, hop):
+        from mlx_audio_primitives_tpu.kernels.stft_radix import (
+            naturalize_spectrum_t, stft_pallas, stft_pallas_grouped_t)
+        from mlx_audio_primitives_tpu.ops.windows import get_window
+
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.standard_normal((2, 22050)).astype(np.float32))
+        w = get_window("hann", n_fft)
+        S_ref = stft_pallas(y, w, n_fft=n_fft, hop_length=hop, center=True,
+                            pad_mode="constant")
+        xt = stft_pallas_grouped_t(y, w, n_fft=n_fft, hop_length=hop,
+                                   center=True, pad_mode="constant")
+        S_t = naturalize_spectrum_t(xt, n_fft, hop)
+        assert S_t.shape == S_ref.shape
+        assert self._rel(S_t, S_ref) < 1e-6
+
+    def test_karatsuba_base_mel(self):
+        from mlx_audio_primitives_tpu.kernels.mel_fused import (
+            _basis_table, _mel_radix_core, _twiddle_table)
+        from mlx_audio_primitives_tpu.ops.mel import mel_filterbank
+        from mlx_audio_primitives_tpu.ops.windows import get_window
+
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(rng.standard_normal((2, 22050)).astype(np.float32))
+        n_fft, hop = 2048, 512
+        w = get_window("hann", n_fft)
+        T = _twiddle_table(n_fft, hop)
+        Bt = _basis_table(hop)
+        fb_t = jnp.swapaxes(mel_filterbank(22050, n_fft, 128), 0, 1)
+        kw = dict(n_fft=n_fft, hop_length=hop, center=True,
+                  pad_mode="constant")
+        m0 = _mel_radix_core(y, w, fb_t, T, Bt, kara=False, **kw)
+        m1 = _mel_radix_core(y, w, fb_t, T, Bt, kara=True, **kw)
+        # 3M complex multiply: one subtractive cancellation, ~2x rounding
+        assert self._rel(m1, m0) < 5e-6
+
+    def test_karatsuba_base_stft_t(self):
+        from mlx_audio_primitives_tpu.kernels.stft_radix import (
+            naturalize_spectrum_t, stft_pallas, stft_pallas_grouped_t)
+        from mlx_audio_primitives_tpu.ops.windows import get_window
+
+        rng = np.random.default_rng(2)
+        y = jnp.asarray(rng.standard_normal((2, 22050)).astype(np.float32))
+        n_fft, hop = 2048, 512
+        w = get_window("hann", n_fft)
+        S_ref = stft_pallas(y, w, n_fft=n_fft, hop_length=hop, center=True,
+                            pad_mode="constant")
+        xt = stft_pallas_grouped_t(y, w, n_fft=n_fft, hop_length=hop,
+                                   center=True, pad_mode="constant",
+                                   kara=True)
+        S_k = naturalize_spectrum_t(xt, n_fft, hop)
+        assert self._rel(S_k, S_ref) < 5e-6
+
+    def test_basis_table_karatsuba_planes(self):
+        from mlx_audio_primitives_tpu.kernels.mel_fused import _basis_table
+
+        Bt = np.asarray(_basis_table.host(512))
+        assert Bt.shape == (4, 4, 128, 128)
+        np.testing.assert_allclose(Bt[:, 2], Bt[:, 1] - Bt[:, 0], atol=1e-12)
+        np.testing.assert_allclose(Bt[:, 3], Bt[:, 0] + Bt[:, 1], atol=1e-12)
