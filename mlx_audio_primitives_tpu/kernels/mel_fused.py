@@ -500,9 +500,14 @@ def _mel_vjp_fn(n_fft: int, hop_length: int, center: bool, pad_mode: str,
     """Kernel forward with an XLA-path backward: pallas_call has no autodiff
     rule, but the pipeline's math is plain XLA, so reverse-mode runs the
     reference composition's VJP (one extra XLA forward per backward pass)."""
+    # kara=True: 3-GEMM Karatsuba complex base — measured on v5e
+    # (benchmarks/kernel_ab_r04.json): batch-256 x 4 s mel 2.51 -> 2.19 ms
+    # (fast GEMMs) and 4.30 -> 3.34 ms (exact); error stays ~2.7e-5 (fast,
+    # bf16-split dominates) / ~7e-7 (exact) — both inside the mel ~1e-4
+    # contract.
     kern = partial(
         _mel_radix_core, n_fft=n_fft, hop_length=hop_length, center=center,
-        pad_mode=pad_mode, power=power, fast_gemm=fast_gemm,
+        pad_mode=pad_mode, power=power, fast_gemm=fast_gemm, kara=True,
     )
 
     xla_ref = partial(

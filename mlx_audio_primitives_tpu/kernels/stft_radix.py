@@ -183,6 +183,61 @@ def naturalize_spectrum_t(xt: jax.Array, n_fft: int, hop_length: int) -> jax.Arr
     return jax.lax.complex(xr, xi)
 
 
+def group_spectrum_t(S_fm: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    """Frames-major natural complex spectrum ``(B, F, n_bins)`` -> the
+    transposed group layout ``(B, 2, G, 128, F)``. Plain differentiable XLA
+    (the t-kernel's reference emitter, used by its VJP)."""
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    G = (C // 2 + 1) * R2
+    kmap, sgn = _group_maps(n_fft, hop_length)
+    km = jnp.asarray(kmap)
+    xr = jnp.real(S_fm)[:, :, km]
+    xi = jnp.imag(S_fm)[:, :, km] * jnp.asarray(sgn)
+    x = jnp.swapaxes(jnp.stack([xr, xi], 1), 2, 3)  # (B, 2, G*128, F)
+    B, _, _, F = x.shape
+    return x.reshape(B, 2, G, LANE, F)
+
+
+@lru_cache(maxsize=32)
+def _stft_t_vjp_fn(n_fft: int, hop_length: int, center: bool,
+                   pad_mode: str, fast_gemm: bool = False,
+                   kara: bool = False):
+    """Kernel forward, XLA-composition backward for the transposed-emit
+    core (same contract as `_stft_grouped_vjp_fn`)."""
+    kern = partial(
+        _stft_radix_core_t, n_fft=n_fft, hop_length=hop_length,
+        center=center, pad_mode=pad_mode, fast_gemm=fast_gemm, kara=kara,
+    )
+
+    def xla_ref(y, win):
+        from ..ops._frames import frame_signal_batched
+
+        if center:
+            pad = n_fft // 2
+            y = jnp.pad(y, ((0, 0), (pad, pad)), mode=pad_mode)
+        frames = frame_signal_batched(y, n_fft, hop_length) * win
+        return group_spectrum_t(
+            jnp.fft.rfft(frames, axis=-1), n_fft, hop_length
+        )
+
+    @jax.custom_vjp
+    def f(y, win, T, Bt):
+        return kern(y, win, T, Bt)
+
+    def fwd(y, win, T, Bt):
+        return kern(y, win, T, Bt), (y, win, T, Bt)
+
+    def bwd(res, ct):
+        y, win, T, Bt = res
+        _, vjp = jax.vjp(xla_ref, y, win)
+        dy, dw = vjp(ct)
+        return dy, dw, jnp.zeros_like(T), jnp.zeros_like(Bt)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _stft_radix_t_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ, FAST=False,
                                  KARA=False):
     """Transposed-emit variant: per group, transpose the (CB, FBb, 128)
@@ -228,10 +283,9 @@ def stft_pallas_grouped_t(
         )
     T = _twiddle_table(n_fft, hop_length)
     Bt = _basis_table(hop_length)
-    return _stft_radix_core_t(
-        y, win, T, Bt, n_fft=n_fft, hop_length=hop_length, center=center,
-        pad_mode=pad_mode, fast_gemm=bool(fast_gemm), kara=bool(kara),
-    )
+    return _stft_t_vjp_fn(
+        n_fft, hop_length, center, pad_mode, bool(fast_gemm), bool(kara)
+    )(y, win, T, Bt)
 
 
 @partial(
@@ -262,8 +316,31 @@ def _stft_radix_core_t(
     wch = win.reshape(C, hop_length)
     pad = n_fft // 2 if center else 0
     F = 1 + (L + 2 * pad - n_fft) // hop_length
+    # frames are the output block's MINOR dim here, so Mosaic requires the
+    # frame block to be 128-divisible or span the whole frame axis: prefer
+    # one full-extent block (no padded-frame waste) while it fits VMEM at
+    # CB=1, else fall back to 128-frame blocks
     CB, FBb = _pick_blocks_stft(B, C, R2, NC, hop_length)
-    FBb = min(FBb, round_up(F, SUBLANE))
+    Fp8 = round_up(F, SUBLANE)
+    tables = (C * hop_length + NC * 2 * hop_length
+              + R2 * 4 * LANE * LANE) * 4
+    per_cf = (C + 2 * NC + 4) * hop_length * 4 + 2 * G * LANE * 4
+
+    def _fits(cb, fbb):
+        rows = round_up(fbb + C - 1, SUBLANE)
+        return (cb * (fbb * per_cf + 2 * rows * hop_length * 4)
+                <= VMEM_BUDGET - tables)
+
+    if FBb >= Fp8:
+        FBb = Fp8
+    elif _fits(1, Fp8):
+        FBb = Fp8
+        while CB > 1 and not _fits(CB, FBb):
+            CB //= 2
+    else:
+        FBb = LANE
+        while CB > 1 and not _fits(CB, FBb):
+            CB //= 2
     F_pad = round_up(F, FBb)
     FBk = round_up(FBb + C - 1, SUBLANE)
     R = F_pad + FBk
@@ -354,7 +431,24 @@ def stft_pallas(
     center: bool,
     pad_mode: str,
 ) -> jax.Array:
-    """(B, L) -> complex64 (B, n_bins, F) STFT via the fused radix kernel."""
+    """(B, L) -> complex64 (B, n_bins, F) STFT via the fused radix kernel.
+
+    Layout routing (measured on v5e, `benchmarks/kernel_ab_r04.json`): for
+    long clips (F >= 64 frames) the transposed-emit kernel + coalesced
+    row-gather naturalize wins (batch-64 x 2 s: 0.37 vs 0.83 ms; x 4 s:
+    1.64 vs 2.03 ms) because the group->natural gather+transpose tax
+    dominates at scale; short clips keep the grouped kernel + minor-axis
+    gather (batch-64 x 1 s: 0.12 vs 0.24 ms), where the in-kernel VMEM
+    transpose does not amortize.
+    """
+    pad_total = n_fft if center else 0
+    F = 1 + (y.shape[1] + pad_total - n_fft) // hop_length
+    if F >= 64:
+        xt = stft_pallas_grouped_t(
+            y, win, n_fft=n_fft, hop_length=hop_length, center=center,
+            pad_mode=pad_mode,
+        )
+        return naturalize_spectrum_t(xt, n_fft, hop_length)
     xg = stft_pallas_grouped(
         y, win, n_fft=n_fft, hop_length=hop_length, center=center,
         pad_mode=pad_mode,
@@ -371,6 +465,7 @@ def stft_pallas_grouped(
     center: bool,
     pad_mode: str,
     fast_gemm: bool = False,
+    kara: bool = False,
 ) -> jax.Array:
     """(B, L) -> float32 (B, F, 2*G*128) STFT in the kernel's native group
     layout (see :func:`_group_maps`), skipping the naturalize gather.
@@ -398,13 +493,14 @@ def stft_pallas_grouped(
     T = _twiddle_table(n_fft, hop_length)
     Bt = _basis_table(hop_length)
     return _stft_grouped_vjp_fn(
-        n_fft, hop_length, center, pad_mode, bool(fast_gemm)
+        n_fft, hop_length, center, pad_mode, bool(fast_gemm), bool(kara)
     )(y, win, T, Bt)
 
 
 @lru_cache(maxsize=32)
 def _stft_grouped_vjp_fn(n_fft: int, hop_length: int, center: bool,
-                         pad_mode: str, fast_gemm: bool = False):
+                         pad_mode: str, fast_gemm: bool = False,
+                         kara: bool = False):
     """Kernel forward, XLA-composition backward (the STFT is linear, so the
     VJP is one XLA transform; pallas_call itself has no autodiff rule).
 
@@ -415,7 +511,7 @@ def _stft_grouped_vjp_fn(n_fft: int, hop_length: int, center: bool,
     """
     kern = partial(
         _stft_radix_core, n_fft=n_fft, hop_length=hop_length, center=center,
-        pad_mode=pad_mode, fast_gemm=fast_gemm,
+        pad_mode=pad_mode, fast_gemm=fast_gemm, kara=kara,
     )
 
     def xla_ref(y, win):

@@ -221,7 +221,7 @@ def _griffinlim_grouped_core(
     def stft_g(y: jax.Array) -> jax.Array:
         xg = stft_pallas_grouped(
             y, win, n_fft=n_fft, hop_length=hop_length, center=center,
-            pad_mode=pad_mode, fast_gemm=_fast,
+            pad_mode=pad_mode, fast_gemm=_fast, kara=_fast,
         )
         # +/-1 frame fixup (static): crop or zero-pad the frame axis to F
         F2 = xg.shape[1]

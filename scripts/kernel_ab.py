@@ -58,8 +58,14 @@ SR = 22050
 N_FFT, HOP = 2048, 512
 
 
-def t(fn, x, k=12, runs=5):
-    return time_jax_amortized(fn, x, k=k, runs=runs) * 1e3  # ms
+def t(fn, x, k=12, runs=5, name=""):
+    import time as _time
+
+    t0 = _time.time()
+    ms = time_jax_amortized(fn, x, k=k, runs=runs) * 1e3  # ms
+    print(f"  {name}: {ms:.4f} ms (wall {_time.time() - t0:.0f}s)",
+          flush=True)
+    return ms
 
 
 def main():
@@ -112,27 +118,30 @@ def main():
         results[name] = {k: round(v, 4) for k, v in r.items()}
         print(name, json.dumps(results[name], indent=1))
 
-    # --- C: dense vs 50%-zero block-diagonal GEMM (same 128-wide MXU pass)
+    # --- C: dense vs 50%-zero block-diagonal basis INSIDE the kernel —
+    # the honest probe for the third-decimation question: the MXU pays a
+    # full 128-wide pass regardless of basis sparsity (an XLA-level
+    # microbench is not valid here: XLA pattern-matches constant zero
+    # blocks, Mosaic operand GEMMs cannot)
     rng = np.random.default_rng(1)
-    A = jax.device_put(jnp.asarray(
-        rng.standard_normal((16384, 128)).astype(np.float32)))
-    dense = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
-    bd = np.asarray(dense).copy()
-    bd[:64, 64:] = 0.0
-    bd[64:, :64] = 0.0
-    bd = jnp.asarray(bd)
-
-    def gemm(M):
-        return lambda x: x @ M
-
-    results["blockdiag_gemm"] = {
-        "dense_128x128_ms": round(t(jax.jit(gemm(dense)), A, k=30, runs=5), 4),
-        "blockdiag_50pct_zero_ms": round(
-            t(jax.jit(gemm(bd)), A, k=30, runs=5), 4),
+    y = jax.device_put(jnp.asarray(
+        rng.standard_normal((64, 2 * SR)).astype(np.float32)))
+    Bt_np = np.asarray(_basis_table.host(HOP)).astype(np.float32)
+    Bt_bd = Bt_np.copy()
+    Bt_bd[:, :, :64, 64:] = 0.0
+    Bt_bd[:, :, 64:, :64] = 0.0
+    results["blockdiag_basis_in_kernel"] = {
+        "dense_ms": round(t(
+            lambda x: _mel_radix_core(x, w, fb_t, T, jnp.asarray(Bt_np),
+                                      fast_gemm=False, **kw), y,
+            name="dense basis"), 4),
+        "blockdiag50_ms": round(t(
+            lambda x: _mel_radix_core(x, w, fb_t, T, jnp.asarray(Bt_bd),
+                                      fast_gemm=False, **kw), y,
+            name="blockdiag basis (timing probe, wrong results)"), 4),
     }
-    print("blockdiag", json.dumps(results["blockdiag_gemm"]))
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "benchmarks", "kernel_ab_r04.json")
+        os.path.abspath(__file__))), "benchmarks", "kernel_ab_latest.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)

@@ -379,7 +379,11 @@ class TestDispatchPolicy:
         monkeypatch.setattr(ss, "rfft_power_sixstep", spy)
         jax.clear_caches()
         y = np.zeros((8, 22050), np.float32)
-        melspectrogram(y, n_fft=2048, hop_length=512, n_mels=32)  # 8*44 rows
+        # use_pallas=False: this test pins the XLA-path dispatch policy —
+        # on a real TPU the auto default routes to the fused Pallas kernel
+        # and sixstep is (correctly) never consulted
+        melspectrogram(y, n_fft=2048, hop_length=512, n_mels=32,
+                       use_pallas=False)  # 8*44 rows
         assert called.get("six")
 
     def test_mel_auto_small_batch_stays_on_fft(self, monkeypatch):
@@ -437,6 +441,10 @@ class TestVmaSafeRfft:
 
         g_plain = jax.grad(lambda x: loss(lambda v: jnp.fft.rfft(v, axis=-1), x))(x)
         g_safe = jax.grad(lambda x: loss(rfft_vma_safe, x))(x)
+        gp = np.asarray(g_plain)
+        # scale-aware: on TPU the plain-rfft VJP and the closed-form
+        # adjoint accumulate differently (observed 9e-8 relative)
         np.testing.assert_allclose(
-            np.asarray(g_safe), np.asarray(g_plain), rtol=1e-6, atol=1e-6
+            np.asarray(g_safe), gp, rtol=1e-5,
+            atol=max(1e-6, 1e-6 * float(np.abs(gp).max())),
         )

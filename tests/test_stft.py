@@ -222,7 +222,11 @@ class TestMagnitudeSpectrogram:
         fused = np.asarray(magnitude_spectrogram(y, n_fft=n_fft, hop_length=hop))
         composed = np.asarray(magnitude(stft(y, n_fft=n_fft, hop_length=hop)))
         assert fused.shape == composed.shape
-        np.testing.assert_allclose(fused, composed, atol=1e-4)
+        # on TPU the two sides ride different transform paths (fused radix
+        # vs XLA FFT): scale-aware tolerance (observed 3e-6 relative)
+        np.testing.assert_allclose(
+            fused, composed, atol=max(1e-4, 1e-5 * float(composed.max()))
+        )
 
     def test_1d_and_validation(self):
         from mlx_audio_primitives_tpu.ops.stft import magnitude_spectrogram
