@@ -72,11 +72,15 @@ def istft_fused_supported(n_fft: int, hop_length: int) -> bool:
 
 @table_cache("istft_inv_base", maxsize=8)
 def _inv_base_table(n_fft: int) -> np.ndarray:
-    """(2, 128, 128) inverse base ``IB[j,v] = e^{+2πi j v/128} / n_fft``."""
+    """(4, 128, 128) inverse base ``IB[j,v] = e^{+2πi j v/128} / n_fft``.
+
+    Planes 0/1 are cos/sin; planes 2/3 the Karatsuba combinations
+    ``ibi - ibr`` / ``ibr + ibi`` (3-GEMM complex multiply, used on the
+    fast path — same scheme as the forward kernels' `_basis_table`)."""
     jj = np.arange(LANE)[:, None]
     vv = np.arange(LANE)[None, :]
     cr, ci = _omega(-jj * vv, LANE)  # e^{+2πi j v/128}
-    return np.stack([cr, ci]) / float(n_fft)
+    return np.stack([cr, ci, ci - cr, cr + ci]) / float(n_fft)
 
 
 @table_cache("istft_inv_stage2", maxsize=8)
@@ -137,8 +141,15 @@ def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk, GJ, FAST=False):
                 g = r * R2 + rp
                 er = cur[:, :, g * LANE : (g + 1) * LANE]
                 ei = cur[:, :, (G + g) * LANE : (G + g + 1) * LANE]
-                Er = dot(er, ibr) - dot(ei, ibi)
-                Ei = dot(er, ibi) + dot(ei, ibr)
+                if FAST:
+                    # 3-GEMM Karatsuba (host-precomputed combo planes):
+                    # fast path only — reconstruction keeps 4-GEMM exact
+                    p1 = dot(er + ei, ibr)
+                    Er = p1 - dot(ei, ib_ref[3])
+                    Ei = p1 + dot(er, ib_ref[2])
+                else:
+                    Er = dot(er, ibr) - dot(ei, ibi)
+                    Ei = dot(er, ibi) + dot(ei, ibr)
                 # tile to hop lanes: E depends on u mod 128 only
                 Ert = jnp.concatenate([Er] * R2, axis=-1)
                 Eit = jnp.concatenate([Ei] * R2, axis=-1)
@@ -353,7 +364,7 @@ def _istft_grouped_core(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((C, hop_length), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, LANE, LANE), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((4, LANE, LANE), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R2, 2, hop_length), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),

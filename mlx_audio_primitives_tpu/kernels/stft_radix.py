@@ -149,9 +149,26 @@ def stft_magnitude_pallas(
         from .. import _config
 
         fast_gemm = _config.ANALYSIS_FAST_GEMM
+    pad_total = n_fft if center else 0
+    F = 1 + (y.shape[1] + pad_total - n_fft) // hop_length
+    pos, _ = _natural_maps(n_fft, hop_length)
+    if F >= 64:
+        # scale regime: transposed-emit + coalesced row gather (same
+        # routing rule as `stft_pallas`; |X[N-k]| = |X[k]|, so magnitudes
+        # need no sign mask in either layout)
+        xt = stft_pallas_grouped_t(
+            y, win, n_fft=n_fft, hop_length=hop_length, center=center,
+            pad_mode=pad_mode, fast_gemm=fast_gemm, kara=fast_gemm,
+        )
+        B = xt.shape[0]
+        flat = xt.reshape(B, 2, -1, xt.shape[-1])
+        pos_d = jnp.asarray(pos)
+        xr = flat[:, 0, pos_d, :]
+        xi = flat[:, 1, pos_d, :]
+        return jnp.sqrt(xr * xr + xi * xi)
     xg = stft_pallas_grouped(
         y, win, n_fft=n_fft, hop_length=hop_length, center=center,
-        pad_mode=pad_mode, fast_gemm=fast_gemm,
+        pad_mode=pad_mode, fast_gemm=fast_gemm, kara=fast_gemm,
     )
     C = n_fft // hop_length
     R2 = hop_length // LANE
@@ -159,7 +176,6 @@ def stft_magnitude_pallas(
     xr = xg[..., : G * LANE]
     xi = xg[..., G * LANE :]
     m = jnp.sqrt(xr * xr + xi * xi)
-    pos, _ = _natural_maps(n_fft, hop_length)
     return jnp.swapaxes(m[:, :, jnp.asarray(pos)], 1, 2)
 
 

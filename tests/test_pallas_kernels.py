@@ -258,7 +258,9 @@ class TestGriffinLimPallas:
         a = np.asarray(griffinlim(S, use_pallas=True, **kw))
         b = np.asarray(griffinlim(S, use_pallas=False, **kw))
         assert a.shape == (7000,)
-        np.testing.assert_allclose(a, b, atol=1e-4)
+        # the grouped loop runs fast bf16-split + Karatsuba GEMMs (~3e-5
+        # per-iteration spectral noise, amplified across 2 iterations)
+        np.testing.assert_allclose(a, b, atol=3e-4)
 
 
 class TestGroupedLayout:
@@ -733,3 +735,19 @@ class TestTransposedEmitAndKaratsuba:
         assert Bt.shape == (4, 4, 128, 128)
         np.testing.assert_allclose(Bt[:, 2], Bt[:, 1] - Bt[:, 0], atol=1e-12)
         np.testing.assert_allclose(Bt[:, 3], Bt[:, 0] + Bt[:, 1], atol=1e-12)
+
+    def test_magnitude_t_routing_at_scale(self):
+        # F >= 64 routes magnitude through the transposed-emit kernel;
+        # must match |stft| bit-close across the routing boundary
+        from mlx_audio_primitives_tpu import stft
+        from mlx_audio_primitives_tpu.ops.stft import magnitude_spectrogram
+
+        rng = np.random.default_rng(5)
+        y = rng.standard_normal((2, 2 * 22050)).astype(np.float32)  # F=173
+        fused = np.asarray(magnitude_spectrogram(y, n_fft=2048,
+                                                 hop_length=512))
+        composed = np.asarray(jnp.abs(stft(y, n_fft=2048, hop_length=512)))
+        assert fused.shape == composed.shape
+        np.testing.assert_allclose(
+            fused, composed, atol=max(1e-4, 1e-5 * float(composed.max()))
+        )
