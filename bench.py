@@ -263,6 +263,15 @@ def _run_tpu_measurement(attempts: int = 3) -> dict:
         child_budget = _remaining(hard_deadline) - 25.0
         if child_budget < 30.0:
             break
+        # The axon tunnel sometimes HANGS rather than dying; a hung attempt
+        # would otherwise consume the whole budget and leave nothing for the
+        # retry (which re-attaches the TPU session in a fresh interpreter
+        # and resumes from the warm compile cache). Cap non-final attempts
+        # at half the remaining budget (floor 150 s — enough for a warm
+        # child; a compile-bound cold attempt still banks its executables
+        # for the next attempt).
+        if i < attempts - 1:
+            child_budget = min(child_budget, max(190.0, child_budget * 0.55))
         child_deadline = time.time() + child_budget
         try:
             proc = subprocess.run(
