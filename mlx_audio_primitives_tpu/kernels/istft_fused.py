@@ -56,7 +56,7 @@ def istft_fused_supported(n_fft: int, hop_length: int) -> bool:
     G = NC * R2
     tables = (
         C * hop_length * 4  # window chunks
-        + 2 * LANE * LANE * 4  # inverse base
+        + 4 * LANE * LANE * 4  # inverse base (4 planes: cos/sin + Karatsuba combos)
         + R2 * 2 * hop_length * 4  # stage-2 butterfly vectors
         + NC * 2 * hop_length * 4  # inverse twiddles
     )
@@ -186,7 +186,7 @@ def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk, GJ, FAST=False):
 def _pick_blocks_istft(B, C, R2, NC, hop) -> tuple[int, int]:
     G = NC * R2
     tables = (
-        C * hop * 4 + 2 * LANE * LANE * 4 + R2 * 2 * hop * 4
+        C * hop * 4 + 4 * LANE * LANE * 4 + R2 * 2 * hop * 4
         + NC * 2 * hop * 4
     )
     budget = VMEM_BUDGET - tables

@@ -71,7 +71,7 @@ def radix_supported(n_fft: int, hop_length: int, n_mels: int = 128) -> bool:
     tables = (
         C * hop_length * 4
         + NC * 2 * hop_length * 4
-        + R2 * 2 * LANE * LANE * 4
+        + R2 * 4 * LANE * LANE * 4
         + NC * R2 * LANE * n_mels * 4
     )
     min_rows = round_up(8 + C - 1, SUBLANE)
@@ -366,7 +366,7 @@ def _pick_blocks(B: int, C: int, R2: int, NC: int, hop: int,
     tables = (
         C * hop * 4  # window chunks
         + NC * 2 * hop * 4  # stage-1 twiddles
-        + R2 * 2 * LANE * LANE * 4  # folded base matrices
+        + R2 * 4 * LANE * LANE * 4  # folded base matrices
         + NC * R2 * LANE * n_mels * 4  # folded filterbank
     )
     budget = VMEM_BUDGET - tables

@@ -44,7 +44,7 @@ def stft_radix_supported(n_fft: int, hop_length: int) -> bool:
     R2 = hop_length // LANE
     NC = C // 2 + 1
     G = NC * R2
-    tables = C * hop_length * 4 + NC * 2 * hop_length * 4 + R2 * 2 * LANE * LANE * 4
+    tables = C * hop_length * 4 + NC * 2 * hop_length * 4 + R2 * 4 * LANE * LANE * 4
     min_rows = round_up(8 + C - 1, SUBLANE)
     min_block = 8 * (
         (C + 2 * NC + 4) * hop_length * 4 + 2 * G * LANE * 4
@@ -424,7 +424,7 @@ def _stft_radix_kernel_factory(CB, FBb, C, R2, NC, HOP, FBk, GJ, FAST=False,
 
 def _pick_blocks_stft(B: int, C: int, R2: int, NC: int, hop: int) -> tuple[int, int]:
     G = NC * R2
-    tables = C * hop * 4 + NC * 2 * hop * 4 + R2 * 2 * LANE * LANE * 4
+    tables = C * hop * 4 + NC * 2 * hop * 4 + R2 * 4 * LANE * LANE * 4
     budget = VMEM_BUDGET - tables
     per_cf = (C + 2 * NC + 4) * hop * 4 + 2 * G * LANE * 4
     for FBb in (64, 48, 32, 24, 16, 8):

@@ -517,8 +517,13 @@ def sync(
     appends the axis length so leading/trailing partial segments are
     kept. ``aggregate``: 'mean', 'median', 'max', or 'min'. Segments are
     inherently ragged, so this is a host boundary by design (one NumPy
-    reduction per segment over device-fetched data); empty segments
-    produce zeros like librosa's.
+    reduction per segment over device-fetched data).
+
+    Deliberate deviation: empty segments (duplicate boundaries) emit a
+    zero column here, whereas librosa's ``util.sync`` yields NaN for
+    mean/median and raises for max/min on an empty slice — zeros keep
+    the output finite and usable downstream. Crossval suites must not
+    assert strict equality on the duplicate-boundary case.
     """
     x = np.asarray(jnp.asarray(data, dtype=REAL_DTYPE))
     x = np.moveaxis(x, axis, -1)
@@ -530,8 +535,9 @@ def sync(
         raise ValueError(f"idx out of range for axis length {n}")
     if pad:
         bounds = np.concatenate([[0], bounds, [n]])
-    # keep duplicate boundaries (librosa util.sync does): each requested
-    # segment yields a column, empty segments emitting zeros as documented
+    # keep duplicate boundaries: each requested segment yields a column,
+    # empty segments emitting zeros (deliberate deviation from librosa's
+    # NaN/raise on empty slices — see docstring)
     bounds = np.sort(bounds)
     agg = {"mean": np.mean, "median": np.median, "max": np.max,
            "min": np.min}.get(aggregate)

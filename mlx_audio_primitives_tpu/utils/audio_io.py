@@ -328,9 +328,11 @@ def load(
     for this package's codec: decode (native C++ or NumPy RIFF parser),
     optional mono mixdown, optional ``offset``/``duration`` cropping, and
     resampling to ``sr`` (``sr=None`` keeps the file's rate). ``y`` is
-    float32 in [-1, 1). ``res_type`` defaults to the librosa-shaped
-    'kaiser_best' polyphase design (:func:`~.ops.resample.resample`);
-    pass 'fft' for the spectrum-surgery method.
+    float32 in [-1, 1). ``res_type`` defaults to the 'kaiser_best'
+    polyphase design (:func:`~.ops.resample.resample`) — this matches
+    resampy / librosa < 0.10 (librosa >= 0.10 defaults to 'soxr_hq',
+    which has no in-tree equivalent); pass 'fft' for the on-device
+    spectrum-surgery method (the default before 0.3.0 — see CHANGELOG).
     """
     y, file_sr = read_wav(path, use_native=use_native)
     if mono:

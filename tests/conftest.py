@@ -38,6 +38,22 @@ if _platform == "axon":
     import jax.numpy as _jnp
     from jax._src import array as _jax_array_mod
 
+    # This shim reaches into private jax internals; fail loudly (rather
+    # than silently altering values under test) if a jax upgrade moves
+    # them. Validated against the pinned image jax; widen deliberately.
+    if not (
+        hasattr(_jax_array_mod, "ArrayImpl")
+        and isinstance(
+            getattr(_jax_array_mod.ArrayImpl, "_value", None), property
+        )
+    ):
+        raise RuntimeError(
+            "axon complex-transfer shim: jax._src.array.ArrayImpl._value "
+            f"is no longer a property under jax {jax.__version__}; "
+            "re-validate tests/conftest.py against this jax before "
+            "running the TPU self-test."
+        )
+
     _orig_value = _jax_array_mod.ArrayImpl._value
 
     def _axon_safe_value(self):
@@ -67,17 +83,27 @@ if _platform == "axon":
             and np.issubdtype(np.asarray(a).dtype, np.complexfloating)
         )
 
-    def _axon_asarray(a, dtype=None, *args, **kwargs):
-        if _is_host_complex(a):
-            out = _axon_complexify(np.asarray(a))
-            return out.astype(dtype) if dtype is not None else out
-        return _orig_asarray(a, dtype, *args, **kwargs)
+    def _wanted_dtype(args, kwargs):
+        # dtype is the first positional in both jnp.asarray and jnp.array
+        # today; pull it from either slot without assuming the rest of
+        # the signature (forwarded verbatim below, so drift is safe).
+        if "dtype" in kwargs:
+            return kwargs["dtype"]
+        return args[0] if args else None
 
-    def _axon_array(a, dtype=None, *args, **kwargs):
+    def _axon_asarray(a, *args, **kwargs):
         if _is_host_complex(a):
             out = _axon_complexify(np.asarray(a))
+            dtype = _wanted_dtype(args, kwargs)
             return out.astype(dtype) if dtype is not None else out
-        return _orig_array_fn(a, dtype, *args, **kwargs)
+        return _orig_asarray(a, *args, **kwargs)
+
+    def _axon_array(a, *args, **kwargs):
+        if _is_host_complex(a):
+            out = _axon_complexify(np.asarray(a))
+            dtype = _wanted_dtype(args, kwargs)
+            return out.astype(dtype) if dtype is not None else out
+        return _orig_array_fn(a, *args, **kwargs)
 
     _jnp.asarray = _axon_asarray
     _jnp.array = _axon_array

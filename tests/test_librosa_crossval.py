@@ -1,12 +1,17 @@
 """Cross-validation against ACTUAL librosa (SURVEY.md §4 pillar 1; reference
 `tests/test_mel.py:74-237`, `test_features.py`, `test_mfcc.py`).
 
-librosa is not installed in the build image, so every in-image run skips this
-module cleanly; the `crossval` CI job (`.github/workflows/ci.yml`) pip-installs
-librosa and runs it for real. This converts the ops whose only in-image oracles
-are same-author transliterations (cqt, vqt, chroma_cens, tonnetz, pyin,
-beat_track, tempo, onset family, piptrack, hpss, phase_vocoder, pcen,
-reassigned_spectrogram, trim/split, decompose) into librosa-verified ops.
+Two-tier design so the module is NEVER skipped wholesale:
+
+1. **The ``ap.*`` half of every test executes unconditionally in-image** —
+   shape/dtype/finiteness structural checks, plus comparison against the
+   in-image float64 oracles (`tests/oracles.py`) or scipy where an exact
+   in-image reference exists. An API/signature break in the code paths
+   exercised only here fails in-image, librosa or not.
+2. The librosa reference comparison is fetched through :func:`_ref`, which
+   skips (with a per-test reason) only when librosa is absent — i.e. in
+   this build image. The `crossval` CI job (`.github/workflows/ci.yml`)
+   pip-installs librosa and runs the comparisons for real.
 
 Tolerance philosophy: exact table math (windows, filterbanks, DCT) asserts
 near-bit equality; f32 spectral pipelines assert ~1e-4 absolute against
@@ -21,17 +26,79 @@ tolerances asserted here are those published rows.
 
 import numpy as np
 import pytest
+import scipy.signal
 
-librosa = pytest.importorskip("librosa")
-import scipy.signal  # noqa: E402
+import mlx_audio_primitives_tpu as ap
+from oracles import (
+    hz_to_mel_np,
+    istft_np,
+    mel_filterbank_np,
+    mel_to_hz_np,
+    melspectrogram_np,
+    stft_np,
+)
 
-import mlx_audio_primitives_tpu as ap  # noqa: E402
+try:
+    import librosa
+except ImportError:  # build image: comparisons skip per-test via _ref
+    librosa = None
 
 SR = 22050
 
 
 def _np(x):
     return np.asarray(x)
+
+
+def _finite(*arrays):
+    for a in arrays:
+        assert np.all(np.isfinite(np.asarray(a)))
+
+
+def _ref(fn):
+    """Evaluate the librosa side of a comparison.
+
+    Everything above the first `_ref` call in a test — all `ap.*` calls and
+    their structural/oracle asserts — has already executed; only the
+    librosa-vs-ours comparison is skipped when librosa is absent.
+    """
+    if librosa is None:
+        pytest.skip(
+            "librosa absent: ours-side executed and checked above; the "
+            "librosa comparison runs in the crossval CI job"
+        )
+    return fn()
+
+
+def _input(librosa_fn, fallback_fn):
+    """Test-input provider: librosa's computation when installed (so the CI
+    comparison uses librosa's own input conventions), our oracle/op
+    otherwise (the comparison skips later anyway; the input only needs to
+    be well-formed to drive the ours-side execution)."""
+    if librosa is not None:
+        return librosa_fn()
+    return fallback_fn()
+
+
+def _power_to_db_np(S, amin=1e-10, top_db=80.0):
+    """librosa.power_to_db (ref=1.0) in f64 — in-image oracle."""
+    out = 10.0 * np.log10(np.maximum(amin, np.asarray(S, np.float64)))
+    return np.maximum(out, out.max() - top_db)
+
+
+def _mfcc_np(y, n_mfcc=20, n_mels=128, lifter=0):
+    """librosa.feature.mfcc default pipeline (dct-II-ortho of log-mel)."""
+    from oracles import dct_basis_np
+
+    M = _power_to_db_np(melspectrogram_np(y, sr=SR))
+    C = dct_basis_np(n_mfcc, n_mels) @ M
+    if lifter:
+        C = C * (
+            1.0
+            + (lifter / 2.0)
+            * np.sin(np.pi * np.arange(1, 1 + n_mfcc) / lifter)[:, None]
+        )
+    return C
 
 
 @pytest.fixture(scope="module")
@@ -91,7 +158,12 @@ class TestSTFT:
                                            (2048, 512), (2048, 441)])
     def test_stft(self, noise, n_fft, hop):
         ours = _np(ap.stft(noise, n_fft=n_fft, hop_length=hop))
-        ref = librosa.stft(noise, n_fft=n_fft, hop_length=hop)
+        assert ours.shape == (n_fft // 2 + 1, 1 + len(noise) // hop)
+        assert ours.dtype == np.complex64
+        _finite(ours)
+        oracle = stft_np(noise, n_fft=n_fft, hop_length=hop)
+        np.testing.assert_allclose(ours, oracle, atol=2e-4, rtol=1e-4)
+        ref = _ref(lambda: librosa.stft(noise, n_fft=n_fft, hop_length=hop))
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
 
@@ -99,27 +171,51 @@ class TestSTFT:
     def test_pad_modes(self, noise, pad_mode):
         ours = _np(ap.stft(noise, n_fft=1024, hop_length=256,
                            pad_mode=pad_mode))
-        ref = librosa.stft(noise, n_fft=1024, hop_length=256,
-                           pad_mode=pad_mode)
+        _finite(ours)
+        oracle = stft_np(noise, n_fft=1024, hop_length=256,
+                         pad_mode=pad_mode)
+        np.testing.assert_allclose(ours, oracle, atol=2e-4, rtol=1e-4)
+        ref = _ref(lambda: librosa.stft(noise, n_fft=1024, hop_length=256,
+                                        pad_mode=pad_mode))
         np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
 
     def test_uncentered_and_short_window(self, noise):
         ours = _np(ap.stft(noise, n_fft=1024, hop_length=256,
                            win_length=512, center=False))
-        ref = librosa.stft(noise, n_fft=1024, hop_length=256,
-                           win_length=512, center=False)
+        _finite(ours)
+        oracle = stft_np(noise, n_fft=1024, hop_length=256,
+                         win_length=512, center=False)
+        np.testing.assert_allclose(ours, oracle, atol=2e-4, rtol=1e-4)
+        ref = _ref(lambda: librosa.stft(noise, n_fft=1024, hop_length=256,
+                                        win_length=512, center=False))
         np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
 
     def test_istft_matches(self, noise):
-        S = librosa.stft(noise, n_fft=2048, hop_length=512)
+        S = _input(
+            lambda: librosa.stft(noise, n_fft=2048, hop_length=512),
+            lambda: stft_np(noise, n_fft=2048,
+                            hop_length=512).astype(np.complex64),
+        )
         ours = _np(ap.istft(S, hop_length=512, length=len(noise)))
-        ref = librosa.istft(S, hop_length=512, length=len(noise))
+        assert ours.shape == (len(noise),)
+        _finite(ours)
+        oracle = istft_np(np.asarray(S), hop_length=512, length=len(noise))
+        np.testing.assert_allclose(ours, oracle, atol=1e-4)
+        ref = _ref(lambda: librosa.istft(S, hop_length=512,
+                                         length=len(noise)))
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
     def test_phase_vocoder(self, chirp):
-        D = librosa.stft(chirp, n_fft=1024, hop_length=256)
+        D = _input(
+            lambda: librosa.stft(chirp, n_fft=1024, hop_length=256),
+            lambda: stft_np(chirp, n_fft=1024,
+                            hop_length=256).astype(np.complex64),
+        )
         ours = _np(ap.phase_vocoder(D, rate=1.3, hop_length=256))
-        ref = librosa.phase_vocoder(D, rate=1.3, hop_length=256)
+        assert ours.shape[0] == np.asarray(D).shape[0]
+        _finite(ours)
+        ref = _ref(lambda: librosa.phase_vocoder(D, rate=1.3,
+                                                 hop_length=256))
         assert ours.shape == ref.shape
         # accumulated f32 phase drifts; compare magnitudes tight, field loose
         np.testing.assert_allclose(np.abs(ours), np.abs(ref),
@@ -128,16 +224,22 @@ class TestSTFT:
         assert err < 1e-2
 
     def test_griffinlim_quality(self, tone):
-        S = np.abs(librosa.stft(tone, n_fft=1024, hop_length=256))
+        S = np.abs(_input(
+            lambda: librosa.stft(tone, n_fft=1024, hop_length=256),
+            lambda: stft_np(tone, n_fft=1024, hop_length=256),
+        )).astype(np.float32)
         ours = _np(ap.griffinlim(S, n_iter=32, hop_length=256))
-        ref = librosa.griffinlim(S, n_iter=32, hop_length=256)
+        _finite(ours)
 
         def spec_err(y):
-            R = np.abs(librosa.stft(y.astype(np.float32), n_fft=1024,
-                                    hop_length=256))
+            R = np.abs(stft_np(np.asarray(y, np.float64), n_fft=1024,
+                               hop_length=256))
             n = min(R.shape[1], S.shape[1])
             return np.linalg.norm(R[:, :n] - S[:, :n]) / np.linalg.norm(S)
 
+        # in-image: GL-32 on a pure tone must converge on its own terms
+        assert spec_err(ours) < 0.35
+        ref = _ref(lambda: librosa.griffinlim(S, n_iter=32, hop_length=256))
         # random phase init differs by construction; assert comparable
         # spectral convergence instead of waveform equality
         assert spec_err(ours) < max(1.5 * spec_err(ref), 0.05)
@@ -149,7 +251,12 @@ class TestWindows:
     @pytest.mark.parametrize("fftbins", [True, False])
     def test_get_window(self, name, fftbins):
         ours = _np(ap.get_window(name, 1024, fftbins=fftbins))
-        ref = librosa.filters.get_window(name, 1024, fftbins=fftbins)
+        # scipy IS the in-image oracle here (librosa delegates to it)
+        oracle = scipy.signal.get_window(name, 1024, fftbins=fftbins)
+        np.testing.assert_allclose(ours, oracle.astype(np.float32),
+                                   atol=1e-7)
+        ref = _ref(lambda: librosa.filters.get_window(name, 1024,
+                                                      fftbins=fftbins))
         np.testing.assert_allclose(ours, ref.astype(np.float32), atol=1e-7)
 
 
@@ -159,80 +266,134 @@ class TestMel:
     def test_mel_filterbank(self, htk, norm):
         ours = _np(ap.mel_filterbank(SR, 2048, n_mels=128, htk=htk,
                                      norm=norm))
-        ref = librosa.filters.mel(sr=SR, n_fft=2048, n_mels=128, htk=htk,
-                                  norm=norm)
+        oracle = mel_filterbank_np(SR, 2048, n_mels=128, htk=htk, norm=norm)
+        np.testing.assert_allclose(ours, oracle.astype(np.float32),
+                                   atol=2e-7)
+        ref = _ref(lambda: librosa.filters.mel(sr=SR, n_fft=2048,
+                                               n_mels=128, htk=htk,
+                                               norm=norm))
         np.testing.assert_allclose(ours, ref.astype(np.float32), atol=2e-7)
 
     def test_hz_mel_roundtrip(self):
         f = np.linspace(0, SR / 2, 101)
-        np.testing.assert_allclose(_np(ap.hz_to_mel(f)),
-                                   librosa.hz_to_mel(f), atol=1e-3,
+        ours_mel = _np(ap.hz_to_mel(f))
+        np.testing.assert_allclose(ours_mel, hz_to_mel_np(f), atol=1e-3,
                                    rtol=1e-5)
         m = np.linspace(0, 45, 91)
-        np.testing.assert_allclose(_np(ap.mel_to_hz(m)),
-                                   librosa.mel_to_hz(m), atol=1e-2,
+        ours_hz = _np(ap.mel_to_hz(m))
+        np.testing.assert_allclose(ours_hz, mel_to_hz_np(m), atol=1e-2,
                                    rtol=1e-5)
+        ref_mel = _ref(lambda: librosa.hz_to_mel(f))
+        np.testing.assert_allclose(ours_mel, ref_mel, atol=1e-3, rtol=1e-5)
+        np.testing.assert_allclose(ours_hz, librosa.mel_to_hz(m),
+                                   atol=1e-2, rtol=1e-5)
 
     def test_melspectrogram(self, noise):
         ours = _np(ap.melspectrogram(noise, sr=SR, n_fft=2048,
                                      hop_length=512))
-        ref = librosa.feature.melspectrogram(y=noise, sr=SR, n_fft=2048,
-                                             hop_length=512)
+        _finite(ours)
+        oracle = melspectrogram_np(noise, sr=SR, n_fft=2048, hop_length=512)
+        np.testing.assert_allclose(ours, oracle, atol=1e-4, rtol=1e-3)
+        ref = _ref(lambda: librosa.feature.melspectrogram(
+            y=noise, sr=SR, n_fft=2048, hop_length=512))
         np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
 
     def test_db_conversions(self, noise):
-        S = np.abs(librosa.stft(noise, n_fft=1024)) ** 2
-        np.testing.assert_allclose(_np(ap.power_to_db(S)),
-                                   librosa.power_to_db(S), atol=2e-4)
+        S = np.abs(_input(
+            lambda: librosa.stft(noise, n_fft=1024),
+            lambda: stft_np(noise, n_fft=1024),
+        )).astype(np.float32) ** 2
+        ours_p = _np(ap.power_to_db(S))
+        ours_a = _np(ap.amplitude_to_db(np.sqrt(S)))
+        np.testing.assert_allclose(ours_p, _power_to_db_np(S), atol=2e-4)
         np.testing.assert_allclose(
-            _np(ap.amplitude_to_db(np.sqrt(S))),
-            librosa.amplitude_to_db(np.sqrt(S)), atol=2e-4)
+            ours_a, _power_to_db_np(S, amin=1e-10), atol=2e-4)
+        ref_p = _ref(lambda: librosa.power_to_db(S))
+        np.testing.assert_allclose(ours_p, ref_p, atol=2e-4)
+        np.testing.assert_allclose(
+            ours_a, librosa.amplitude_to_db(np.sqrt(S)), atol=2e-4)
 
     def test_pcen(self, noise):
-        S = librosa.feature.melspectrogram(y=noise, sr=SR).astype(
-            np.float32)
-        for kw in [dict(), dict(gain=0.8, bias=10.0, power=0.25),
-                   dict(max_size=3), dict(max_size=4), dict(b=0.2)]:
-            ours = _np(ap.pcen(S, sr=SR, **kw))
-            ref = librosa.pcen(S, sr=SR, **kw)
-            np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=2e-4)
+        S = _input(
+            lambda: librosa.feature.melspectrogram(y=noise, sr=SR),
+            lambda: melspectrogram_np(noise, sr=SR),
+        ).astype(np.float32)
+        kws = [dict(), dict(gain=0.8, bias=10.0, power=0.25),
+               dict(max_size=3), dict(max_size=4), dict(b=0.2)]
+        outs = [_np(ap.pcen(S, sr=SR, **kw)) for kw in kws]
+        _finite(*outs)
+        for o in outs:
+            assert o.shape == S.shape
+        refs = _ref(lambda: [librosa.pcen(S, sr=SR, **kw) for kw in kws])
+        for o, r in zip(outs, refs):
+            np.testing.assert_allclose(o, r, atol=5e-5, rtol=2e-4)
 
 
 class TestMFCC:
     def test_mfcc(self, noise):
         ours = _np(ap.mfcc(y=noise, sr=SR, n_mfcc=20))
-        ref = librosa.feature.mfcc(y=noise, sr=SR, n_mfcc=20)
+        assert ours.shape[0] == 20
+        np.testing.assert_allclose(ours, _mfcc_np(noise, n_mfcc=20),
+                                   atol=1e-3, rtol=1e-4)
+        ref = _ref(lambda: librosa.feature.mfcc(y=noise, sr=SR, n_mfcc=20))
         np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-4)
 
     def test_mfcc_lifter(self, noise):
         ours = _np(ap.mfcc(y=noise, sr=SR, n_mfcc=13, lifter=22))
-        ref = librosa.feature.mfcc(y=noise, sr=SR, n_mfcc=13, lifter=22)
+        np.testing.assert_allclose(ours,
+                                   _mfcc_np(noise, n_mfcc=13, lifter=22),
+                                   atol=1e-3, rtol=1e-4)
+        ref = _ref(lambda: librosa.feature.mfcc(y=noise, sr=SR, n_mfcc=13,
+                                                lifter=22))
         np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-4)
 
     def test_delta(self, noise):
-        M = librosa.feature.mfcc(y=noise, sr=SR).astype(np.float32)
+        M = _input(
+            lambda: librosa.feature.mfcc(y=noise, sr=SR),
+            lambda: _mfcc_np(noise),
+        ).astype(np.float32)
+        outs = {order: _np(ap.delta(M, width=9, order=order))
+                for order in (1, 2)}
+        _finite(*outs.values())
+        for o in outs.values():
+            assert o.shape == M.shape
+        _ref(lambda: librosa)
         for order in (1, 2):
-            ours = _np(ap.delta(M, width=9, order=order))
             ref = librosa.feature.delta(M, width=9, order=order)
-            np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
+            np.testing.assert_allclose(outs[order], ref, atol=1e-3,
+                                       rtol=1e-3)
 
     def test_mfcc_to_mel(self, noise):
-        M = librosa.feature.mfcc(y=noise, sr=SR, n_mfcc=20).astype(
-            np.float32)
+        M = _input(
+            lambda: librosa.feature.mfcc(y=noise, sr=SR, n_mfcc=20),
+            lambda: _mfcc_np(noise, n_mfcc=20),
+        ).astype(np.float32)
         ours = _np(ap.mfcc_to_mel(M, n_mels=128))
-        ref = librosa.feature.inverse.mfcc_to_mel(M, n_mels=128)
+        assert ours.shape == (128, M.shape[1])
+        _finite(ours)
+        assert np.all(ours >= 0)  # inverse log-mel is a power quantity
+        ref = _ref(lambda: librosa.feature.inverse.mfcc_to_mel(M,
+                                                               n_mels=128))
         np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
 
     def test_mel_to_stft_quality(self, tone):
-        M = librosa.feature.melspectrogram(y=tone, sr=SR).astype(np.float32)
+        M = _input(
+            lambda: librosa.feature.melspectrogram(y=tone, sr=SR),
+            lambda: melspectrogram_np(tone, sr=SR),
+        ).astype(np.float32)
 
         def resid(S):
-            mel_fb = librosa.filters.mel(sr=SR, n_fft=2048)
+            mel_fb = mel_filterbank_np(SR, 2048)
             return np.linalg.norm(mel_fb @ (np.asarray(S) ** 2) - M)
 
-        ours = resid(ap.mel_to_stft(M, sr=SR, n_fft=2048))
-        ref = resid(librosa.feature.inverse.mel_to_stft(M, sr=SR,
-                                                        n_fft=2048))
+        ours_S = _np(ap.mel_to_stft(M, sr=SR, n_fft=2048))
+        assert ours_S.shape == (1025, M.shape[1])
+        _finite(ours_S)
+        ours = resid(ours_S)
+        # in-image: NNLS must actually explain the mel spectrum
+        assert ours < 0.5 * np.linalg.norm(M)
+        ref = _ref(lambda: resid(librosa.feature.inverse.mel_to_stft(
+            M, sr=SR, n_fft=2048)))
         # different NNLS solvers; ours must land within 2x of librosa's
         # reconstruction residual (plus an absolute floor for exact fits)
         assert ours <= 2.0 * ref + 1e-3 * np.linalg.norm(M)
@@ -245,97 +406,169 @@ class TestMFCC:
 
 class TestFeatures:
     def test_centroid_bandwidth_flatness(self, noise):
+        cent = _np(ap.spectral_centroid(y=noise, sr=SR))
+        bw = _np(ap.spectral_bandwidth(y=noise, sr=SR))
+        flat = _np(ap.spectral_flatness(y=noise))
+        _finite(cent, bw, flat)
+        assert np.all((cent >= 0) & (cent <= SR / 2))
+        assert np.all((flat >= 0) & (flat <= 1.0 + 1e-6))
+        _ref(lambda: librosa)
         np.testing.assert_allclose(
-            _np(ap.spectral_centroid(y=noise, sr=SR)),
-            librosa.feature.spectral_centroid(y=noise, sr=SR),
+            cent, librosa.feature.spectral_centroid(y=noise, sr=SR),
             atol=1e-2, rtol=1e-4)
         np.testing.assert_allclose(
-            _np(ap.spectral_bandwidth(y=noise, sr=SR)),
-            librosa.feature.spectral_bandwidth(y=noise, sr=SR),
+            bw, librosa.feature.spectral_bandwidth(y=noise, sr=SR),
             atol=1e-2, rtol=1e-4)
         np.testing.assert_allclose(
-            _np(ap.spectral_flatness(y=noise)),
-            librosa.feature.spectral_flatness(y=noise),
+            flat, librosa.feature.spectral_flatness(y=noise),
             atol=1e-5, rtol=1e-3)
 
     def test_rolloff(self, noise):
-        for pct in (0.85, 0.5):
+        outs = {pct: _np(ap.spectral_rolloff(y=noise, sr=SR,
+                                             roll_percent=pct))
+                for pct in (0.85, 0.5)}
+        for o in outs.values():
+            _finite(o)
+            assert np.all((o >= 0) & (o <= SR / 2))
+        _ref(lambda: librosa)
+        for pct, o in outs.items():
             np.testing.assert_allclose(
-                _np(ap.spectral_rolloff(y=noise, sr=SR, roll_percent=pct)),
-                librosa.feature.spectral_rolloff(y=noise, sr=SR,
-                                                 roll_percent=pct),
+                o, librosa.feature.spectral_rolloff(y=noise, sr=SR,
+                                                    roll_percent=pct),
                 atol=SR / 2048 + 1e-3)
 
     def test_contrast(self, noise):
         ours = _np(ap.spectral_contrast(y=noise, sr=SR))
-        ref = librosa.feature.spectral_contrast(y=noise, sr=SR)
+        assert ours.shape[0] == 7  # n_bands=6 default -> 7 rows
+        _finite(ours)
+        ref = _ref(lambda: librosa.feature.spectral_contrast(y=noise,
+                                                             sr=SR))
         np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
 
     def test_rms_zcr(self, noise):
-        np.testing.assert_allclose(_np(ap.rms(noise)),
-                                   librosa.feature.rms(y=noise), atol=1e-5)
+        r = _np(ap.rms(noise))
+        z = _np(ap.zero_crossing_rate(noise))
+        _finite(r, z)
+        assert np.all(r >= 0)
+        assert np.all((z >= 0) & (z <= 1))
+        _ref(lambda: librosa)
+        np.testing.assert_allclose(r, librosa.feature.rms(y=noise),
+                                   atol=1e-5)
         np.testing.assert_allclose(
-            _np(ap.zero_crossing_rate(noise)),
-            librosa.feature.zero_crossing_rate(noise), atol=1e-5)
+            z, librosa.feature.zero_crossing_rate(noise), atol=1e-5)
 
     def test_poly_features(self, noise):
         ours = _np(ap.poly_features(y=noise, sr=SR, order=2))
-        ref = librosa.feature.poly_features(y=noise, sr=SR, order=2)
+        assert ours.shape[0] == 3
+        _finite(ours)
+        ref = _ref(lambda: librosa.feature.poly_features(y=noise, sr=SR,
+                                                         order=2))
         np.testing.assert_allclose(ours, ref, atol=1e-2, rtol=1e-2)
 
     def test_stack_memory_sync(self, noise):
-        M = librosa.feature.mfcc(y=noise, sr=SR).astype(np.float32)
-        np.testing.assert_allclose(
-            _np(ap.stack_memory(M, n_steps=3, delay=2)),
-            librosa.util.stack_memory(M, n_steps=3, delay=2), atol=1e-6)
+        M = _input(
+            lambda: librosa.feature.mfcc(y=noise, sr=SR),
+            lambda: _mfcc_np(noise),
+        ).astype(np.float32)
+        stacked = _np(ap.stack_memory(M, n_steps=3, delay=2))
+        assert stacked.shape == (3 * M.shape[0], M.shape[1])
+        _finite(stacked)
         idx = [5, 10, 10, 30]
+        synced = _np(ap.sync(M, idx))
+        # pad=True -> bounds [0, 5, 10, 10, 30, n] -> 5 segments
+        assert synced.shape == (M.shape[0], 5)
+        _finite(synced)
+        _ref(lambda: librosa)
         np.testing.assert_allclose(
-            _np(ap.sync(M, idx)), librosa.util.sync(M, idx), atol=1e-4)
+            stacked, librosa.util.stack_memory(M, n_steps=3, delay=2),
+            atol=1e-6)
+        np.testing.assert_allclose(synced, librosa.util.sync(M, idx),
+                                   atol=1e-4)
 
     def test_preemphasis_deemphasis(self, noise):
+        pre = _np(ap.preemphasis(noise, coef=0.97))
+        de = _np(ap.deemphasis(noise, coef=0.97))
+        _finite(pre, de)
+        # scipy is an exact in-image oracle for the filter recurrence
+        # (librosa's zi convention: the linearly-extrapolated y[-1], raw)
+        oracle_pre, _ = scipy.signal.lfilter(
+            [1.0, -0.97], [1.0], noise.astype(np.float64),
+            zi=(2 * noise[0:1] - noise[1:2]).astype(np.float64))
+        np.testing.assert_allclose(pre, oracle_pre, atol=1e-4)
+        _ref(lambda: librosa)
         np.testing.assert_allclose(
-            _np(ap.preemphasis(noise, coef=0.97)),
-            librosa.effects.preemphasis(noise, coef=0.97), atol=1e-6)
+            pre, librosa.effects.preemphasis(noise, coef=0.97), atol=1e-6)
         np.testing.assert_allclose(
-            _np(ap.deemphasis(noise, coef=0.97)),
-            librosa.effects.deemphasis(noise, coef=0.97), atol=1e-4)
+            de, librosa.effects.deemphasis(noise, coef=0.97), atol=1e-4)
 
     def test_interp_harmonics_salience(self, tone):
-        S = np.abs(librosa.stft(tone, n_fft=1024)).astype(np.float32)
-        freqs = librosa.fft_frequencies(sr=SR, n_fft=1024)
+        S = np.abs(_input(
+            lambda: librosa.stft(tone, n_fft=1024),
+            lambda: stft_np(tone, n_fft=1024),
+        )).astype(np.float32)
+        freqs = np.linspace(0, SR / 2, 1 + 1024 // 2)
         h = [1, 2, 3]
+        harm = _np(ap.interp_harmonics(S, freqs, harmonics=h))
+        assert harm.shape == (len(h),) + S.shape
+        _finite(harm)
+        sal = _np(ap.salience(S, freqs, harmonics=h, fill_value=0.0))
+        assert sal.shape == S.shape
+        _finite(sal)
+        _ref(lambda: librosa)
         np.testing.assert_allclose(
-            _np(ap.interp_harmonics(S, freqs, harmonics=h)),
-            librosa.interp_harmonics(S, freqs=freqs, harmonics=h),
+            harm, librosa.interp_harmonics(S, freqs=freqs, harmonics=h),
             atol=1e-4, rtol=1e-3)
-        ours = _np(ap.salience(S, freqs, harmonics=h, fill_value=0.0))
-        ref = librosa.salience(S, freqs=freqs, harmonics=h, fill_value=0.0)
-        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            sal, librosa.salience(S, freqs=freqs, harmonics=h,
+                                  fill_value=0.0),
+            atol=1e-4, rtol=1e-3)
 
 
 class TestEffects:
     def test_hpss(self, clicks):
-        S = np.abs(librosa.stft(clicks[: 2 * SR], n_fft=1024,
-                                hop_length=256)).astype(np.float32)
-        for kw in [dict(), dict(margin=2.0), dict(mask=True),
-                   dict(kernel_size=(17, 31))]:
-            H, P = ap.hpss(S, **kw)
+        S = np.abs(_input(
+            lambda: librosa.stft(clicks[: 2 * SR], n_fft=1024,
+                                 hop_length=256),
+            lambda: stft_np(clicks[: 2 * SR], n_fft=1024, hop_length=256),
+        )).astype(np.float32)
+        kws = [dict(), dict(margin=2.0), dict(mask=True),
+               dict(kernel_size=(17, 31))]
+        outs = [tuple(map(_np, ap.hpss(S, **kw))) for kw in kws]
+        for (H, P), kw in zip(outs, kws):
+            _finite(H, P)
+            assert H.shape == S.shape and P.shape == S.shape
+            if kw.get("mask"):
+                assert np.all((H >= 0) & (H <= 1 + 1e-6))
+        _ref(lambda: librosa)
+        for (H, P), kw in zip(outs, kws):
             Hr, Pr = librosa.decompose.hpss(S, **kw)
-            np.testing.assert_allclose(_np(H), Hr, atol=1e-4, rtol=1e-3)
-            np.testing.assert_allclose(_np(P), Pr, atol=1e-4, rtol=1e-3)
+            np.testing.assert_allclose(H, Hr, atol=1e-4, rtol=1e-3)
+            np.testing.assert_allclose(P, Pr, atol=1e-4, rtol=1e-3)
 
     def test_trim_split(self, speechlike):
         yt, idx = ap.trim(speechlike, top_db=30)
+        idx = np.asarray(idx)
+        assert 0 <= idx[0] <= idx[1] <= len(speechlike)
+        assert len(_np(yt)) == idx[1] - idx[0]
+        intervals = _np(ap.split(speechlike, top_db=30))
+        assert intervals.ndim == 2 and intervals.shape[1] == 2
+        assert np.all(np.diff(intervals.ravel()) >= 0)
+        _ref(lambda: librosa)
         yt_ref, idx_ref = librosa.effects.trim(speechlike, top_db=30)
-        np.testing.assert_array_equal(np.asarray(idx), idx_ref)
-        ours = _np(ap.split(speechlike, top_db=30))
+        np.testing.assert_array_equal(idx, idx_ref)
         ref = librosa.effects.split(speechlike, top_db=30)
-        np.testing.assert_array_equal(ours, ref)
+        np.testing.assert_array_equal(intervals, ref)
 
     def test_mu_law(self, noise):
         x = np.clip(noise, -1, 1)
         ours = _np(ap.mu_compress(x))
-        ref = librosa.mu_compress(x, mu=255, quantize=True)
+        # librosa's digitize convention lands codes in [-127, 128]
+        assert np.all((ours >= -127) & (ours <= 128))
+        roundtrip = _np(ap.mu_expand(ours.astype(np.int32)))
+        # 8-bit mu-law companding error bound on [-1, 1)
+        assert np.max(np.abs(roundtrip - x)) < 0.1
+        assert np.mean(np.abs(roundtrip - x)) < 0.02
+        ref = _ref(lambda: librosa.mu_compress(x, mu=255, quantize=True))
         # f32-vs-f64 companding can land exactly on a bin edge; allow <=1%
         # of samples to sit one code off
         diff = np.abs(ours - ref)
@@ -348,7 +581,11 @@ class TestEffects:
     def test_lpc(self, speechlike):
         y = speechlike[:4096]
         ours = _np(ap.lpc(y, order=16))
-        ref = librosa.lpc(y, order=16)
+        assert ours.shape == (17,)
+        assert ours[0] == pytest.approx(1.0)
+        # Levinson-Durbin on a valid autocorrelation -> minimum-phase poly
+        assert np.max(np.abs(np.roots(ours.astype(np.float64)))) < 1.0 + 1e-3
+        ref = _ref(lambda: librosa.lpc(y, order=16))
         np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
 
 
@@ -356,24 +593,44 @@ class TestResample:
     @pytest.mark.parametrize("target", [16000, 8000, 44100])
     def test_fft(self, noise, target):
         ours = _np(ap.resample(noise, SR, target, res_type="fft"))
-        ref = librosa.resample(noise, orig_sr=SR, target_sr=target,
-                               res_type="fft")
+        n_out = int(np.ceil(len(noise) * target / SR))
+        assert ours.shape == (n_out,)
+        # librosa's 'fft' IS scipy.signal.resample — exact in-image oracle
+        oracle = scipy.signal.resample(noise, n_out)
+        np.testing.assert_allclose(ours, oracle, atol=2e-4)
+        ref = _ref(lambda: librosa.resample(noise, orig_sr=SR,
+                                            target_sr=target,
+                                            res_type="fft"))
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=2e-4)
 
     def test_polyphase(self, noise):
         ours = _np(ap.resample(noise, SR, 16000, res_type="polyphase"))
-        ref = librosa.resample(noise, orig_sr=SR, target_sr=16000,
-                               res_type="polyphase")
+        g = np.gcd(SR, 16000)
+        oracle = scipy.signal.resample_poly(noise, 16000 // g, SR // g)
+        assert ours.shape == oracle.shape
+        np.testing.assert_allclose(ours, oracle, atol=2e-4)
+        ref = _ref(lambda: librosa.resample(noise, orig_sr=SR,
+                                            target_sr=16000,
+                                            res_type="polyphase"))
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=2e-4)
 
     @pytest.mark.parametrize("res_type", ["kaiser_best", "kaiser_fast"])
     def test_kaiser(self, noise, res_type):
-        pytest.importorskip("resampy")
         ours = _np(ap.resample(noise, SR, 16000, res_type=res_type))
-        ref = librosa.resample(noise, orig_sr=SR, target_sr=16000,
-                               res_type=res_type)
+        assert ours.shape == (int(np.ceil(len(noise) * 16000 / SR)),)
+        _finite(ours)
+        # passband energy sanity: same signal power order of magnitude
+        assert 0.5 < np.std(ours) / np.std(noise) < 2.0
+        pytest.importorskip(
+            "resampy",
+            reason="resampy absent: ours-side executed and checked above; "
+            "the resampy-backed librosa comparison runs in the crossval "
+            "CI job")
+        ref = _ref(lambda: librosa.resample(noise, orig_sr=SR,
+                                            target_sr=16000,
+                                            res_type=res_type))
         assert ours.shape == ref.shape
         # resampy's table-interpolated kernel vs our direct polyphase FIR
         # of the same design: identical passband, small kernel diff at edges
@@ -389,27 +646,38 @@ class TestResample:
 class TestPitch:
     def test_yin_tone(self, tone):
         ours = _np(ap.yin(tone, fmin=80, fmax=1000, sr=SR))
-        ref = librosa.yin(tone, fmin=80, fmax=1000, sr=SR)
+        _finite(ours)
+        # in-image: a 440 Hz tone must track at 440 Hz
+        assert abs(np.median(ours) - 440.0) / 440.0 < 0.02
+        ref = _ref(lambda: librosa.yin(tone, fmin=80, fmax=1000, sr=SR))
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, rtol=2e-3)
 
     def test_yin_speech(self, speechlike):
         ours = _np(ap.yin(speechlike, fmin=80, fmax=600, sr=SR))
-        ref = librosa.yin(speechlike, fmin=80, fmax=600, sr=SR)
+        _finite(ours)
+        assert np.all((ours >= 80 * 0.9) & (ours <= 600 * 1.1))
+        ref = _ref(lambda: librosa.yin(speechlike, fmin=80, fmax=600,
+                                       sr=SR))
         # occasional octave flips on noisy frames; medians must agree
         agree = np.abs(ours - ref) / ref < 0.02
         assert agree.mean() > 0.9
 
     def test_pyin(self, speechlike):
         f0, vflag, vprob = ap.pyin(speechlike, fmin=80, fmax=600, sr=SR)
+        f0, vflag, vprob = _np(f0), _np(vflag), _np(vprob)
+        assert f0.shape == vflag.shape == vprob.shape
+        assert np.all((vprob >= 0) & (vprob <= 1))
+        voiced_f0 = f0[vflag.astype(bool)]
+        assert np.all((voiced_f0 >= 80 * 0.9) & (voiced_f0 <= 600 * 1.1))
+        _ref(lambda: librosa)
         f0r, vflagr, vprobr = librosa.pyin(speechlike, fmin=80, fmax=600,
                                            sr=SR)
-        f0, vflag, vprob = _np(f0), _np(vflag), _np(vprob)
         assert f0.shape == f0r.shape
         # voicing decision agreement (F1-style)
         agree = (vflag == vflagr).mean()
         assert agree > 0.85
-        both = vflag & vflagr
+        both = vflag.astype(bool) & np.asarray(vflagr).astype(bool)
         if both.any():
             rmse = np.sqrt(np.nanmean((f0[both] - f0r[both]) ** 2))
             assert rmse < 5.0  # Hz, on voiced-agreed frames
@@ -417,10 +685,15 @@ class TestPitch:
 
     def test_piptrack(self, tone):
         p, m = ap.piptrack(y=tone, sr=SR)
-        pr, mr = librosa.piptrack(y=tone, sr=SR)
         p, m = _np(p), _np(m)
-        # dominant pitch per frame must agree within a parabolic-interp hair
         ours_best = p[np.argmax(m, axis=0), np.arange(p.shape[1])]
+        sel_ours = ours_best > 0
+        # in-image: dominant track on a 440 Hz tone sits at 440 Hz
+        assert sel_ours.mean() > 0.9
+        np.testing.assert_allclose(ours_best[sel_ours], 440.0, rtol=0.01)
+        _ref(lambda: librosa)
+        pr, mr = librosa.piptrack(y=tone, sr=SR)
+        # dominant pitch per frame must agree within a parabolic-interp hair
         ref_best = pr[np.argmax(mr, axis=0), np.arange(pr.shape[1])]
         sel = (ours_best > 0) & (ref_best > 0)
         assert sel.mean() > 0.9
@@ -430,9 +703,11 @@ class TestPitch:
         t = np.arange(SR) / SR
         detuned = np.sin(2 * np.pi * 440 * 2 ** (0.3 / 12) * t).astype(
             np.float32)
-        ours = ap.estimate_tuning(y=detuned, sr=SR)
-        ref = librosa.estimate_tuning(y=detuned, sr=SR)
-        assert abs(float(ours) - float(ref)) < 0.05
+        ours = float(_np(ap.estimate_tuning(y=detuned, sr=SR)))
+        # in-image: must recover the synthetic +0.3 semitone detune
+        assert abs(ours - 0.3) < 0.1
+        ref = _ref(lambda: librosa.estimate_tuning(y=detuned, sr=SR))
+        assert abs(ours - float(ref)) < 0.05
 
 
 # ---------------------------------------------------------------------------
@@ -443,13 +718,25 @@ class TestPitch:
 class TestRhythm:
     def test_onset_strength(self, clicks):
         ours = _np(ap.onset_strength(clicks, sr=SR))
-        ref = librosa.onset.onset_strength(y=clicks, sr=SR)
+        _finite(ours)
+        assert np.all(ours >= 0)  # rectified spectral flux
+        ref = _ref(lambda: librosa.onset.onset_strength(y=clicks, sr=SR))
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
 
     def test_onset_detect_and_backtrack(self, clicks):
-        env = librosa.onset.onset_strength(y=clicks, sr=SR).astype(
-            np.float32)
+        # in-image half: our envelope through our detector/backtracker
+        env_ours = _np(ap.onset_strength(clicks, sr=SR)).astype(np.float32)
+        onsets_ours = _np(ap.onset_detect(onset_envelope=env_ours, sr=SR))
+        assert onsets_ours.ndim == 1
+        assert np.all(np.diff(onsets_ours) > 0)
+        # the 120 BPM click train has ~8 onsets in 4 s
+        assert 4 <= len(onsets_ours) <= 12
+        rms_ours = _np(ap.rms(clicks))[0].astype(np.float32)
+        back_ours = _np(ap.onset_backtrack(onsets_ours, rms_ours))
+        assert np.all(back_ours <= onsets_ours)
+        env = _ref(lambda: librosa.onset.onset_strength(
+            y=clicks, sr=SR)).astype(np.float32)
         ours = _np(ap.onset_detect(onset_envelope=env, sr=SR))
         ref = librosa.onset.onset_detect(onset_envelope=env, sr=SR)
         # identical envelope -> identical peak picking
@@ -461,29 +748,41 @@ class TestRhythm:
 
     def test_tempogram(self, clicks):
         ours = _np(ap.tempogram(y=clicks, sr=SR))
-        ref = librosa.feature.tempogram(y=clicks, sr=SR)
+        assert ours.shape[0] == 384  # default win_length
+        _finite(ours)
+        ref = _ref(lambda: librosa.feature.tempogram(y=clicks, sr=SR))
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=5e-3)
 
     def test_fourier_tempogram(self, clicks):
         ours = _np(np.abs(ap.fourier_tempogram(y=clicks, sr=SR)))
-        ref = np.abs(librosa.feature.fourier_tempogram(y=clicks, sr=SR))
+        _finite(ours)
+        ref = _ref(lambda: np.abs(librosa.feature.fourier_tempogram(
+            y=clicks, sr=SR)))
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=1e-2)
 
     def test_tempo(self, clicks):
         ours = float(np.atleast_1d(_np(ap.tempo(y=clicks, sr=SR)))[0])
-        ref = float(np.atleast_1d(
-            librosa.feature.tempo(y=clicks, sr=SR))[0])
+        # in-image: the click train IS 120 BPM
+        assert 110 < ours < 130
+        ref = _ref(lambda: float(np.atleast_1d(
+            librosa.feature.tempo(y=clicks, sr=SR))[0]))
         assert abs(ours - ref) / ref < 0.02
 
     def test_beat_track(self, clicks):
         tempo_ours, beats_ours = ap.beat_track(y=clicks, sr=SR)
-        tempo_ref, beats_ref = librosa.beat.beat_track(y=clicks, sr=SR)
         tempo_ours = float(np.atleast_1d(_np(tempo_ours))[0])
+        beats_ours = np.asarray(beats_ours)
+        # in-image: 120 BPM -> ~0.5 s beat period -> ~21.5 frames @ hop 512
+        assert 108 < tempo_ours < 132
+        assert len(beats_ours) >= 5
+        spacing = np.median(np.diff(beats_ours))
+        assert abs(spacing - SR * 0.5 / 512) < 3
+        _ref(lambda: librosa)
+        tempo_ref, beats_ref = librosa.beat.beat_track(y=clicks, sr=SR)
         tempo_ref = float(np.atleast_1d(tempo_ref)[0])
         assert abs(tempo_ours - tempo_ref) / tempo_ref < 0.05
-        beats_ours = np.asarray(beats_ours)
         # each of our beats lands within 1 frame of a librosa beat
         dist = np.abs(beats_ours[:, None] - np.asarray(beats_ref)[None, :])
         assert (dist.min(axis=1) <= 1).mean() > 0.9
@@ -495,23 +794,27 @@ class TestRhythm:
 
 
 def _colnorm(X, eps=1e-10):
-    X = np.abs(np.asarray(X, dtype=np.float64))
+    X = np.abs(np.asarray(X)).astype(np.float64)
     return X / np.maximum(X.max(axis=0, keepdims=True), eps)
 
 
 class TestCQTFamily:
     def test_cqt_peak_bins_and_shape(self, tone):
         C = _np(np.abs(ap.cqt(tone, sr=SR)))
-        Cr = np.abs(librosa.cqt(tone, sr=SR))
-        assert C.shape == Cr.shape
+        assert C.shape[0] == 84  # 7 octaves x 12 bins from C1
+        _finite(C)
         mid = slice(C.shape[1] // 4, 3 * C.shape[1] // 4)
-        # 440 Hz = bin 57 from C1 at 12 bins/octave — both peak there
+        # 440 Hz = bin 45 from C1 (12*log2(440/32.703)) — in-image check
+        assert np.argmax(C[:, mid].mean(axis=1)) == 45
+        Cr = _ref(lambda: np.abs(librosa.cqt(tone, sr=SR)))
+        assert C.shape == Cr.shape
         assert np.argmax(C[:, mid].mean(axis=1)) == np.argmax(
             Cr[:, mid].mean(axis=1))
 
     def test_cqt_column_correlation(self, chirp):
         C = _colnorm(ap.cqt(chirp, sr=SR))
-        Cr = _colnorm(librosa.cqt(chirp, sr=SR))
+        _finite(C)
+        Cr = _ref(lambda: _colnorm(librosa.cqt(chirp, sr=SR)))
         n = min(C.shape[1], Cr.shape[1])
         mid = slice(n // 4, 3 * n // 4)
         corr = [np.corrcoef(C[:, j], Cr[:, j])[0, 1]
@@ -520,12 +823,18 @@ class TestCQTFamily:
 
     def test_chroma_stft(self, chirp):
         ours = _np(ap.chroma_stft(y=chirp, sr=SR, tuning=0.0))
-        ref = librosa.feature.chroma_stft(y=chirp, sr=SR, tuning=0.0)
+        assert ours.shape[0] == 12
+        _finite(ours)
+        assert np.all(ours >= 0)
+        ref = _ref(lambda: librosa.feature.chroma_stft(y=chirp, sr=SR,
+                                                       tuning=0.0))
         np.testing.assert_allclose(ours, ref, atol=2e-4)
 
     def test_chroma_cqt_agreement(self, chirp):
         ours = _np(ap.chroma_cqt(chirp, sr=SR))
-        ref = librosa.feature.chroma_cqt(y=chirp, sr=SR)
+        assert ours.shape[0] == 12
+        _finite(ours)
+        ref = _ref(lambda: librosa.feature.chroma_cqt(y=chirp, sr=SR))
         n = min(ours.shape[1], ref.shape[1])
         mid = slice(n // 4, 3 * n // 4)
         # norm-normalized chroma: dominant pitch class must agree
@@ -535,7 +844,9 @@ class TestCQTFamily:
 
     def test_chroma_cens_agreement(self, chirp):
         ours = _np(ap.chroma_cens(y=chirp, sr=SR))
-        ref = librosa.feature.chroma_cens(y=chirp, sr=SR)
+        assert ours.shape[0] == 12
+        _finite(ours)
+        ref = _ref(lambda: librosa.feature.chroma_cens(y=chirp, sr=SR))
         n = min(ours.shape[1], ref.shape[1])
         mid = slice(n // 4, 3 * n // 4)
         agree = (np.argmax(ours[:, mid], axis=0)
@@ -544,19 +855,29 @@ class TestCQTFamily:
 
     def test_tonnetz_from_same_chroma(self, chirp):
         # isolate the tonnetz projection itself from the cqt frontend
-        chroma = librosa.feature.chroma_cqt(y=chirp, sr=SR).astype(
-            np.float32)
+        chroma = _input(
+            lambda: librosa.feature.chroma_cqt(y=chirp, sr=SR),
+            lambda: _np(ap.chroma_cqt(chirp, sr=SR)),
+        ).astype(np.float32)
         ours = _np(ap.tonnetz(chroma=chroma, sr=SR))
-        ref = librosa.feature.tonnetz(chroma=chroma, sr=SR)
+        assert ours.shape == (6, chroma.shape[1])
+        _finite(ours)
+        ref = _ref(lambda: librosa.feature.tonnetz(chroma=chroma, sr=SR))
         np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
 class TestReassigned:
     def test_reassigned_spectrogram(self, chirp):
         f, t, m = ap.reassigned_spectrogram(chirp, sr=SR, n_fft=1024)
+        f, t, m = _np(f), _np(t), _np(m)
+        _finite(m)
+        assert np.all(m >= 0)
+        sel_ours = m > m.max() * 1e-2
+        assert np.all((f[sel_ours] >= 0) & (f[sel_ours] <= SR / 2))
+        assert np.all((t[sel_ours] >= 0) & (t[sel_ours] <= 1.05))
+        _ref(lambda: librosa)
         fr, tr, mr = librosa.reassigned_spectrogram(chirp, sr=SR,
                                                     n_fft=1024)
-        f, t, m = _np(f), _np(t), _np(m)
         np.testing.assert_allclose(m, mr, atol=1e-4, rtol=1e-3)
         sel = mr > mr.max() * 1e-2
         assert np.nanmedian(np.abs(f[sel] - fr[sel])) < 1.0  # Hz
@@ -565,23 +886,38 @@ class TestReassigned:
 
 class TestSegment:
     def test_recurrence_matrix(self, noise):
-        M = librosa.feature.mfcc(y=noise, sr=SR).astype(np.float32)
+        M = _input(
+            lambda: librosa.feature.mfcc(y=noise, sr=SR),
+            lambda: _mfcc_np(noise),
+        ).astype(np.float32)
         ours = _np(ap.recurrence_matrix(M, k=5, width=3, sym=True))
-        ref = librosa.segment.recurrence_matrix(M, k=5, width=3, sym=True)
-        agree = (ours.astype(bool) == np.asarray(ref).astype(bool)).mean()
+        n = M.shape[1]
+        assert ours.shape == (n, n)
+        ours_b = ours.astype(bool)
+        assert np.array_equal(ours_b, ours_b.T)  # sym=True
+        assert not np.any(np.diag(ours_b))  # width excludes self-links
+        ref = _ref(lambda: librosa.segment.recurrence_matrix(
+            M, k=5, width=3, sym=True))
+        agree = (ours_b == np.asarray(ref).astype(bool)).mean()
         assert agree > 0.99  # kNN boundary ties may differ
 
 
 class TestDecompose:
     def test_nmf_reconstruction_quality(self, clicks):
-        S = np.abs(librosa.stft(clicks[:SR], n_fft=512)).astype(np.float32)
+        S = np.abs(_input(
+            lambda: librosa.stft(clicks[:SR], n_fft=512),
+            lambda: stft_np(clicks[:SR], n_fft=512),
+        )).astype(np.float32)
 
         def resid(W, H):
             return (np.linalg.norm(np.asarray(W) @ np.asarray(H) - S)
                     / np.linalg.norm(S))
 
         W, H = ap.decompose(S, n_components=8)
-        comps, acts = librosa.decompose.decompose(S, n_components=8,
-                                                  random_state=0)
+        assert np.all(_np(W) >= 0) and np.all(_np(H) >= 0)
+        # in-image: 8 NMF components must explain most of a click train
+        assert resid(W, H) < 0.8
+        ref_resid = _ref(lambda: resid(*librosa.decompose.decompose(
+            S, n_components=8, random_state=0)))
         # NMF factorizations are non-unique; both must explain S comparably
-        assert resid(W, H) < 1.5 * resid(comps, acts) + 0.05
+        assert resid(W, H) < 1.5 * ref_resid + 0.05
