@@ -108,77 +108,113 @@ def _inv_twiddle_table(n_fft: int, hop: int) -> np.ndarray:
 
 
 
-def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk, GJ, FAST=False):
+def _istft_stages(read_group, w_ref, ib_ref, w2_ref, t_ref, env_ref, out_ref,
+                  C, R2, NC, RB, FAST, OFF=None, KARA=False):
+    """Shared inverse stages of the fused ISTFT kernels (grouped, transposed
+    and natural intake). ``read_group(g)`` returns the group's complex block
+    ``(er, ei)`` of shape (CB, FBk, 128) frames-major — the kernels differ
+    ONLY in how that block is produced from their scratch layout.
+
+    All post-GEMM stages operate per 128-lane hop chunk (c2): the r4 form
+    materialized hop-wide tensors via ``concatenate([Er]*R2)`` before every
+    butterfly multiply; the chunked form slices the (static, 128-aligned)
+    table lanes instead, removing R2x data movement from each frame's
+    dependency chain at identical FLOP count and bitwise-identical results.
+
+    ``KARA`` selects the 3-GEMM complex base with exact (HIGHEST) GEMMs —
+    25% fewer MXU passes than the 4-GEMM form at ~2x rounding (measured
+    ~1e-6 round-trip, inside the public istft's <=1e-5 contract). ``FAST``
+    (Griffin-Lim's loop) keeps the bf16-split 3-pass GEMMs and implies the
+    Karatsuba base as before."""
+    if FAST:
+        from .mel_fused import _group_dot
+
+        def dot(a, b):
+            return _group_dot(a, b, True)
+    else:
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=MATMUL_PRECISION,
+            )
+
+    if OFF is None:
+        OFF = C - 1
+    ibr, ibi = ib_ref[0], ib_ref[1]
+    # stage A: per-group complex inverse 128-GEMMs; stage A2 accumulates the
+    # R2 butterfly into S_r as R2 chunks of 128 lanes (E depends on
+    # u mod 128 only, so chunk c2 of S_r needs no tiling of E — just the
+    # c2-lane slice of the butterfly vector)
+    Z = []  # per class r: list of R2 chunks of T_r * S_r (complex)
+    for r in range(NC):
+        src = [None] * R2
+        sic = [None] * R2
+        for rp in range(R2):
+            g = r * R2 + rp
+            er, ei = read_group(g)
+            if FAST or KARA:
+                # 3-GEMM Karatsuba (host-precomputed combo planes)
+                p1 = dot(er + ei, ibr)
+                Er = p1 - dot(ei, ib_ref[3])
+                Ei = p1 + dot(er, ib_ref[2])
+            else:
+                Er = dot(er, ibr) - dot(ei, ibi)
+                Ei = dot(er, ibi) + dot(ei, ibr)
+            for c2 in range(R2):
+                wr = w2_ref[rp, 0, c2 * LANE : (c2 + 1) * LANE]
+                wi = w2_ref[rp, 1, c2 * LANE : (c2 + 1) * LANE]
+                ar = Er * wr - Ei * wi
+                ai = Er * wi + Ei * wr
+                src[c2] = ar if src[c2] is None else src[c2] + ar
+                sic[c2] = ai if sic[c2] is None else sic[c2] + ai
+        zc = []
+        for c2 in range(R2):
+            tc = t_ref[r, 0, c2 * LANE : (c2 + 1) * LANE]
+            ts = t_ref[r, 1, c2 * LANE : (c2 + 1) * LANE]
+            zc.append((src[c2] * tc - sic[c2] * ts,
+                       src[c2] * ts + sic[c2] * tc))
+        Z.append(zc)
+
+    # stage B + window + OLA + normalize, one hop chunk at a time
+    for c2 in range(R2):
+        fc = []
+        for c in range(C):
+            acc = None
+            for r in range(NC):
+                zr, zi = Z[r][c2]
+                wr, wi = _coef(-r * c, C)  # e^{+2πi r c/C}
+                d = 1.0 if (r == 0 or (C % 2 == 0 and r == C // 2)) else 2.0
+                term = (zr * (d * wr) - zi * (d * wi) if wi != 0
+                        else zr * (d * wr))
+                acc = term if acc is None else acc + term
+            fc.append(acc * w_ref[c, c2 * LANE : (c2 + 1) * LANE])
+
+        out = None
+        for c in range(C):
+            rows = fc[c][:, OFF - c : OFF - c + RB, :]
+            out = rows if out is None else out + rows
+        out_ref[..., c2 * LANE : (c2 + 1) * LANE] = (
+            out / env_ref[:, c2 * LANE : (c2 + 1) * LANE]
+        )
+
+
+def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk, GJ, FAST=False,
+                          KARA=False):
     G = NC * R2
 
     def kernel(xg_hbm, w_ref, ib_ref, w2_ref, t_ref, env_ref, out_ref,
                xg_scr, sem):
         cur = _double_buffered_rows(xg_hbm, xg_scr, sem, CB, RB, FBk, GJ)
 
-        if FAST:
-            # 3-pass bf16-split GEMMs (shared with the forward kernels) —
-            # only analysis consumers (Griffin-Lim's loop) request this;
-            # the public istft keeps HIGHEST for the <=1e-5 round-trip
-            from .mel_fused import _group_dot
+        def read_group(g):
+            return (
+                cur[:, :, g * LANE : (g + 1) * LANE],
+                cur[:, :, (G + g) * LANE : (G + g + 1) * LANE],
+            )
 
-            def dot(a, b):
-                return _group_dot(a, b, True)
-        else:
-            def dot(a, b):
-                return jax.lax.dot_general(
-                    a, b, (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=MATMUL_PRECISION,
-                )
-
-        ibr, ibi = ib_ref[0], ib_ref[1]
-        # stage A: per-group complex inverse 128-GEMMs, then stage A2
-        # accumulate the R2 butterfly into S_r (complex, (CB, FBk, HOP))
-        Z = []  # per class r: T_r * S_r (complex)
-        for r in range(NC):
-            sr = si = None
-            for rp in range(R2):
-                g = r * R2 + rp
-                er = cur[:, :, g * LANE : (g + 1) * LANE]
-                ei = cur[:, :, (G + g) * LANE : (G + g + 1) * LANE]
-                if FAST:
-                    # 3-GEMM Karatsuba (host-precomputed combo planes):
-                    # fast path only — reconstruction keeps 4-GEMM exact
-                    p1 = dot(er + ei, ibr)
-                    Er = p1 - dot(ei, ib_ref[3])
-                    Ei = p1 + dot(er, ib_ref[2])
-                else:
-                    Er = dot(er, ibr) - dot(ei, ibi)
-                    Ei = dot(er, ibi) + dot(ei, ibr)
-                # tile to hop lanes: E depends on u mod 128 only
-                Ert = jnp.concatenate([Er] * R2, axis=-1)
-                Eit = jnp.concatenate([Ei] * R2, axis=-1)
-                wr, wi = w2_ref[rp, 0], w2_ref[rp, 1]
-                ar = Ert * wr - Eit * wi
-                ai = Ert * wi + Eit * wr
-                sr = ar if sr is None else sr + ar
-                si = ai if si is None else si + ai
-            tc, ts = t_ref[r, 0], t_ref[r, 1]
-            Z.append((sr * tc - si * ts, sr * ts + si * tc))
-
-        # stage B: chunk c across all frames, windowed
-        fc = []
-        for c in range(C):
-            acc = None
-            for r in range(NC):
-                zr, zi = Z[r]
-                wr, wi = _coef(-r * c, C)  # e^{+2πi r c/C}
-                d = 1.0 if (r == 0 or (C % 2 == 0 and r == C // 2)) else 2.0
-                term = zr * (d * wr) - zi * (d * wi) if wi != 0 else zr * (d * wr)
-                acc = term if acc is None else acc + term
-            fc.append(acc * w_ref[c])
-
-        # OLA shifted adds (frames prepadded C-1 like overlap_add.py)
-        out = None
-        for c in range(C):
-            rows = fc[c][:, C - 1 - c : C - 1 - c + RB, :]
-            out = rows if out is None else out + rows
-        out_ref[:] = out / env_ref[:]
+        _istft_stages(read_group, w_ref, ib_ref, w2_ref, t_ref, env_ref,
+                      out_ref, C, R2, NC, RB, FAST, KARA=KARA)
 
     return kernel
 
@@ -211,6 +247,7 @@ def istft_pallas(
     n_fft: int,
     hop_length: int,
     padded_length: int,
+    kara: bool = False,
 ) -> jax.Array:
     """(B, F, n_bins) -> (B, padded_length) normalized reconstruction,
     one kernel (inverse transform + window + overlap-add + envelope)."""
@@ -225,7 +262,7 @@ def istft_pallas(
     xg = group_spectrum(S, n_fft, hop_length)
     return istft_pallas_grouped(
         xg, win, env, n_fft=n_fft, hop_length=hop_length,
-        padded_length=padded_length,
+        padded_length=padded_length, kara=kara,
     )
 
 
@@ -238,6 +275,7 @@ def istft_pallas_grouped(
     hop_length: int,
     padded_length: int,
     fast_gemm: bool = False,
+    kara: bool = False,
 ) -> jax.Array:
     """Fused ISTFT directly from the radix kernels' group layout
     (`stft_radix.py::_group_maps`) — the exact layout
@@ -257,13 +295,13 @@ def istft_pallas_grouped(
     W2 = _inv_stage2_table(hop_length)
     T = _inv_twiddle_table(n_fft, hop_length)
     return _istft_grouped_vjp_fn(
-        n_fft, hop_length, padded_length, bool(fast_gemm)
+        n_fft, hop_length, padded_length, bool(fast_gemm), bool(kara)
     )(xg, win, env, IB, W2, T)
 
 
 @lru_cache(maxsize=32)
 def _istft_grouped_vjp_fn(n_fft: int, hop_length: int, padded_length: int,
-                          fast_gemm: bool = False):
+                          fast_gemm: bool = False, kara: bool = False):
     """Kernel forward, XLA-composition backward (pallas_call has no autodiff
     rule; the ISTFT is linear in the spectrum, so the VJP is one XLA inverse).
 
@@ -274,7 +312,7 @@ def _istft_grouped_vjp_fn(n_fft: int, hop_length: int, padded_length: int,
     """
     kern = partial(
         _istft_grouped_core, n_fft=n_fft, hop_length=hop_length,
-        padded_length=padded_length, fast_gemm=fast_gemm,
+        padded_length=padded_length, fast_gemm=fast_gemm, kara=kara,
     )
     C = n_fft // hop_length
     G = (C // 2 + 1) * (hop_length // LANE)
@@ -311,7 +349,8 @@ def _istft_grouped_vjp_fn(n_fft: int, hop_length: int, padded_length: int,
 
 @partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "padded_length", "fast_gemm"),
+    static_argnames=("n_fft", "hop_length", "padded_length", "fast_gemm",
+                     "kara"),
 )
 def _istft_grouped_core(
     xg: jax.Array,  # (B, F, 2*G*128) group-layout spectrum
@@ -325,6 +364,7 @@ def _istft_grouped_core(
     hop_length: int,
     padded_length: int,
     fast_gemm: bool = False,
+    kara: bool = False,
 ) -> jax.Array:
     B, F, _ = xg.shape
     if padded_length < 1:
@@ -356,7 +396,8 @@ def _istft_grouped_core(
 
     out = pl.pallas_call(
         _istft_kernel_factory(
-            CB, RB, C, R2, NC, hop_length, FBk, RT_pad // RB, fast_gemm
+            CB, RB, C, R2, NC, hop_length, FBk, RT_pad // RB, fast_gemm,
+            kara,
         ),
         out_shape=vma_struct((B, RT_pad, hop_length), jnp.float32, xg_p),
         grid=(B // CB, RT_pad // RB),
@@ -386,4 +427,355 @@ def _istft_grouped_core(
         ),
         interpret=pallas_interpret_mode(),
     )(xg_p, wch, IB, W2, T, env_rows)
+    return out.reshape(B, RT_pad * hop_length)[:, :padded_length]
+
+# ---------------------------------------------------------------------------
+# Transposed-intake variant: accept the frames-MINOR natural layout directly.
+# ---------------------------------------------------------------------------
+
+
+def _start_col_dma(xt_hbm, scr, sem, slot, bi, s_dyn, CB, W):
+    """Async copy of a 128-ALIGNED frame window (minor axis) into scratch
+    ``slot``: xt_hbm is (B, 2*G*128, NF) with frames minor and a tiled HBM
+    layout, so Mosaic requires minor-axis slices to be 128-aligned in both
+    offset and shape — the window start ``s_dyn`` is always a multiple of
+    128 and the window spans W = 256 frames (the needed RB + C - 1 rows
+    plus alignment slack; the kernel slices the exact rows after its VMEM
+    transpose)."""
+    return pltpu.make_async_copy(
+        xt_hbm.at[pl.ds(bi * CB, CB), :, pl.ds(s_dyn, W)],
+        scr.at[slot],
+        sem.at[slot],
+    )
+
+
+def _win_start(j, RB, C, NF, P=LANE, W=2 * LANE):
+    """128-aligned start of the frame window covering output row block j.
+
+    Rows [j*RB, j*RB+RB) need padded frames [j*RB + P - (C-1), j*RB + P +
+    RB - 1] (P = the 128-frame prepad). round_down(ns - 8, 128) keeps the
+    block base >= 8 inside the window (so the post-transpose row slice
+    [base-8, base-8+RB+8) is sublane-aligned and in bounds) and the clamp
+    to NF - W keeps the window inside the padded tensor — clamping only
+    moves the start earlier, which preserves coverage."""
+    ns = j * RB + P - (C - 1)
+    s = jnp.minimum((ns - 8) // LANE * LANE, NF - W)
+    # Mosaic must be able to prove the minor-axis DMA offset is a multiple
+    # of the 128 tiling; the arithmetic above guarantees it but is opaque
+    # to its divisibility analysis
+    return pl.multiple_of(s, LANE)
+
+
+def _double_buffered_cols(xt_hbm, scr, sem, CB, RB, C, NF, GJ):
+    """Frame-window twin of `mel_fused._double_buffered_rows`: per grid step
+    prefetch the NEXT block's aligned frame window into the other scratch
+    slot so the minor-axis DMA rides under this block's inverse GEMMs.
+    Returns (scratch view, window start) for the current block."""
+    W = 2 * LANE
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    step = i * GJ + j
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
+    s_cur = _win_start(j, RB, C, NF)
+
+    @pl.when(step == 0)
+    def _():
+        _start_col_dma(xt_hbm, scr, sem, slot, i, s_cur, CB, W).start()
+
+    @pl.when(step + 1 < ni * GJ)
+    def _():
+        nxt_j = jax.lax.rem(j + 1, GJ)
+        nxt_i = i + (j + 1) // GJ
+        _start_col_dma(xt_hbm, scr, sem, nslot, nxt_i,
+                       _win_start(nxt_j, RB, C, NF), CB, W).start()
+
+    _start_col_dma(xt_hbm, scr, sem, slot, i, s_cur, CB, W).wait()
+    return scr.at[slot], s_cur
+
+
+def _istft_t_kernel_factory(CB, RB, C, R2, NC, HOP, NF, GJ, FAST=False,
+                            KARA=False):
+    """Transposed-intake kernel: scratch holds (CB, 2*G*128, 256) with
+    frames MINOR (a 128-aligned window of the layout
+    `group_spectrum_nat_t` emits); each group's (128, 256) complex tile is
+    transposed to frames-major in VMEM and the RB+8 needed rows sliced out
+    (sublane-aligned dynamic offset) — the exact dual of the forward
+    transposed-emit kernel (`stft_radix._stft_radix_t_kernel_factory`),
+    which pays the same per-group transpose on its way OUT. All inverse
+    stages are shared (`_istft_stages`, OFF=8)."""
+    G = NC * R2
+    FBe = RB + 8  # rows handed to the stages (OFF=8 slack + RB)
+
+    def kernel(xt_hbm, w_ref, ib_ref, w2_ref, t_ref, env_ref, out_ref,
+               xt_scr, tr_scr, sem):
+        cur, s_cur = _double_buffered_cols(xt_hbm, xt_scr, sem, CB, RB, C,
+                                           NF, GJ)
+        j = pl.program_id(1)
+        # window row of output row 0 of this block; the slice below starts
+        # 8 rows earlier (base - 8 is a multiple of 8: j*RB + 128 - s are
+        # both multiples of 8), giving the stages OFF = 8
+        base = j * RB + LANE - s_cur
+
+        def read_group(g):
+            # Mosaic has no dynamic_slice on VALUES, so the transposed tile
+            # round-trips through a VMEM scratch and is re-read with a
+            # dynamic (sublane-aligned) ref offset — the per-group cost is
+            # one 256x128 VMEM store+load
+            er = cur[:, g * LANE : (g + 1) * LANE, :]
+            ei = cur[:, (G + g) * LANE : (G + g + 1) * LANE, :]
+            tr_scr[:, 0] = jnp.swapaxes(er, 1, 2)
+            tr_scr[:, 1] = jnp.swapaxes(ei, 1, 2)
+            ert = tr_scr[:, 0, pl.ds(base - 8, FBe), :]
+            eit = tr_scr[:, 1, pl.ds(base - 8, FBe), :]
+            return ert, eit
+
+        _istft_stages(read_group, w_ref, ib_ref, w2_ref, t_ref, env_ref,
+                      out_ref, C, R2, NC, RB, FAST, OFF=8, KARA=KARA)
+
+    return kernel
+
+
+def _pick_blocks_istft_t(B, C, R2, NC, hop, RT) -> tuple[int, int]:
+    """Block picker for the transposed intake. RB is chosen to minimize the
+    padded-row waste round_up(RT, RB) (the aligned 256-frame window makes
+    per-block halo cost independent of RB, so bigger RB is not inherently
+    better — unlike the grouped picker); CB widens when VMEM allows. The
+    input scratch is two (CB, 2*G*128, 256) slots regardless of RB."""
+    G = NC * R2
+    tables = (
+        C * hop * 4 + 4 * LANE * LANE * 4 + R2 * 2 * hop * 4
+        + NC * 2 * hop * 4
+    )
+    budget = VMEM_BUDGET - tables
+    in_slot = 2 * G * LANE * 2 * LANE * 4
+
+    def fits(CB, RB):
+        rows = RB + 8
+        work = rows * (4 + 2 * NC + C) * hop * 4
+        trans = 2 * 2 * LANE * LANE * 4  # per-group transpose transient
+        return CB * (2 * in_slot + work + trans + 2 * RB * hop * 4) <= budget
+
+    best = None
+    rb_max = min(120, 122 - C) // SUBLANE * SUBLANE
+    for RB in range(rb_max, 0, -SUBLANE):
+        for CB in (8, 4, 2, 1):
+            if B % CB or not fits(CB, RB):
+                continue
+            waste = round_up(RT, RB) - RT
+            key = (waste, -CB, -RB)
+            if best is None or key < best[0]:
+                best = (key, CB, RB)
+            break  # larger CB found for this RB; smaller CB can't beat it
+    if best is None:
+        return 1, SUBLANE
+    return best[1], best[2]
+
+
+def istft_t_supported(n_fft: int, hop_length: int) -> bool:
+    """Support gate for the transposed intake: the grouped gates plus the
+    two aligned 256-frame input slots under the VMEM budget (large-G radix
+    pairs, e.g. 4096/1024, exceed it and keep the grouped path)."""
+    if not istft_fused_supported(n_fft, hop_length):
+        return False
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    NC = C // 2 + 1
+    G = NC * R2
+    tables = (
+        C * hop_length * 4 + 4 * LANE * LANE * 4 + R2 * 2 * hop_length * 4
+        + NC * 2 * hop_length * 4
+    )
+    in_slot = 2 * G * LANE * 2 * LANE * 4
+    min_work = (SUBLANE + 8) * (4 + 2 * NC + C) * hop_length * 4
+    return (tables + 2 * in_slot + min_work + 2 * 2 * LANE * LANE * 4
+            + 2 * SUBLANE * hop_length * 4) <= VMEM_BUDGET
+
+
+def istft_pallas_t(
+    S: jax.Array,  # (B, n_bins, F) complex spectrum (NATURAL, frames minor)
+    win: jax.Array,  # (n_fft,) padded synthesis window
+    env: jax.Array,  # (padded_length,) clamped squared-window envelope
+    *,
+    n_fft: int,
+    hop_length: int,
+    padded_length: int,
+) -> jax.Array:
+    """(B, n_bins, F) natural layout -> (B, padded_length) reconstruction
+    with a COALESCED row-gather intake (`group_spectrum_nat_t`) feeding the
+    transposed-intake kernel — no swapaxes/minor-axis gather anywhere, the
+    symmetric twin of the forward t-path (`stft_radix.stft_pallas` F>=64
+    routing). The group transpose is paid per-tile in VMEM inside the
+    kernel, where it is cheap."""
+    from .stft_radix import group_spectrum_nat_t
+
+    RT_ub = round_up(cdiv(padded_length, hop_length), 64)
+    if S.shape[2] > RT_ub:
+        S = S[:, :, :RT_ub]
+    xt = group_spectrum_nat_t(S, n_fft, hop_length)
+    return istft_pallas_grouped_t(
+        xt, win, env, n_fft=n_fft, hop_length=hop_length,
+        padded_length=padded_length,
+    )
+
+
+def istft_pallas_grouped_t(
+    xt: jax.Array,  # (B, 2*G*128, F) flat transposed group layout
+    win: jax.Array,
+    env: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    padded_length: int,
+    fast_gemm: bool = False,
+    kara: bool = False,
+) -> jax.Array:
+    """Fused ISTFT directly from the flat transposed group layout (frames
+    minor — what `group_spectrum_nat_t` emits and what the forward
+    transposed-emit kernel's output reshapes to). Gated on
+    :func:`istft_t_supported` (the grouped gates plus the aligned-window
+    input slots); same precision contract as :func:`istft_pallas_grouped`."""
+    if not istft_t_supported(n_fft, hop_length):
+        raise ValueError(
+            f"transposed-intake fused ISTFT requires pow2 n_fft = C*hop, "
+            f"hop = R2*128 with the aligned frame windows within the VMEM "
+            f"budget; got n_fft={n_fft}, hop={hop_length}"
+        )
+    IB = _inv_base_table(n_fft)
+    W2 = _inv_stage2_table(hop_length)
+    T = _inv_twiddle_table(n_fft, hop_length)
+    return _istft_t_vjp_fn(
+        n_fft, hop_length, padded_length, bool(fast_gemm), bool(kara)
+    )(xt, win, env, IB, W2, T)
+
+
+@lru_cache(maxsize=32)
+def _istft_t_vjp_fn(n_fft: int, hop_length: int, padded_length: int,
+                    fast_gemm: bool = False, kara: bool = False):
+    """Kernel forward, XLA-composition backward for the transposed intake
+    (same contract as `_istft_grouped_vjp_fn`; the ISTFT is linear in the
+    spectrum so the VJP is one XLA inverse through the t-layout read)."""
+    kern = partial(
+        _istft_t_core, n_fft=n_fft, hop_length=hop_length,
+        padded_length=padded_length, fast_gemm=fast_gemm, kara=kara,
+    )
+    C = n_fft // hop_length
+    G = (C // 2 + 1) * (hop_length // LANE)
+
+    def xla_ref(xt, win, env):
+        from ..ops._frames import overlap_add
+
+        pos, sgn = _natural_maps(n_fft, hop_length)
+        pos_d = jnp.asarray(pos)
+        # t-layout read: rows pos of the real plane / G*128+pos of the imag
+        S_fm = jnp.swapaxes(
+            jax.lax.complex(
+                xt[:, pos_d, :],
+                xt[:, G * LANE + pos_d, :] * jnp.asarray(sgn)[:, None],
+            ),
+            1, 2,
+        )
+        frames = jnp.fft.irfft(S_fm, n=n_fft, axis=-1).astype(jnp.float32)
+        y = overlap_add(frames * win, hop_length, padded_length)
+        return y / env
+
+    @jax.custom_vjp
+    def f(xt, win, env, IB, W2, T):
+        return kern(xt, win, env, IB, W2, T)
+
+    def fwd(xt, win, env, IB, W2, T):
+        return kern(xt, win, env, IB, W2, T), (xt, win, env, IB, W2, T)
+
+    def bwd(res, ct):
+        xt, win, env, IB, W2, T = res
+        _, vjp = jax.vjp(xla_ref, xt, win, env)
+        dxt, dw, de = vjp(ct)
+        return (dxt, dw, de, jnp.zeros_like(IB), jnp.zeros_like(W2),
+                jnp.zeros_like(T))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "padded_length", "fast_gemm",
+                     "kara"),
+)
+def _istft_t_core(
+    xt: jax.Array,  # (B, 2*G*128, F) flat transposed group layout
+    win: jax.Array,
+    env: jax.Array,
+    IB: jax.Array,
+    W2: jax.Array,
+    T: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    padded_length: int,
+    fast_gemm: bool = False,
+    kara: bool = False,
+) -> jax.Array:
+    B, _, F = xt.shape
+    if padded_length < 1:
+        return jnp.zeros((B, max(padded_length, 0)), jnp.float32)
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    NC = C // 2 + 1
+    G = NC * R2
+
+    wch = win.reshape(C, hop_length)
+    RT = cdiv(padded_length, hop_length)
+    CB, RB = _pick_blocks_istft_t(B, C, R2, NC, hop_length, RT)
+    RT_pad = round_up(RT, RB)
+
+    # frames at/after the output span contribute nothing
+    if F > RT_pad:
+        xt = xt[:, :, :RT_pad]
+        F = RT_pad
+
+    # prepad P = 128 zero frames (the aligned-window scheme's halo depth);
+    # extend so every clamped 256-frame window is in bounds
+    P = LANE
+    NF = round_up(RT_pad + P, LANE)
+    xt_p = jnp.pad(xt, ((0, 0), (0, 0), (P, NF - F - P)))
+
+    env_rows = jnp.pad(env, (0, RT_pad * hop_length - env.shape[0]),
+                       constant_values=1.0).reshape(RT_pad, hop_length)
+
+    out = pl.pallas_call(
+        _istft_t_kernel_factory(
+            CB, RB, C, R2, NC, hop_length, NF, RT_pad // RB, fast_gemm,
+            kara,
+        ),
+        out_shape=vma_struct((B, RT_pad, hop_length), jnp.float32, xt_p),
+        grid=(B // CB, RT_pad // RB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((C, hop_length), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LANE, LANE), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, 2, hop_length), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, 2, hop_length), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, hop_length), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (CB, RB, hop_length), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CB, 2 * G * LANE, 2 * LANE), jnp.float32),
+            pltpu.VMEM((CB, 2, 2 * LANE, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=pallas_interpret_mode(),
+    )(xt_p, wch, IB, W2, T, env_rows)
     return out.reshape(B, RT_pad * hop_length)[:, :padded_length]

@@ -199,6 +199,25 @@ def naturalize_spectrum_t(xt: jax.Array, n_fft: int, hop_length: int) -> jax.Arr
     return jax.lax.complex(xr, xi)
 
 
+def group_spectrum_nat_t(S: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    """Natural complex spectrum ``(B, n_bins, F)`` (librosa convention,
+    frames MINOR) -> the flat transposed group layout ``(B, 2*G*128, F)``
+    consumed by the transposed-intake fused ISTFT
+    (`istft_fused.py::istft_pallas_t`).
+
+    The symmetric twin of :func:`naturalize_spectrum_t`: because frames stay
+    on the minor axis on BOTH sides, every gathered element is a contiguous
+    ``(F,)`` row — a coalesced row gather plus one elementwise sign pass,
+    instead of the frames-major :func:`group_spectrum`'s minor-axis gather
+    (which XLA fuses with the caller's swapaxes into a strided
+    transpose-gather HBM pass). Plain differentiable XLA."""
+    kmap, sgn = _group_maps(n_fft, hop_length)
+    km = jnp.asarray(kmap)
+    xr = jnp.real(S)[:, km, :]
+    xi = jnp.imag(S)[:, km, :] * jnp.asarray(sgn)[:, None]
+    return jnp.concatenate([xr, xi], axis=1)
+
+
 def group_spectrum_t(S_fm: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
     """Frames-major natural complex spectrum ``(B, F, n_bins)`` -> the
     transposed group layout ``(B, 2, G, 128, F)``. Plain differentiable XLA

@@ -394,9 +394,12 @@ def _istft_core(
     if pallas_mode == "fused":
         from ..kernels.istft_fused import istft_pallas
 
+        # kara=True: the 3-GEMM exact complex base (HIGHEST GEMMs) — 25%
+        # fewer MXU passes at ~1e-6 round-trip (measured, 10x inside the
+        # public <=1e-5 contract); see benchmarks/kernel_ab_r05.json
         return istft_pallas(
             S, win, env, n_fft=n_fft, hop_length=hop_length,
-            padded_length=padded_length,
+            padded_length=padded_length, kara=True,
         )
     if fft_mode == "matmul":
         frames = irdft_matmul(S, n_fft, basis)
