@@ -109,7 +109,7 @@ def _inv_twiddle_table(n_fft: int, hop: int) -> np.ndarray:
 
 
 def _istft_stages(read_group, w_ref, ib_ref, w2_ref, t_ref, env_ref, out_ref,
-                  C, R2, NC, RB, FAST, OFF=None, KARA=False):
+                  C, R2, NC, RB, FAST, OFF=None, KARA=False, read_E=None):
     """Shared inverse stages of the fused ISTFT kernels (grouped, transposed
     and natural intake). ``read_group(g)`` returns the group's complex block
     ``(er, ei)`` of shape (CB, FBk, 128) frames-major — the kernels differ
@@ -152,15 +152,21 @@ def _istft_stages(read_group, w_ref, ib_ref, w2_ref, t_ref, env_ref, out_ref,
         sic = [None] * R2
         for rp in range(R2):
             g = r * R2 + rp
-            er, ei = read_group(g)
-            if FAST or KARA:
-                # 3-GEMM Karatsuba (host-precomputed combo planes)
-                p1 = dot(er + ei, ibr)
-                Er = p1 - dot(ei, ib_ref[3])
-                Ei = p1 + dot(er, ib_ref[2])
+            if read_E is not None:
+                # natural-intake kernel: the group GEMM is fused into the
+                # bins-axis read (a transposed-lhs contraction), so the
+                # consumer receives E directly
+                Er, Ei = read_E(g)
             else:
-                Er = dot(er, ibr) - dot(ei, ibi)
-                Ei = dot(er, ibi) + dot(ei, ibr)
+                er, ei = read_group(g)
+                if FAST or KARA:
+                    # 3-GEMM Karatsuba (host-precomputed combo planes)
+                    p1 = dot(er + ei, ibr)
+                    Er = p1 - dot(ei, ib_ref[3])
+                    Ei = p1 + dot(er, ib_ref[2])
+                else:
+                    Er = dot(er, ibr) - dot(ei, ibi)
+                    Ei = dot(er, ibi) + dot(ei, ibr)
             for c2 in range(R2):
                 wr = w2_ref[rp, 0, c2 * LANE : (c2 + 1) * LANE]
                 wi = w2_ref[rp, 1, c2 * LANE : (c2 + 1) * LANE]
@@ -778,4 +784,393 @@ def _istft_t_core(
         ),
         interpret=pallas_interpret_mode(),
     )(xt_p, wch, IB, W2, T, env_rows)
+    return out.reshape(B, RT_pad * hop_length)[:, :padded_length]
+
+# ---------------------------------------------------------------------------
+# Natural-intake variant: consume the librosa-layout spectrum planes directly
+# (NO group-layout tensor in HBM at all).
+# ---------------------------------------------------------------------------
+
+
+@table_cache("istft_inv_base_rev", maxsize=8)
+def _inv_base_rev_table(n_fft: int) -> np.ndarray:
+    """Row-flipped inverse base: plane p, row u = `_inv_base_table`[p, 127-u].
+
+    The conjugate-mirror rows of a group arrive in REVERSED j order when read
+    off the natural spectrum (mirror bin n_fft - k descends as k ascends);
+    contracting them against the row-flipped base folds the reversal into
+    the GEMM instead of shuffling data.
+
+    Rebuilt from the host math rather than by indexing `_inv_base_table`:
+    that cache returns DEVICE arrays, and a device array inside this host
+    builder would become a tracer under jit (caught by the kara=False
+    timing run)."""
+    jj = np.arange(LANE)[:, None]
+    vv = np.arange(LANE)[None, :]
+    cr, ci = _omega(-jj * vv, LANE)
+    base = np.stack([cr, ci, ci - cr, cr + ci]) / float(n_fft)
+    return base[:, ::-1, :].copy()
+
+
+@lru_cache(maxsize=16)
+def _nat_group_plan(n_fft: int, hop: int):
+    """Per-group static constants for the natural-intake read.
+
+    The natural bins axis (padded to 65*S16 rows, S16 = n_fft/128) is viewed
+    as (65, S16): bin k = q*S16 + m. Group (r, rp) with base = r + C*rp has
+    direct rows k = base + S16*j at view [j, base] for j < j0 (k < n_bins),
+    and mirror rows n_fft - k at view [u, m2] for u in [u_a, u_b) — a
+    CONTIGUOUS block in q because the mirror index descends with j, handled
+    by the flipped basis (`_inv_base_rev_table` rows [0, u_b - u_a)).
+
+    Returns tuples (base, j0, m2, u_a, u_b) indexed by g = r*R2 + rp.
+    """
+    C = n_fft // hop
+    R2 = hop // LANE
+    NC = C // 2 + 1
+    S16 = n_fft // LANE
+    n_bins = n_fft // 2 + 1
+    plan = []
+    for r in range(NC):
+        for rp in range(R2):
+            base = r + C * rp
+            j0 = min(-(-(n_bins - base) // S16), LANE)
+            m2 = (S16 - base) % S16
+            if base == 0:
+                # q' = 128 - j for j in [j0, 128) -> u in [1, 128 - j0]
+                u_a, u_b = 1, LANE - j0 + 1
+            else:
+                # q' = 127 - j for j in [j0, 128) -> u in [0, 128 - j0)
+                u_a, u_b = 0, LANE - j0
+            plan.append((base, j0, m2, u_a, u_b))
+    return tuple(plan)
+
+
+def _dotT(a, b, fast: bool = False):
+    """Contract ``a``'s dim 1 (the bins axis, sublane) with ``b``'s dim 0 —
+    the transposed-lhs MXU form, so the natural-intake kernel never
+    transposes data: (CB, K, Fw) x (K, 128) -> (CB, Fw, 128) frames-major."""
+    dn = (((1,), (0,)), ((), ()))
+    if not fast:
+        return jax.lax.dot_general(
+            a, b, dn, preferred_element_type=jnp.float32,
+            precision=MATMUL_PRECISION,
+        )
+    from .mel_fused import _bf16_split
+
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
+    f = partial(jax.lax.dot_general, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+    return f(ah, bh) + f(ah, bl) + f(al, bh)
+
+
+def _istft_nat_kernel_factory(CB, RB, C, R2, NC, HOP, S16, GJ, FAST=False,
+                              KARA=True):
+    """Natural-intake kernel: scratch holds a 256-frame window of the
+    (65, S16)-viewed natural spectrum planes; each group's stage-A GEMM
+    contracts the bins axis directly off that view (direct + flipped-mirror
+    segments, conjugation folded into signs), emitting E frames-major with
+    no transpose, no group tensor, and no XLA gather anywhere.
+
+    Two window geometries (prepad = 64 zero frames):
+      RB=128: window [128j, 128j+256), rows [56, 192) -> FBe=136, 1 branch.
+      RB=64:  window [128*(j//2), +256), rows [56,128) / [120,192) by
+              parity -> FBe=72, 2 branches.
+    Both give the stages OFF=8.
+    """
+    G = NC * R2
+    FBe = RB + 8
+    PLAN = _nat_group_plan(S16 * LANE, HOP)
+
+    # parity pairs (RB=64: blocks 2m and 2m+1) share one window, so DMA is
+    # keyed on the WINDOW index w, not the block index: odd blocks issue no
+    # copies and no waits (grid steps are sequential per core, so the data
+    # is still in the slot), halving input traffic vs naive per-block DMA
+    PAR = 1 if RB == LANE else 2
+    WJ = -(-GJ // PAR)
+
+    def kernel(xr_hbm, xi_hbm, w_ref, ib_ref, ibf_ref, w2_ref, t_ref,
+               env_ref, out_ref, scr, sem):
+        W = 2 * LANE
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        ni = pl.num_programs(0)
+        w = j // PAR
+        wstep = i * WJ + w
+        slot = jax.lax.rem(wstep, 2)
+        nslot = jax.lax.rem(wstep + 1, 2)
+        first = jax.lax.rem(j, PAR) == 0
+
+        def start(sl, bi, bw):
+            st = pl.multiple_of(LANE * bw, LANE)
+            a = pltpu.make_async_copy(
+                xr_hbm.at[pl.ds(bi * CB, CB), :, :, pl.ds(st, W)],
+                scr.at[sl, 0], sem.at[sl, 0])
+            b = pltpu.make_async_copy(
+                xi_hbm.at[pl.ds(bi * CB, CB), :, :, pl.ds(st, W)],
+                scr.at[sl, 1], sem.at[sl, 1])
+            return a, b
+
+        @pl.when(first & (wstep == 0))
+        def _():
+            for cp in start(slot, i, w):
+                cp.start()
+
+        @pl.when(first & (wstep + 1 < ni * WJ))
+        def _():
+            nxt_w = jax.lax.rem(w + 1, WJ)
+            nxt_i = i + (w + 1) // WJ
+            for cp in start(nslot, nxt_i, nxt_w):
+                cp.start()
+
+        @pl.when(first)
+        def _():
+            for cp in start(slot, i, w):
+                cp.wait()
+
+        xr_t = scr.at[slot, 0]
+        xi_t = scr.at[slot, 1]
+
+        def body(SS):
+            def read_E(g):
+                base, j0, m2, ua, ub = PLAN[g]
+                xr_d = xr_t[:, 0:j0, base, SS : SS + FBe]
+                xi_d = xi_t[:, 0:j0, base, SS : SS + FBe]
+                xr_m = xr_t[:, ua:ub, m2, SS : SS + FBe]
+                xi_m = xi_t[:, ua:ub, m2, SS : SS + FBe]
+                nm = ub - ua
+                if FAST or KARA:
+                    # 3-GEMM Karatsuba per segment; mirror has ei = -xi_m
+                    p1 = _dotT(xr_d + xi_d, ib_ref[0, 0:j0, :], FAST)
+                    Er = p1 - _dotT(xi_d, ib_ref[3, 0:j0, :], FAST)
+                    Ei = p1 + _dotT(xr_d, ib_ref[2, 0:j0, :], FAST)
+                    q1 = _dotT(xr_m - xi_m, ibf_ref[0, 0:nm, :], FAST)
+                    Er = Er + q1 + _dotT(xi_m, ibf_ref[3, 0:nm, :], FAST)
+                    Ei = Ei + q1 + _dotT(xr_m, ibf_ref[2, 0:nm, :], FAST)
+                else:
+                    Er = (_dotT(xr_d, ib_ref[0, 0:j0, :])
+                          - _dotT(xi_d, ib_ref[1, 0:j0, :])
+                          + _dotT(xr_m, ibf_ref[0, 0:nm, :])
+                          + _dotT(xi_m, ibf_ref[1, 0:nm, :]))
+                    Ei = (_dotT(xr_d, ib_ref[1, 0:j0, :])
+                          + _dotT(xi_d, ib_ref[0, 0:j0, :])
+                          + _dotT(xr_m, ibf_ref[1, 0:nm, :])
+                          - _dotT(xi_m, ibf_ref[0, 0:nm, :]))
+                return Er, Ei
+
+            _istft_stages(None, w_ref, ib_ref, w2_ref, t_ref, env_ref,
+                          out_ref, C, R2, NC, RB, FAST, OFF=8, KARA=KARA,
+                          read_E=read_E)
+
+        if RB == LANE:
+            body(56)
+        else:
+            @pl.when(jax.lax.rem(j, 2) == 0)
+            def _():
+                body(56)
+
+            @pl.when(jax.lax.rem(j, 2) == 1)
+            def _():
+                body(120)
+
+    return kernel
+
+
+def _pick_blocks_istft_nat(B, C, R2, NC, hop, RT) -> tuple[int, int]:
+    """RB in {64, 128}: minimize total stage rows GJ*(RB+8) under VMEM
+    (the window scratch is RB-independent); CB widens when VMEM allows."""
+    S16 = C * R2
+    tables = (
+        C * hop * 4 + 2 * 4 * LANE * LANE * 4 + R2 * 2 * hop * 4
+        + NC * 2 * hop * 4
+    )
+    budget = VMEM_BUDGET - tables
+    in_slot = 2 * 65 * S16 * 2 * LANE * 4  # two planes, 256-frame window
+
+    def fits(CB, RB):
+        work = (RB + 8) * (4 + 2 * NC + C) * hop * 4
+        return CB * (2 * in_slot + work + 2 * RB * hop * 4) <= budget
+
+    best = None
+    for RB in (128, 64):
+        GJ = -(-RT // RB)
+        for CB in (8, 4, 2, 1):
+            if B % CB or not fits(CB, RB):
+                continue
+            key = (GJ * (RB + 8), -CB)
+            if best is None or key < best[0]:
+                best = (key, CB, RB)
+            break
+    if best is None:
+        return 0, 0
+    return best[1], best[2]
+
+
+def istft_nat_supported(n_fft: int, hop_length: int) -> bool:
+    """Support gate for the natural intake: radix shapes plus the two
+    double-buffered plane windows under the VMEM budget."""
+    if not radix_shape_ok(n_fft, hop_length):
+        return False
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    NC = C // 2 + 1
+    return _pick_blocks_istft_nat(8, C, R2, NC, hop_length, 64)[1] > 0
+
+
+def istft_pallas_nat(
+    S: jax.Array,  # (B, n_bins, F) complex spectrum (NATURAL, frames minor)
+    win: jax.Array,
+    env: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    padded_length: int,
+    kara: bool = True,
+) -> jax.Array:
+    """(B, n_bins, F) natural layout -> (B, padded_length) reconstruction in
+    ONE kernel with NO layout gather: the plane split (real/imag) is the
+    only XLA pass between the user's spectrum and the fused inverse."""
+    if not istft_nat_supported(n_fft, hop_length):
+        raise ValueError(
+            f"natural-intake fused ISTFT requires pow2 n_fft = C*hop, "
+            f"hop = R2*128 with the plane windows within the VMEM budget; "
+            f"got n_fft={n_fft}, hop={hop_length}"
+        )
+    IB = _inv_base_table(n_fft)
+    IBf = _inv_base_rev_table(n_fft)
+    W2 = _inv_stage2_table(hop_length)
+    T = _inv_twiddle_table(n_fft, hop_length)
+    xr = jnp.real(S)
+    xi = jnp.imag(S)
+    return _istft_nat_vjp_fn(
+        n_fft, hop_length, padded_length, bool(kara)
+    )(xr, xi, win, env, IB, IBf, W2, T)
+
+
+@lru_cache(maxsize=32)
+def _istft_nat_vjp_fn(n_fft: int, hop_length: int, padded_length: int,
+                      kara: bool = True):
+    """Kernel forward, XLA-composition backward (the ISTFT is linear in the
+    spectrum planes, so the VJP is one XLA inverse off the natural layout)."""
+    kern = partial(
+        _istft_nat_core, n_fft=n_fft, hop_length=hop_length,
+        padded_length=padded_length, kara=kara,
+    )
+
+    def xla_ref(xr, xi, win, env):
+        from ..ops._frames import overlap_add
+
+        S_fm = jnp.swapaxes(jax.lax.complex(xr, xi), 1, 2)
+        frames = jnp.fft.irfft(S_fm, n=n_fft, axis=-1).astype(jnp.float32)
+        y = overlap_add(frames * win, hop_length, padded_length)
+        return y / env
+
+    @jax.custom_vjp
+    def f(xr, xi, win, env, IB, IBf, W2, T):
+        return kern(xr, xi, win, env, IB, IBf, W2, T)
+
+    def fwd(xr, xi, win, env, IB, IBf, W2, T):
+        return kern(xr, xi, win, env, IB, IBf, W2, T), (xr, xi, win, env,
+                                                        IB, IBf, W2, T)
+
+    def bwd(res, ct):
+        xr, xi, win, env, IB, IBf, W2, T = res
+        _, vjp = jax.vjp(xla_ref, xr, xi, win, env)
+        dxr, dxi, dw, de = vjp(ct)
+        return (dxr, dxi, dw, de, jnp.zeros_like(IB), jnp.zeros_like(IBf),
+                jnp.zeros_like(W2), jnp.zeros_like(T))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "padded_length", "kara"),
+)
+def _istft_nat_core(
+    xr: jax.Array,  # (B, n_bins, F) real plane of the natural spectrum
+    xi: jax.Array,
+    win: jax.Array,
+    env: jax.Array,
+    IB: jax.Array,
+    IBf: jax.Array,
+    W2: jax.Array,
+    T: jax.Array,
+    *,
+    n_fft: int,
+    hop_length: int,
+    padded_length: int,
+    kara: bool = True,
+) -> jax.Array:
+    B, n_bins, F = xr.shape
+    if padded_length < 1:
+        return jnp.zeros((B, max(padded_length, 0)), jnp.float32)
+    C = n_fft // hop_length
+    R2 = hop_length // LANE
+    NC = C // 2 + 1
+    S16 = n_fft // LANE
+    KB = 65 * S16
+
+    wch = win.reshape(C, hop_length)
+    RT = cdiv(padded_length, hop_length)
+    CB, RB = _pick_blocks_istft_nat(B, C, R2, NC, hop_length, RT)
+    RT_pad = round_up(RT, RB)
+    GJ = RT_pad // RB
+
+    # frames at/after the output span contribute nothing
+    if F > RT_pad:
+        xr = xr[:, :, :RT_pad]
+        xi = xi[:, :, :RT_pad]
+        F = RT_pad
+
+    # prepad 64 zero frames (half a window tile: makes the j=0 window
+    # geometry identical to every other block); extend so the last window
+    # is in bounds; pad bins to the (65, S16) view
+    P = LANE // 2
+    NF = round_up((GJ - 1) * RB - (RB < LANE) * (LANE - RB) + 2 * LANE, LANE)
+    pads = ((0, 0), (0, KB - n_bins), (P, NF - F - P))
+    xr4 = jnp.pad(xr, pads).reshape(B, 65, S16, NF)
+    xi4 = jnp.pad(xi, pads).reshape(B, 65, S16, NF)
+
+    env_rows = jnp.pad(env, (0, RT_pad * hop_length - env.shape[0]),
+                       constant_values=1.0).reshape(RT_pad, hop_length)
+
+    out = pl.pallas_call(
+        _istft_nat_kernel_factory(
+            CB, RB, C, R2, NC, hop_length, S16, GJ, False, kara
+        ),
+        out_shape=vma_struct((B, RT_pad, hop_length), jnp.float32, xr4),
+        grid=(B // CB, GJ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((C, hop_length), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LANE, LANE), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LANE, LANE), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, 2, hop_length), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, 2, hop_length), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, hop_length), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (CB, RB, hop_length), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, CB, 65, S16, 2 * LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=pallas_interpret_mode(),
+    )(xr4, xi4, wch, IB, IBf, W2, T, env_rows)
     return out.reshape(B, RT_pad * hop_length)[:, :padded_length]

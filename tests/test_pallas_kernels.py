@@ -751,3 +751,161 @@ class TestTransposedEmitAndKaratsuba:
         np.testing.assert_allclose(
             fused, composed, atol=max(1e-4, 1e-5 * float(composed.max()))
         )
+
+
+class TestIstftIntakes:
+    """Round-5 ISTFT intake variants: transposed (`istft_pallas_t`) and
+    natural (`istft_pallas_nat`) must reproduce the grouped kernel / XLA
+    inverse exactly, stay differentiable, and honor their support gates
+    (A/B record: `benchmarks/kernel_ab_r05.json`)."""
+
+    def _setup(self, n_fft, hop, L, B=2, seed=0):
+        from mlx_audio_primitives_tpu.ops.stft import (
+            WINDOW_SUM_EPSILON,
+            window_envelope,
+        )
+
+        rng = np.random.default_rng(seed)
+        y = rng.standard_normal((B, L)).astype(np.float32)
+        S = stft(y, n_fft=n_fft, hop_length=hop, use_pallas=False)
+        F = S.shape[2]
+        padded = n_fft + (F - 1) * hop
+        win = _get_padded_window("hann", n_fft, n_fft)
+        env = jnp.maximum(
+            window_envelope(win, F, hop, padded), WINDOW_SUM_EPSILON
+        )
+        return y, jnp.asarray(S), win, env, padded
+
+    @pytest.mark.parametrize("n_fft,hop,L", [(1024, 256, 22050),
+                                             (2048, 512, 3 * 22050),
+                                             (512, 128, 6000)])
+    def test_transposed_intake_matches_grouped(self, n_fft, hop, L):
+        from mlx_audio_primitives_tpu.kernels.istft_fused import (
+            istft_pallas,
+            istft_pallas_t,
+            istft_t_supported,
+        )
+
+        assert istft_t_supported(n_fft, hop)
+        y, S, win, env, padded = self._setup(n_fft, hop, L)
+        a = np.asarray(istft_pallas_t(S, win, env, n_fft=n_fft,
+                                      hop_length=hop, padded_length=padded))
+        b = np.asarray(istft_pallas(jnp.swapaxes(S, 1, 2), win, env,
+                                    n_fft=n_fft, hop_length=hop,
+                                    padded_length=padded))
+        np.testing.assert_array_equal(a, b)  # shared stages -> bitwise
+        pad = n_fft // 2
+        assert np.abs(a[:, pad:pad + L] - y).max() <= 1e-5
+
+    @pytest.mark.parametrize("n_fft,hop,L", [(1024, 256, 22050),
+                                             (2048, 512, 3 * 22050),
+                                             (512, 128, 6000),
+                                             (2048, 256, 30000)])
+    def test_natural_intake_roundtrip(self, n_fft, hop, L):
+        from mlx_audio_primitives_tpu.kernels.istft_fused import (
+            istft_nat_supported,
+            istft_pallas_nat,
+        )
+
+        assert istft_nat_supported(n_fft, hop)
+        y, S, win, env, padded = self._setup(n_fft, hop, L)
+        a = np.asarray(istft_pallas_nat(S, win, env, n_fft=n_fft,
+                                        hop_length=hop,
+                                        padded_length=padded))
+        pad = n_fft // 2
+        assert np.abs(a[:, pad:pad + L] - y).max() <= 1e-5
+
+    def test_natural_intake_exact_base_matches_kara_contract(self):
+        from mlx_audio_primitives_tpu.kernels.istft_fused import (
+            istft_pallas_nat,
+        )
+
+        y, S, win, env, padded = self._setup(1024, 256, 22050)
+        a = np.asarray(istft_pallas_nat(S, win, env, n_fft=1024,
+                                        hop_length=256, padded_length=padded,
+                                        kara=False))
+        b = np.asarray(istft_pallas_nat(S, win, env, n_fft=1024,
+                                        hop_length=256, padded_length=padded,
+                                        kara=True))
+        pad = 512
+        assert np.abs(a[:, pad:pad + 22050] - y).max() <= 1e-5
+        assert np.abs(b[:, pad:pad + 22050] - y).max() <= 1e-5
+
+    def test_public_istft_kara_roundtrip(self):
+        # the public istft now rides the exact-Karatsuba grouped kernel
+        y = np.random.default_rng(3).standard_normal(4 * 22050).astype(
+            np.float32)
+        S = stft(y, n_fft=2048, hop_length=512)
+        rec = np.asarray(istft(S, hop_length=512, length=len(y)))
+        assert np.abs(rec - y).max() <= 1e-5
+
+    def test_intake_grads_finite_and_consistent(self):
+        from mlx_audio_primitives_tpu.kernels.istft_fused import (
+            istft_pallas_nat,
+            istft_pallas_t,
+        )
+
+        y, S, win, env, padded = self._setup(1024, 256, 8192)
+        # loss over the center-cropped region only: the epsilon-clamped
+        # envelope tail amplifies ~1e-6 kernel-order differences into
+        # 1e-3 output (and larger gradient) deltas outside the crop
+        lo, hi = 512, 512 + 8192
+
+        def loss_t(S):
+            return jnp.sum(istft_pallas_t(S, win, env, n_fft=1024,
+                                          hop_length=256,
+                                          padded_length=padded)[:, lo:hi]
+                           ** 2)
+
+        def loss_nat(S):
+            return jnp.sum(istft_pallas_nat(S, win, env, n_fft=1024,
+                                            hop_length=256,
+                                            padded_length=padded)[:, lo:hi]
+                           ** 2)
+
+        gt = jax.grad(loss_t)(S)
+        gn = jax.grad(loss_nat)(S)
+        assert np.isfinite(np.asarray(jnp.abs(gt)).sum())
+        scale = float(jnp.abs(gt).max())
+        np.testing.assert_allclose(np.asarray(jnp.real(gt)),
+                                   np.asarray(jnp.real(gn)),
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(np.asarray(jnp.imag(gt)),
+                                   np.asarray(jnp.imag(gn)),
+                                   atol=1e-5 * scale)
+
+    def test_nat_group_plan_matches_group_maps(self):
+        from mlx_audio_primitives_tpu.kernels.istft_fused import (
+            _nat_group_plan,
+        )
+        from mlx_audio_primitives_tpu.kernels.stft_radix import _group_maps
+
+        for n_fft, hop in [(512, 512), (2048, 512), (1024, 256), (512, 128)]:
+            S16 = n_fft // 128
+            kmap, sgn = _group_maps(n_fft, hop)
+            for g, (base, j0, m2, ua, ub) in enumerate(
+                    _nat_group_plan(n_fft, hop)):
+                for j in range(128):
+                    if j < j0:
+                        row, sg = base + S16 * j, 1.0
+                    else:
+                        u = (128 - j) if base == 0 else (127 - j)
+                        row, sg = u * S16 + m2, -1.0
+                    assert kmap[g * 128 + j] == row
+                    assert sgn[g * 128 + j] == sg
+
+    def test_unsupported_shapes_raise(self):
+        from mlx_audio_primitives_tpu.kernels.istft_fused import (
+            istft_pallas_grouped_t,
+            istft_pallas_nat,
+        )
+
+        win = _get_padded_window("hann", 4096, 4096)
+        env = jnp.ones((8192,), jnp.float32)
+        with pytest.raises(ValueError):
+            istft_pallas_nat(jnp.zeros((1, 2049, 8), jnp.complex64), win,
+                             env, n_fft=4096, hop_length=3, padded_length=8192)
+        with pytest.raises(ValueError):
+            istft_pallas_grouped_t(jnp.zeros((1, 10, 8), jnp.float32), win,
+                                   env, n_fft=4096, hop_length=3,
+                                   padded_length=8192)
