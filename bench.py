@@ -168,9 +168,11 @@ def _tpu_child(deadline: float) -> None:
                                samples=SCALE_SECONDS * SR,
                                suffix="_scale"),
         }
+    extra = bench_extra_configs(deadline)
     print(json.dumps({
         "t_ours": t_ours, "err": err, "backend": jax.default_backend(),
         "method": method, **_roofline_fields(t_ours), **scale_fields,
+        **extra,
     }))
 
 
@@ -249,6 +251,68 @@ def bench_ours_scale(deadline: float) -> float | None:
         return None
 
 
+def bench_extra_configs(deadline: float) -> dict:
+    """The three BASELINE.json measurement configs beyond the headline +
+    round-trip: MFCC pipeline, batched kaiser polyphase 44.1->16 kHz, and
+    Griffin-Lim-32 + yin pitch tracking. Each is optional (deadline-gated,
+    exception-shielded) so a short budget still reports the headline; the
+    persistent compile cache makes them ~free from the second attempt on."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.utils import time_jax_amortized
+
+    out: dict = {}
+    rng = np.random.default_rng(3)
+
+    if _remaining(deadline) > 55.0:
+        try:
+            from mlx_audio_primitives_tpu import mfcc
+
+            y = jax.device_put(jnp.asarray(
+                rng.standard_normal((BATCH, SR)).astype(np.float32)))
+            t = time_jax_amortized(
+                lambda x: mfcc(x, sr=SR, n_mfcc=20, n_fft=N_FFT,
+                               hop_length=HOP, n_mels=N_MELS, lifter=22),
+                y, k=12, runs=5, deadline=deadline)
+            out["mfcc_ms"] = round(t * 1e3, 3)
+        except Exception:
+            pass
+
+    if _remaining(deadline) > 45.0:
+        try:
+            from mlx_audio_primitives_tpu import resample
+
+            y = jax.device_put(jnp.asarray(
+                rng.standard_normal((BATCH, 44100)).astype(np.float32)))
+            t = time_jax_amortized(
+                lambda x: resample(x, orig_sr=44100, target_sr=16000,
+                                   res_type="kaiser_best"),
+                y, k=8, runs=5, deadline=deadline)
+            out["resample_poly_ms"] = round(t * 1e3, 3)
+        except Exception:
+            pass
+
+    if _remaining(deadline) > 45.0:
+        try:
+            from mlx_audio_primitives_tpu import griffinlim, stft, yin
+
+            y1 = rng.standard_normal(SR).astype(np.float32)
+            mag = jax.device_put(jnp.abs(stft(y1, n_fft=N_FFT,
+                                              hop_length=HOP)))
+            yd = jax.device_put(jnp.asarray(y1))
+            t_gl = time_jax_amortized(
+                lambda m: griffinlim(m, n_iter=32, hop_length=HOP),
+                mag, k=4, runs=4, deadline=deadline)
+            t_yin = time_jax_amortized(
+                lambda x: yin(x, fmin=65.0, fmax=2093.0, sr=SR),
+                yd, k=8, runs=4, deadline=deadline)
+            out["gl32_pitch_ms"] = round((t_gl + t_yin) * 1e3, 3)
+        except Exception:
+            pass
+    return out
+
+
 def _run_tpu_measurement(attempts: int = 3) -> dict:
     """Run the device measurements in a fresh subprocess, retrying on
     failure — the remote TPU attachment intermittently drops its session
@@ -323,7 +387,9 @@ def main() -> None:
                 **{k: dev[k] for k in ("exec_efficiency", "sol_efficiency",
                                        "mel_scale_ms",
                                        "exec_efficiency_scale",
-                                       "sol_efficiency_scale")
+                                       "sol_efficiency_scale",
+                                       "mfcc_ms", "resample_poly_ms",
+                                       "gl32_pitch_ms")
                    if k in dev},
             }
         )
