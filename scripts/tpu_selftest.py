@@ -34,7 +34,24 @@ FILES = [
     "tests/test_stft.py",
 ]
 
+# Composite-op layer (VERDICT r4 item 5): the ops the bench pipeline rides
+# first, then a rotating tail (pitch/cqt/streaming/pyin) so successive
+# rounds extend on-chip coverage within the tunnel budget. Files run in
+# order until MAPT_SELFTEST_BUDGET_S is exhausted; whatever did not run is
+# recorded in the artifact as "not_run".
+COMPOSITE = [
+    "tests/test_mel.py",
+    "tests/test_mfcc.py",
+    "tests/test_features.py",
+    "tests/test_griffinlim.py",
+    "tests/test_pitch.py",
+    "tests/test_cqt.py",
+    "tests/test_streaming.py",
+    "tests/test_pyin.py",
+]
+
 PER_FILE_TIMEOUT_S = float(os.environ.get("MAPT_SELFTEST_TIMEOUT_S", "900"))
+TOTAL_BUDGET_S = float(os.environ.get("MAPT_SELFTEST_BUDGET_S", "7200"))
 
 
 def run_file(path: str) -> dict:
@@ -90,7 +107,14 @@ def main() -> None:
     except Exception:
         platform = {"error": plat.stderr[-200:]}
 
-    results = [run_file(f) for f in FILES]
+    t0 = time.time()
+    queue = FILES + COMPOSITE
+    results, not_run = [], []
+    for f in queue:
+        if time.time() - t0 > TOTAL_BUDGET_S - 120.0:
+            not_run.append(f)
+            continue
+        results.append(run_file(f))
     ok = all(
         r["rc"] == 0 and r["failures"] == 0 and r["errors"] == 0
         for r in results
@@ -102,6 +126,7 @@ def main() -> None:
         "total_tests": sum(max(r["tests"], 0) for r in results),
         "total_skipped": sum(max(r["skipped"], 0) for r in results),
         "files": results,
+        "not_run": not_run,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "note": (
             "pytest run per-file in subprocesses on the axon-attached TPU "
