@@ -109,36 +109,48 @@ def main() -> None:
 
     t0 = time.time()
     queue = FILES + COMPOSITE
-    results, not_run = [], []
-    for f in queue:
-        if time.time() - t0 > TOTAL_BUDGET_S - 120.0:
-            not_run.append(f)
-            continue
-        results.append(run_file(f))
-    ok = all(
-        r["rc"] == 0 and r["failures"] == 0 and r["errors"] == 0
-        for r in results
-    )
-    artifact = {
-        "round": rnd,
-        "ok": ok,
-        "platform": platform,
-        "total_tests": sum(max(r["tests"], 0) for r in results),
-        "total_skipped": sum(max(r["skipped"], 0) for r in results),
-        "files": results,
-        "not_run": not_run,
-        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "note": (
-            "pytest run per-file in subprocesses on the axon-attached TPU "
-            "chip (MLX_AUDIO_TEST_PLATFORM=axon); complex host<->device "
-            "transfers shimmed in tests/conftest.py (tunnel limitation)."
-        ),
-    }
+    results: list = []
     out = os.path.join(REPO, f"TPU_SELFTEST_r{rnd:02d}.json")
-    with open(out, "w") as f:
-        json.dump(artifact, f, indent=1)
+
+    def write_artifact(done: bool, not_run: list) -> dict:
+        # written after EVERY file so an interrupted run still leaves a
+        # truthful partial artifact (partial=true + not_run list)
+        ok = bool(results) and all(
+            r["rc"] == 0 and r["failures"] == 0 and r["errors"] == 0
+            for r in results
+        )
+        artifact = {
+            "round": rnd,
+            "ok": ok,
+            "partial": not done,
+            "platform": platform,
+            "total_tests": sum(max(r["tests"], 0) for r in results),
+            "total_skipped": sum(max(r["skipped"], 0) for r in results),
+            "files": results,
+            "not_run": not_run,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "note": (
+                "pytest run per-file in subprocesses on the axon-attached "
+                "TPU chip (MLX_AUDIO_TEST_PLATFORM=axon); complex "
+                "host<->device transfers shimmed in tests/conftest.py "
+                "(tunnel limitation)."
+            ),
+        }
+        with open(out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        return artifact
+
+    for i, f in enumerate(queue):
+        if time.time() - t0 > TOTAL_BUDGET_S - 120.0:
+            break
+        r = run_file(f)
+        results.append(r)
+        write_artifact(False, queue[len(results):])
+        print(json.dumps(r), flush=True)
+    artifact = write_artifact(True, queue[len(results):])
     print(json.dumps({k: artifact[k] for k in
-                      ("round", "ok", "total_tests", "total_skipped")}))
+                      ("round", "ok", "total_tests", "total_skipped",
+                       "not_run")}))
     print(f"wrote {out}")
 
 
