@@ -276,8 +276,9 @@ def bench_extra_configs(deadline: float) -> dict:
                                hop_length=HOP, n_mels=N_MELS, lifter=22),
                 y, k=12, runs=5, deadline=deadline)
             out["mfcc_ms"] = round(t * 1e3, 3)
-        except Exception:
-            pass
+        except Exception as e:  # record, don't hide: a deterministic
+            # regression must look different from a deadline skip
+            out["mfcc_error"] = repr(e)[:200]
 
     if _remaining(deadline) > 45.0:
         try:
@@ -290,8 +291,9 @@ def bench_extra_configs(deadline: float) -> dict:
                                    res_type="kaiser_best"),
                 y, k=8, runs=5, deadline=deadline)
             out["resample_poly_ms"] = round(t * 1e3, 3)
-        except Exception:
-            pass
+        except Exception as e:  # record, don't hide: a deterministic
+            # regression must look different from a deadline skip
+            out["resample_poly_error"] = repr(e)[:200]
 
     if _remaining(deadline) > 45.0:
         try:
@@ -308,8 +310,9 @@ def bench_extra_configs(deadline: float) -> dict:
                 lambda x: yin(x, fmin=65.0, fmax=2093.0, sr=SR),
                 yd, k=8, runs=4, deadline=deadline)
             out["gl32_pitch_ms"] = round((t_gl + t_yin) * 1e3, 3)
-        except Exception:
-            pass
+        except Exception as e:  # record, don't hide: a deterministic
+            # regression must look different from a deadline skip
+            out["gl32_pitch_error"] = repr(e)[:200]
     return out
 
 

@@ -46,6 +46,20 @@ from .mel_fused import _coef, _double_buffered_rows, _omega
 from .stft_radix import _natural_maps, group_spectrum
 
 
+def _istft_tables_bytes(C: int, R2: int, NC: int, hop: int,
+                        rev_base: bool = False) -> int:
+    """VMEM bytes of the shared inverse tables: window chunks + the 4-plane
+    inverse base (+ the row-flipped base for the natural intake) + stage-2
+    butterfly vectors + inverse twiddles. ONE definition — round 4's
+    2-to-4-plane fix had to touch five hand-copied variants of this sum."""
+    return (
+        C * hop * 4
+        + (2 if rev_base else 1) * 4 * LANE * LANE * 4
+        + R2 * 2 * hop * 4
+        + NC * 2 * hop * 4
+    )
+
+
 def istft_fused_supported(n_fft: int, hop_length: int) -> bool:
     """Radix shape gates + the inverse working set under the VMEM budget."""
     if not radix_shape_ok(n_fft, hop_length):
@@ -54,12 +68,7 @@ def istft_fused_supported(n_fft: int, hop_length: int) -> bool:
     R2 = hop_length // LANE
     NC = C // 2 + 1
     G = NC * R2
-    tables = (
-        C * hop_length * 4  # window chunks
-        + 4 * LANE * LANE * 4  # inverse base (4 planes: cos/sin + Karatsuba combos)
-        + R2 * 2 * hop_length * 4  # stage-2 butterfly vectors
-        + NC * 2 * hop_length * 4  # inverse twiddles
-    )
+    tables = _istft_tables_bytes(C, R2, NC, hop_length)
     min_rows = round_up(SUBLANE + C - 1, SUBLANE)
     # live set per (clip, frame): group block + E + S + Z + chunk accumulators
     min_block = (
@@ -227,10 +236,7 @@ def _istft_kernel_factory(CB, RB, C, R2, NC, HOP, FBk, GJ, FAST=False,
 
 def _pick_blocks_istft(B, C, R2, NC, hop) -> tuple[int, int]:
     G = NC * R2
-    tables = (
-        C * hop * 4 + 4 * LANE * LANE * 4 + R2 * 2 * hop * 4
-        + NC * 2 * hop * 4
-    )
+    tables = _istft_tables_bytes(C, R2, NC, hop)
     budget = VMEM_BUDGET - tables
     per_cf = (2 * G * LANE + (4 + 2 * NC + C) * hop) * 4
     for RB in (64, 48, 32, 24, 16, 8):
@@ -305,6 +311,29 @@ def istft_pallas_grouped(
     )(xg, win, env, IB, W2, T)
 
 
+def _linear_istft_vjp(kern, xla_ref, n_data):
+    """custom_vjp scaffold shared by the three intake paths (grouped /
+    transposed / natural): kernel forward, XLA-composition backward through
+    ``xla_ref`` over the first ``n_data`` args, zero cotangents for the
+    trailing host-constant table args. One definition so a future VJP
+    contract change cannot silently miss one intake."""
+
+    @jax.custom_vjp
+    def f(*args):
+        return kern(*args)
+
+    def fwd(*args):
+        return kern(*args), args
+
+    def bwd(res, ct):
+        data, tables = res[:n_data], res[n_data:]
+        _, vjp = jax.vjp(xla_ref, *data)
+        return (*vjp(ct), *(jnp.zeros_like(t) for t in tables))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 @lru_cache(maxsize=32)
 def _istft_grouped_vjp_fn(n_fft: int, hop_length: int, padded_length: int,
                           fast_gemm: bool = False, kara: bool = False):
@@ -335,22 +364,7 @@ def _istft_grouped_vjp_fn(n_fft: int, hop_length: int, padded_length: int,
         y = overlap_add(frames * win, hop_length, padded_length)
         return y / env
 
-    @jax.custom_vjp
-    def f(xg, win, env, IB, W2, T):
-        return kern(xg, win, env, IB, W2, T)
-
-    def fwd(xg, win, env, IB, W2, T):
-        return kern(xg, win, env, IB, W2, T), (xg, win, env, IB, W2, T)
-
-    def bwd(res, ct):
-        xg, win, env, IB, W2, T = res
-        _, vjp = jax.vjp(xla_ref, xg, win, env)
-        dxg, dw, de = vjp(ct)
-        return (dxg, dw, de, jnp.zeros_like(IB), jnp.zeros_like(W2),
-                jnp.zeros_like(T))
-
-    f.defvjp(fwd, bwd)
-    return f
+    return _linear_istft_vjp(kern, xla_ref, 3)
 
 
 @partial(
@@ -550,10 +564,7 @@ def _pick_blocks_istft_t(B, C, R2, NC, hop, RT) -> tuple[int, int]:
     better — unlike the grouped picker); CB widens when VMEM allows. The
     input scratch is two (CB, 2*G*128, 256) slots regardless of RB."""
     G = NC * R2
-    tables = (
-        C * hop * 4 + 4 * LANE * LANE * 4 + R2 * 2 * hop * 4
-        + NC * 2 * hop * 4
-    )
+    tables = _istft_tables_bytes(C, R2, NC, hop)
     budget = VMEM_BUDGET - tables
     in_slot = 2 * G * LANE * 2 * LANE * 4
 
@@ -575,28 +586,21 @@ def _pick_blocks_istft_t(B, C, R2, NC, hop, RT) -> tuple[int, int]:
                 best = (key, CB, RB)
             break  # larger CB found for this RB; smaller CB can't beat it
     if best is None:
-        return 1, SUBLANE
+        return 0, 0  # nothing fits: the istft_t_supported gate rejects
     return best[1], best[2]
 
 
 def istft_t_supported(n_fft: int, hop_length: int) -> bool:
     """Support gate for the transposed intake: the grouped gates plus the
-    two aligned 256-frame input slots under the VMEM budget (large-G radix
-    pairs, e.g. 4096/1024, exceed it and keep the grouped path)."""
+    aligned-window picker finding ANY block under the VMEM budget — gating
+    through `_pick_blocks_istft_t` itself so gate and picker cannot drift
+    (large-G radix pairs, e.g. 4096/1024, fail and keep the grouped path)."""
     if not istft_fused_supported(n_fft, hop_length):
         return False
     C = n_fft // hop_length
     R2 = hop_length // LANE
     NC = C // 2 + 1
-    G = NC * R2
-    tables = (
-        C * hop_length * 4 + 4 * LANE * LANE * 4 + R2 * 2 * hop_length * 4
-        + NC * 2 * hop_length * 4
-    )
-    in_slot = 2 * G * LANE * 2 * LANE * 4
-    min_work = (SUBLANE + 8) * (4 + 2 * NC + C) * hop_length * 4
-    return (tables + 2 * in_slot + min_work + 2 * 2 * LANE * LANE * 4
-            + 2 * SUBLANE * hop_length * 4) <= VMEM_BUDGET
+    return _pick_blocks_istft_t(8, C, R2, NC, hop_length, 64)[1] > 0
 
 
 def istft_pallas_t(
@@ -686,22 +690,7 @@ def _istft_t_vjp_fn(n_fft: int, hop_length: int, padded_length: int,
         y = overlap_add(frames * win, hop_length, padded_length)
         return y / env
 
-    @jax.custom_vjp
-    def f(xt, win, env, IB, W2, T):
-        return kern(xt, win, env, IB, W2, T)
-
-    def fwd(xt, win, env, IB, W2, T):
-        return kern(xt, win, env, IB, W2, T), (xt, win, env, IB, W2, T)
-
-    def bwd(res, ct):
-        xt, win, env, IB, W2, T = res
-        _, vjp = jax.vjp(xla_ref, xt, win, env)
-        dxt, dw, de = vjp(ct)
-        return (dxt, dw, de, jnp.zeros_like(IB), jnp.zeros_like(W2),
-                jnp.zeros_like(T))
-
-    f.defvjp(fwd, bwd)
-    return f
+    return _linear_istft_vjp(kern, xla_ref, 3)
 
 
 @partial(
@@ -982,10 +971,7 @@ def _pick_blocks_istft_nat(B, C, R2, NC, hop, RT) -> tuple[int, int]:
     """RB in {64, 128}: minimize total stage rows GJ*(RB+8) under VMEM
     (the window scratch is RB-independent); CB widens when VMEM allows."""
     S16 = C * R2
-    tables = (
-        C * hop * 4 + 2 * 4 * LANE * LANE * 4 + R2 * 2 * hop * 4
-        + NC * 2 * hop * 4
-    )
+    tables = _istft_tables_bytes(C, R2, NC, hop, rev_base=True)
     budget = VMEM_BUDGET - tables
     in_slot = 2 * 65 * S16 * 2 * LANE * 4  # two planes, 256-frame window
 
@@ -1067,23 +1053,7 @@ def _istft_nat_vjp_fn(n_fft: int, hop_length: int, padded_length: int,
         y = overlap_add(frames * win, hop_length, padded_length)
         return y / env
 
-    @jax.custom_vjp
-    def f(xr, xi, win, env, IB, IBf, W2, T):
-        return kern(xr, xi, win, env, IB, IBf, W2, T)
-
-    def fwd(xr, xi, win, env, IB, IBf, W2, T):
-        return kern(xr, xi, win, env, IB, IBf, W2, T), (xr, xi, win, env,
-                                                        IB, IBf, W2, T)
-
-    def bwd(res, ct):
-        xr, xi, win, env, IB, IBf, W2, T = res
-        _, vjp = jax.vjp(xla_ref, xr, xi, win, env)
-        dxr, dxi, dw, de = vjp(ct)
-        return (dxr, dxi, dw, de, jnp.zeros_like(IB), jnp.zeros_like(IBf),
-                jnp.zeros_like(W2), jnp.zeros_like(T))
-
-    f.defvjp(fwd, bwd)
-    return f
+    return _linear_istft_vjp(kern, xla_ref, 4)
 
 
 @partial(

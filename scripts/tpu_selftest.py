@@ -147,7 +147,11 @@ def main() -> None:
         results.append(r)
         write_artifact(False, queue[len(results):])
         print(json.dumps(r), flush=True)
-    artifact = write_artifact(True, queue[len(results):])
+    # "complete" means every queued file actually ran — a budget-exhausted
+    # run stays partial=true so {ok, partial:false} always implies full
+    # on-chip coverage of the queue
+    artifact = write_artifact(len(results) == len(queue),
+                              queue[len(results):])
     print(json.dumps({k: artifact[k] for k in
                       ("round", "ok", "total_tests", "total_skipped",
                        "not_run")}))

@@ -900,12 +900,17 @@ class TestIstftIntakes:
             istft_pallas_nat,
         )
 
-        win = _get_padded_window("hann", 4096, 4096)
-        env = jnp.ones((8192,), jnp.float32)
+        # host-side inputs only: this test checks the SUPPORT GATES, which
+        # raise before any device op — keeping the arrays on the host makes
+        # it immune to remote-session state (it once failed on the axon
+        # tunnel because an unrelated earlier op had poisoned the session
+        # and the jnp.zeros here surfaced the UNIMPLEMENTED)
+        win = np.zeros(4096, np.float32)
+        env = np.ones(8192, np.float32)
         with pytest.raises(ValueError):
-            istft_pallas_nat(jnp.zeros((1, 2049, 8), jnp.complex64), win,
+            istft_pallas_nat(np.zeros((1, 2049, 8), np.complex64), win,
                              env, n_fft=4096, hop_length=3, padded_length=8192)
         with pytest.raises(ValueError):
-            istft_pallas_grouped_t(jnp.zeros((1, 10, 8), jnp.float32), win,
+            istft_pallas_grouped_t(np.zeros((1, 10, 8), np.float32), win,
                                    env, n_fft=4096, hop_length=3,
                                    padded_length=8192)
