@@ -228,7 +228,12 @@ def run_roofline(configs=None, repeats: int = 2) -> list[RooflineRow]:
         # (B, F, 2*G*128) group tensor — written by the gather, re-read by
         # the kernel) before the inverse radix GEMMs write the signal.
         # T_mem must include that traffic or exec-eff conflates gather
-        # bytes with kernel quality.
+        # bytes with kernel quality. Round 5 measured this boundary pass
+        # at ~20% of HBM roofline in EVERY orientation (row gather ==
+        # minor-axis gather == 4.5 ms at b256x4s) and adopted the exact
+        # Karatsuba inverse base (kernel 7.4 -> 6.5 ms); the intake
+        # reformulations are measured-rejected in
+        # benchmarks/kernel_ab_r05.json / docs/KERNELS.md.
         C = n_fft // hop
         G = (C // 2 + 1) * (hop // LANE)
         bytes_istft = 4 * (
