@@ -57,6 +57,7 @@ _TABLE_CASES: dict[str, list[tuple[str, tuple]]] = {
     "mel_radix_twiddle": [("2048/512", (2048, 512))],
     "mel_radix_basis": [("hop512", (512,))],
     "istft_inv_base": [("2048", (2048,))],
+    "istft_inv_base_rev": [("2048", (2048,))],
     "istft_inv_stage2": [("hop512", (512,))],
     "istft_inv_twiddle": [("2048/512", (2048, 512))],
     "dft_basis_fwd": [("1024", (1024,))],
